@@ -1,0 +1,136 @@
+"""Typed configuration for the TPU-native NMPC framework.
+
+Replaces the reference's three-tier string-keyed config relay
+(`dynamic_reconfigure` cfg -> map<string,double> -> MPC::LoadParams, see
+/root/reference/mpc_ros/src/driving_state.cpp:45-103 and
+/root/reference/mpc_ros/src/mpc_planner.cpp:243-262) with two typed layers:
+
+* `MPCParams` — every *numeric* solver parameter as a JAX pytree so it can be
+  traced, vmapped over (per-scenario weights in Monte-Carlo sweeps), and
+  updated at runtime WITHOUT recompilation (the reference re-issued
+  `LoadParams` on every reconfigure; here new values are just new leaves).
+* `SolverConfig` — static shape/iteration knobs (horizon, iteration caps)
+  that participate in jit specialization.
+
+Defaults follow the live config path of the reference, i.e. the
+dynamic_reconfigure defaults in /root/reference/mpc_ros/cfg/MPCPlanner.cfg
+(the yaml file is dead code in the reference fork; see SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+from flax import struct
+
+Array = Any  # jax scalar or array
+
+
+@struct.dataclass
+class MPCParams:
+    """Numeric NMPC parameters (a pytree: every field is traced).
+
+    Mirrors the 15-key `mpc_params_` map of the reference
+    (/root/reference/mpc_ros/src/driving_state.cpp:65-79) minus STEPS,
+    which is static shape information and lives in `SolverConfig`.
+    """
+
+    dt: Array = 0.1            # control period [s]
+    ref_cte: Array = 0.0       # cross-track error setpoint
+    ref_etheta: Array = 0.0    # heading error setpoint
+    ref_vel: Array = 0.5       # reference speed [m/s] ("REF_V")
+    w_cte: Array = 100.0       # cross-track error weight
+    w_etheta: Array = 100.0    # heading error weight ("W_EPSI")
+    w_vel: Array = 100.0       # speed tracking weight
+    w_angvel: Array = 100.0    # angular-velocity magnitude weight
+    w_accel: Array = 50.0      # acceleration magnitude weight
+    w_angvel_d: Array = 10.0   # angular-velocity rate weight
+    w_accel_d: Array = 10.0    # acceleration rate weight
+    max_angvel: Array = 1.0    # |omega| bound [rad/s] ("ANGVEL")
+    max_throttle: Array = 1.0  # |accel| bound [m/s^2] ("MAXTHR")
+    bound_value: Array = 1.0e3  # box bound for non-actuator vars ("BOUND")
+
+    def astype(self, dtype) -> "MPCParams":
+        return MPCParams(
+            **{
+                f.name: jnp.asarray(getattr(self, f.name), dtype)
+                for f in dataclasses.fields(self)
+            }
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static solver configuration — participates in jit specialization."""
+
+    n_steps: int = 20          # horizon knots N (reference `mpc_steps`)
+    poly_order: int = 3        # reference-path polynomial order (cubic)
+    max_sqp_iters: int = 60    # outer SQP/iLQR iteration cap
+    ls_iters: int = 10         # backtracking line-search halvings
+    tol_grad: float = 1e-7     # projected-gradient convergence threshold
+    tol_cost: float = 1e-9     # relative cost-decrease threshold
+    mu_init: float = 1e-6      # initial Levenberg regularization
+    mu_factor: float = 10.0    # regularization update factor
+    mu_max: float = 1e8        # regularization ceiling
+
+    @property
+    def n_controls(self) -> int:
+        """Number of control steps T = N - 1."""
+        return self.n_steps - 1
+
+    @property
+    def n_coeffs(self) -> int:
+        return self.poly_order + 1
+
+    @property
+    def n_vars(self) -> int:
+        """Reference NLP decision-vector size: 6N + 2(N-1)
+        (/root/reference/mpc_ros/src/mpc_planner.cpp:281)."""
+        return 6 * self.n_steps + 2 * (self.n_steps - 1)
+
+    @property
+    def n_constraints(self) -> int:
+        """Reference NLP constraint count: 6N
+        (/root/reference/mpc_ros/src/mpc_planner.cpp:284)."""
+        return 6 * self.n_steps
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerLimits:
+    """Generic local-planner limits (successor of
+    base_local_planner::LocalPlannerLimits consumed in
+    /root/reference/mpc_ros/src/mpc_planner_ros.cpp:96-113)."""
+
+    xy_goal_tolerance: float = 0.2
+    yaw_goal_tolerance: float = 0.1
+    trans_stopped_vel: float = 0.1
+    theta_stopped_vel: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    """Planner-level configuration (successor of the reference's
+    dynamic_reconfigure schema /root/reference/mpc_ros/cfg/MPCPlanner.cfg
+    plus hard-coded values it never wired up)."""
+
+    limits: PlannerLimits = dataclasses.field(default_factory=PlannerLimits)
+    # heading error below which Tracking engages (hard-coded 0.1 in the
+    # reference, /root/reference/mpc_ros/src/mpc_planner_ros.cpp:81)
+    heading_yaw_error_threshold: float = 0.1
+    # FSM speed policy defaults (/root/reference/mpc_ros/src/driving_state.cpp:24-29)
+    max_speed: float = 0.7
+    min_speed: float = 0.05
+    # P-gain for the two rotation states
+    # (`theta_ref` in /root/reference/mpc_ros/src/driving_state.cpp:155,170)
+    rotate_p_gain: float = 0.5
+    # one-control-period latency compensation
+    # (/root/reference/mpc_ros/src/driving_state.cpp:243-253)
+    delay_mode: bool = True
+    # plan downsampling: target number of reference segments
+    # (the reference divides the path into ~10 segments,
+    #  /root/reference/mpc_ros/src/mpc_planner_ros.cpp:374 — with the
+    #  uninitialized-variable bug Q6 fixed here)
+    downsample_segments: int = 10
+    debug_info: bool = False

@@ -1,0 +1,145 @@
+"""Differential-drive error-state kinematic model.
+
+The 6-state / 2-control ZOH-Euler model from the reference NLP's dynamics
+defects (/root/reference/mpc_ros/src/mpc_planner.cpp:208-215):
+
+    state z = (x, y, theta, v, cte, etheta)
+    control u = (omega, accel)
+
+    x'      = x + v cos(theta) dt
+    y'      = y + v sin(theta) dt
+    theta'  = theta + omega dt
+    v'      = v + accel dt
+    cte'    = (f(x) - y) + v sin(etheta) dt      # f = reference polynomial
+    etheta' = etheta + omega dt
+
+Note cte' deliberately uses the *fresh* polynomial error f(x)-y rather than
+propagating cte (reference quirk Q10, kept: it is the behavior spec).
+
+Analytic Jacobians are provided (and verified against `jax.jacfwd` in tests)
+so the hot batched-linearization path is closed-form — no per-step autodiff
+graph — and maps directly onto a Pallas kernel later.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.poly import polyeval, polyder_eval
+
+# State / control indices
+X, Y, THETA, V, CTE, ETHETA = range(6)
+OMEGA, ACCEL = range(2)
+
+STATE_DIM = 6
+CONTROL_DIM = 2
+# Augmented state for the rate-cost formulation: (z, prev_u)
+AUG_STATE_DIM = STATE_DIM + CONTROL_DIM
+
+
+def step(z: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt) -> jnp.ndarray:
+    """One ZOH-Euler step of the error-state kinematics. z:(6,), u:(2,)."""
+    x, y, theta, v, cte, etheta = (z[..., i] for i in range(6))
+    omega = u[..., OMEGA]
+    accel = u[..., ACCEL]
+    f0 = polyeval(coeffs, x)
+    return jnp.stack(
+        [
+            x + v * jnp.cos(theta) * dt,
+            y + v * jnp.sin(theta) * dt,
+            theta + omega * dt,
+            v + accel * dt,
+            (f0 - y) + v * jnp.sin(etheta) * dt,
+            etheta + omega * dt,
+        ],
+        axis=-1,
+    )
+
+
+def step_jacobians(z: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt):
+    """Closed-form (A, B) = (d step/dz, d step/du); shapes (6,6), (6,2)."""
+    dtype = z.dtype
+    x = z[..., X]
+    theta = z[..., THETA]
+    v = z[..., V]
+    etheta = z[..., ETHETA]
+    ct = jnp.cos(theta)
+    st = jnp.sin(theta)
+    ce = jnp.cos(etheta)
+    se = jnp.sin(etheta)
+    fp = polyder_eval(coeffs, x)
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    dt = jnp.asarray(dt, dtype)
+
+    rows = [
+        #      x        y      theta         v        cte     etheta
+        [one, zero, -v * st * dt, ct * dt, zero, zero],          # x'
+        [zero, one, v * ct * dt, st * dt, zero, zero],           # y'
+        [zero, zero, one, zero, zero, zero],                     # theta'
+        [zero, zero, zero, one, zero, zero],                     # v'
+        [fp, -one, zero, se * dt, zero, v * ce * dt],            # cte'
+        [zero, zero, zero, zero, zero, one],                     # etheta'
+    ]
+    A = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+    b_rows = [
+        [zero, zero],        # x'
+        [zero, zero],        # y'
+        [dt * one, zero],    # theta'  <- omega
+        [zero, dt * one],    # v'      <- accel
+        [zero, zero],        # cte'
+        [dt * one, zero],    # etheta' <- omega
+    ]
+    B = jnp.stack([jnp.stack(r, axis=-1) for r in b_rows], axis=-2)
+    return A, B
+
+
+def aug_step(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt) -> jnp.ndarray:
+    """Augmented-state step: s = (z, prev_u) -> (step(z, u), u).
+
+    The augmentation turns the reference's actuator-rate costs
+    (w_angvel_d, w_accel_d over consecutive controls,
+    /root/reference/mpc_ros/src/mpc_planner.cpp:144-147) into Markov stage
+    costs so the problem keeps the Riccati-factorizable structure.
+    """
+    z_next = step(s[..., :STATE_DIM], u, coeffs, dt)
+    return jnp.concatenate([z_next, u], axis=-1)
+
+
+def aug_step_jacobians(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt):
+    """Closed-form Jacobians of `aug_step`; shapes (8,8), (8,2)."""
+    z = s[..., :STATE_DIM]
+    A, B = step_jacobians(z, u, coeffs, dt)
+    batch = z.shape[:-1]
+    dtype = z.dtype
+    zeros_su = jnp.zeros(batch + (STATE_DIM, CONTROL_DIM), dtype)
+    zeros_us = jnp.zeros(batch + (CONTROL_DIM, STATE_DIM), dtype)
+    zeros_uu = jnp.zeros(batch + (CONTROL_DIM, CONTROL_DIM), dtype)
+    eye_uu = jnp.broadcast_to(jnp.eye(CONTROL_DIM, dtype=dtype),
+                              batch + (CONTROL_DIM, CONTROL_DIM))
+    A_aug = jnp.concatenate(
+        [
+            jnp.concatenate([A, zeros_su], axis=-1),
+            jnp.concatenate([zeros_us, zeros_uu], axis=-1),
+        ],
+        axis=-2,
+    )
+    B_aug = jnp.concatenate([B, eye_uu], axis=-2)
+    return A_aug, B_aug
+
+
+def rollout(z0: jnp.ndarray, us: jnp.ndarray, coeffs: jnp.ndarray, dt) -> jnp.ndarray:
+    """Roll the plant forward: z0 (6,), us (T,2) -> states (T+1, 6).
+
+    The kinematic model IS the simulator (SURVEY.md §4): this same function
+    drives both the solver's forward pass and the closed-loop test plant.
+    """
+    import jax
+
+    def body(z, u):
+        z_next = step(z, u, coeffs, dt)
+        return z_next, z_next
+
+    _, zs = jax.lax.scan(body, z0, us)
+    return jnp.concatenate([z0[None], zs], axis=0)

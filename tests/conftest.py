@@ -1,0 +1,26 @@
+"""Test harness configuration.
+
+The session environment boots every interpreter with the `axon` TPU-tunnel
+platform pre-registered (sitecustomize imports jax and pins
+JAX_PLATFORMS=axon). Unit tests must run on CPU — fast, single-tenant, and
+with a virtual 8-device mesh so multi-chip sharding is validated without
+hardware — so we override via jax.config BEFORE any backend initializes.
+
+float64 is enabled so the scipy oracle can act as a tight golden reference;
+solver code is dtype-polymorphic and f32 paths are exercised by passing f32
+inputs explicitly.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402  (already imported by sitecustomize; config still mutable)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
