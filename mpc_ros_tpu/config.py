@@ -70,7 +70,7 @@ class SolverConfig:
     max_sqp_iters: int = 60    # outer SQP/iLQR iteration cap
     ls_iters: int = 10         # backtracking line-search halvings
     tol_grad: float = 1e-7     # projected-gradient convergence threshold
-    tol_cost: float = 1e-9     # relative cost-decrease threshold
+    tol_cost: float = 1e-12    # relative cost-decrease threshold
     mu_init: float = 1e-6      # initial Levenberg regularization
     mu_factor: float = 10.0    # regularization update factor
     mu_max: float = 1e8        # regularization ceiling

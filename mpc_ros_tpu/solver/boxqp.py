@@ -1,0 +1,64 @@
+"""Exact small box-constrained QP via active-set enumeration.
+
+The control dimension of this problem family is tiny (m = 2: omega, accel —
+the box bounds the reference imposes at
+/root/reference/mpc_ros/src/mpc_planner.cpp:313-325), so instead of an
+iterative projected-Newton loop we enumerate ALL 3^m active-set combinations
+(free / at-lower / at-upper per dim), solve each candidate in closed form,
+and select the KKT-consistent one. This is:
+
+* exact (strictly convex QP -> the true active set has zero KKT violation),
+* branchless (a static stack of 9 candidates + argmin select), hence
+  perfectly vmap/jit-able with no data-dependent control flow, and
+* the building block of the control-limited Riccati backward pass.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax.numpy as jnp
+
+# All (state_dim0, state_dim1) combos; 0=free, 1=at lower, 2=at upper.
+_COMBOS = list(itertools.product(range(3), repeat=2))
+_FREE = jnp.asarray([[1.0 if s == 0 else 0.0 for s in c] for c in _COMBOS])
+_AT_LO = jnp.asarray([[1.0 if s == 1 else 0.0 for s in c] for c in _COMBOS])
+_AT_HI = jnp.asarray([[1.0 if s == 2 else 0.0 for s in c] for c in _COMBOS])
+
+
+def solve_boxqp_2d(Q: jnp.ndarray, q: jnp.ndarray,
+                   lb: jnp.ndarray, ub: jnp.ndarray):
+    """min_d 0.5 d^T Q d + q^T d  s.t. lb <= d <= ub, with Q (2,2) SPD.
+
+    Returns (d, free_mask, M) where `free_mask` is the optimal active set's
+    free-dimension indicator and `M` is the masked system matrix such that
+    gain rows for clamped dims solve to zero:  K = solve(M, -(free * Qus)).
+    """
+    dtype = Q.dtype
+    nc = len(_COMBOS)
+    f = _FREE.astype(dtype)          # (9, 2)
+    d_clamp = _AT_LO.astype(dtype) * lb + _AT_HI.astype(dtype) * ub  # (9, 2)
+
+    # Masked system: free rows keep Q on free cols; clamped rows become
+    # identity rows pinning d to the bound value.
+    M = Q[None] * (f[:, :, None] * f[:, None, :]) + jnp.stack(
+        [jnp.diag(1.0 - f[i]) for i in range(nc)]
+    )
+
+    rhs = f * (-(q[None] + jnp.einsum("ij,cj->ci", Q, d_clamp))) + (1.0 - f) * d_clamp
+    d = jnp.linalg.solve(M, rhs[..., None])[..., 0]                  # (9, 2)
+    lam = q[None] + jnp.einsum("ij,cj->ci", Q, d)                    # (9, 2)
+
+    # KKT violations: free dims must stay inside the box; at-lower dims need
+    # lam >= 0; at-upper dims need lam <= 0.
+    viol = jnp.sum(
+        f * (jnp.maximum(lb[None] - d, 0.0) + jnp.maximum(d - ub[None], 0.0))
+        + _AT_LO.astype(dtype) * jnp.maximum(-lam, 0.0)
+        + _AT_HI.astype(dtype) * jnp.maximum(lam, 0.0),
+        axis=-1,
+    )
+    # Prefer more-free combos on exact ties (degenerate boundaries): tiny
+    # penalty per clamped dim keeps the selection deterministic.
+    viol = viol + 1e-12 * jnp.sum(1.0 - f, axis=-1)
+    best = jnp.argmin(viol)
+    return d[best], f[best], M[best]

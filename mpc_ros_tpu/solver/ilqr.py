@@ -1,0 +1,247 @@
+"""Control-limited iLQR / SQP solver — the CppAD+Ipopt replacement.
+
+Solves the reference NLP (/root/reference/mpc_ros/src/mpc_planner.cpp:265-402)
+in condensed (single-shooting) form: states are eliminated through the
+dynamics, so the decision variables are the T = N-1 controls, and the box
+bounds on (omega, accel) are handled exactly by a control-limited Riccati
+backward pass (per-stage 2-dim box QP solved by active-set enumeration).
+Stationary points coincide with the full NLP's KKT points, which is what the
+oracle-matching tests assert.
+
+TPU-first design notes:
+* one `lax.scan` per backward/forward pass (static shapes, compiles once),
+* analytic linearization + exact quadratic cost expansion (no per-iteration
+  autodiff graphs) — batched (T, 8, 8) linear algebra that XLA fuses and that
+  later drops into a Pallas kernel,
+* fixed iteration caps with convergence masks (`lax.while_loop`) so the whole
+  solve jits and `vmap`s over scenario batches,
+* dtype-polymorphic: f32 on TPU, f64 under the CPU oracle tests.
+
+The reference cold-starts every cycle and re-tapes its AD graph per solve
+(quirk Q9); here the compiled program is reused and `u_init` enables
+warm starting (shift of the previous solution) as an explicit improvement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MPCParams, SolverConfig
+from ..models import diff_drive as dd
+from ..models.costs import total_cost, stage_expansion_aug
+from .boxqp import solve_boxqp_2d
+from .types import SolveResult
+
+_S = dd.AUG_STATE_DIM   # 8
+_M = dd.CONTROL_DIM     # 2
+
+
+def _rollout_aug(z0, us, coeffs, dt):
+    """Augmented-state rollout: returns ss (T+1, 8) with s = (z, prev_u)."""
+    s0 = jnp.concatenate([z0, jnp.zeros((_M,), z0.dtype)])
+
+    def body(s, u):
+        s_next = dd.aug_step(s, u, coeffs, dt)
+        return s_next, s_next
+
+    _, ss = jax.lax.scan(body, s0, us)
+    return jnp.concatenate([s0[None], ss], axis=0)
+
+
+def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt):
+    """Per-stage Jacobians and exact cost quadratics along a trajectory."""
+    T = us.shape[0]
+    rate_on = jnp.concatenate(
+        [jnp.zeros((1,), ss.dtype), jnp.ones((T - 1,), ss.dtype)]
+    )
+    A, B = jax.vmap(lambda s, u: dd.aug_step_jacobians(s, u, coeffs, dt))(
+        ss[:-1], us
+    )
+    l_s, l_u, l_ss, l_uu, l_us = jax.vmap(
+        lambda s, u, r: stage_expansion_aug(s, u, r, p)
+    )(ss[:-1], us, rate_on)
+    return A, B, l_s, l_u, l_ss, l_uu, l_us
+
+
+def _terminal_expansion(s_T, p: MPCParams):
+    """Gradient/Hessian of the terminal tracking cost (exact, closed form)."""
+    dtype = s_T.dtype
+    wz = jnp.zeros((_S,), dtype)
+    wz = wz.at[dd.V].set(jnp.asarray(p.w_vel, dtype))
+    wz = wz.at[dd.CTE].set(jnp.asarray(p.w_cte, dtype))
+    wz = wz.at[dd.ETHETA].set(jnp.asarray(p.w_etheta, dtype))
+    ref = jnp.zeros((_S,), dtype)
+    ref = ref.at[dd.V].set(jnp.asarray(p.ref_vel, dtype))
+    ref = ref.at[dd.CTE].set(jnp.asarray(p.ref_cte, dtype))
+    ref = ref.at[dd.ETHETA].set(jnp.asarray(p.ref_etheta, dtype))
+    V_s = 2.0 * wz * (s_T - ref)
+    V_ss = jnp.diag(2.0 * wz)
+    return V_s, V_ss
+
+
+def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
+                  us, lb, ub, mu):
+    """Control-limited Riccati recursion (sequential `lax.scan`, reverse).
+
+    Returns feedforwards k (T,2), feedbacks K (T,2,8), expected-improvement
+    terms (dV1, dV2), and the max projected-gradient norm over stages.
+    """
+
+    def step(carry, inp):
+        Vs, Vss = carry
+        A_t, B_t, ls_t, lu_t, lss_t, luu_t, lus_t, u_t = inp
+
+        Q_s = ls_t + A_t.T @ Vs
+        Q_u = lu_t + B_t.T @ Vs
+        Q_ss = lss_t + A_t.T @ Vss @ A_t
+        Q_us = lus_t + B_t.T @ Vss @ A_t
+        Q_uu = luu_t + B_t.T @ Vss @ B_t
+        Q_uu = 0.5 * (Q_uu + Q_uu.T)
+        Q_uu_reg = Q_uu + mu * jnp.eye(_M, dtype=A_t.dtype)
+
+        lbd = lb - u_t
+        ubd = ub - u_t
+        k, free, M = solve_boxqp_2d(Q_uu_reg, Q_u, lbd, ubd)
+        K = jnp.linalg.solve(M, -(free[:, None] * Q_us))
+
+        Vs_new = Q_s + K.T @ Q_uu @ k + K.T @ Q_u + Q_us.T @ k
+        Vss_new = Q_ss + K.T @ Q_uu @ K + K.T @ Q_us + Q_us.T @ K
+        Vss_new = 0.5 * (Vss_new + Vss_new.T)
+
+        dV1 = k @ Q_u
+        dV2 = 0.5 * k @ Q_uu @ k
+        # Projected gradient: zero when the KKT conditions hold on the box.
+        pg = jnp.max(jnp.abs(u_t - jnp.clip(u_t - Q_u, lb, ub)))
+        return (Vs_new, Vss_new), (k, K, dV1, dV2, pg)
+
+    (_, _), (ks, Ks, dV1s, dV2s, pgs) = jax.lax.scan(
+        step, (V_s, V_ss), (A, B, l_s, l_u, l_ss, l_uu, l_us, us), reverse=True
+    )
+    return ks, Ks, jnp.sum(dV1s), jnp.sum(dV2s), jnp.max(pgs)
+
+
+def forward_pass(ss_bar, us_bar, ks, Ks, alpha, z0, coeffs, p: MPCParams,
+                 dt, lb, ub):
+    """Closed-loop rollout of the updated policy with control clamping."""
+    s0 = jnp.concatenate([z0, jnp.zeros((_M,), z0.dtype)])
+
+    def body(s, inp):
+        s_b, u_b, k, K = inp
+        u = u_b + alpha * k + K @ (s - s_b)
+        u = jnp.clip(u, lb, ub)
+        s_next = dd.aug_step(s, u, coeffs, dt)
+        return s_next, (s_next, u)
+
+    _, (ss_tail, us_new) = jax.lax.scan(body, s0, (ss_bar[:-1], us_bar, ks, Ks))
+    ss_new = jnp.concatenate([s0[None], ss_tail], axis=0)
+    zs_new = ss_new[:, : dd.STATE_DIM]
+    cost = total_cost(zs_new, us_new, p)
+    return ss_new, us_new, cost
+
+
+def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
+          cfg: SolverConfig, u_init: Optional[jnp.ndarray] = None) -> SolveResult:
+    """Solve one NMPC problem. z0: (6,), coeffs: (poly_order+1,).
+
+    Cold start (u_init=None) rolls the plant under zero controls — the
+    feasible analog of the reference's zero initialization
+    (/root/reference/mpc_ros/src/mpc_planner.cpp:288-300).
+    """
+    dtype = z0.dtype
+    T = cfg.n_controls
+    dt = jnp.asarray(p.dt, dtype)
+    lb = jnp.stack([-jnp.asarray(p.max_angvel, dtype),
+                    -jnp.asarray(p.max_throttle, dtype)])
+    ub = -lb
+
+    if u_init is None:
+        us0 = jnp.zeros((T, _M), dtype)
+    else:
+        us0 = jnp.clip(jnp.asarray(u_init, dtype), lb, ub)
+    ss0 = _rollout_aug(z0, us0, coeffs, dt)
+    cost0 = total_cost(ss0[:, : dd.STATE_DIM], us0, p)
+
+    tol_grad = jnp.asarray(cfg.tol_grad, dtype)
+    tol_cost = jnp.asarray(cfg.tol_cost, dtype)
+    mu_min = jnp.asarray(cfg.mu_init, dtype)
+    mu_max = jnp.asarray(cfg.mu_max, dtype)
+    mu_factor = jnp.asarray(cfg.mu_factor, dtype)
+
+    def cond(state):
+        _, _, _, mu, it, done, _, _ = state
+        return jnp.logical_and(it < cfg.max_sqp_iters, jnp.logical_not(done))
+
+    def body(state):
+        ss, us, cost, mu, it, done, gnorm, n_small = state
+        A, B, l_s, l_u, l_ss, l_uu, l_us = _linearize_and_expand(
+            ss, us, coeffs, p, dt
+        )
+        V_s, V_ss = _terminal_expansion(ss[-1], p)
+        ks, Ks, dV1, dV2, pg = backward_pass(
+            A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
+        )
+
+        # Backtracking line search: accept the first alpha with a cost
+        # decrease; fixed halving schedule keeps everything jit-friendly.
+        def ls_cond(ls_state):
+            j, accepted, *_ = ls_state
+            return jnp.logical_and(j < cfg.ls_iters, jnp.logical_not(accepted))
+
+        def ls_body(ls_state):
+            j, _, _, _, _ = ls_state
+            alpha = jnp.asarray(0.5, dtype) ** j
+            ss_n, us_n, cost_n = forward_pass(
+                ss, us, ks, Ks, alpha, z0, coeffs, p, dt, lb, ub
+            )
+            ok = cost_n < cost
+            return (j + 1, ok, ss_n, us_n, cost_n)
+
+        jj, accepted, ss_n, us_n, cost_n = jax.lax.while_loop(
+            ls_cond, ls_body, (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                               ss, us, cost)
+        )
+
+        ss2 = jnp.where(accepted, ss_n, ss)
+        us2 = jnp.where(accepted, us_n, us)
+        cost2 = jnp.where(accepted, cost_n, cost)
+        mu2 = jnp.where(accepted, jnp.maximum(mu / mu_factor, mu_min),
+                        jnp.minimum(mu * mu_factor, mu_max))
+
+        # Convergence is gradient-driven (the KKT measure); the cost-based
+        # stop only fires after two consecutive negligible decreases, so a
+        # single flat line search near the optimum doesn't end the solve
+        # while the projected gradient is still loose.
+        small_step = jnp.logical_and(
+            accepted, jnp.abs(cost - cost2) <= tol_cost * (1.0 + jnp.abs(cost))
+        )
+        n_small2 = jnp.where(small_step, n_small + 1, 0)
+        converged = jnp.logical_or(pg < tol_grad, n_small2 >= 2)
+        stalled = jnp.logical_and(jnp.logical_not(accepted), mu2 >= mu_max)
+        done2 = jnp.logical_or(converged, stalled)
+        return (ss2, us2, cost2, mu2, it + 1, done2, pg, n_small2)
+
+    init = (ss0, us0, cost0, mu_min, jnp.asarray(0, jnp.int32),
+            jnp.asarray(False), jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(0, jnp.int32))
+    ss_f, us_f, cost_f, mu_f, it_f, done_f, gnorm_f, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+    return SolveResult(
+        us=us_f,
+        zs=ss_f[:, : dd.STATE_DIM],
+        cost=cost_f,
+        converged=jnp.logical_and(done_f, gnorm_f < jnp.asarray(1e-4, dtype)),
+        n_iters=it_f,
+        grad_norm=gnorm_f,
+        reg=mu_f,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def solve_jit(z0, coeffs, p: MPCParams, cfg: SolverConfig) -> SolveResult:
+    """Jitted single solve (compiled once per SolverConfig)."""
+    return solve(z0, coeffs, p, cfg)

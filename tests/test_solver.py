@@ -1,0 +1,163 @@
+"""Solver tests: golden NLPs, oracle match, warm start, batching.
+
+The oracle-match tests are the framework's substitute for the reference's
+`CppAD_Ipopt` golden check (/root/reference/assets/document/example/
+CppAD_Ipopt.cpp:88-165): known-solution NLPs verified at tight tolerance,
+plus the headline requirement — TPU solver control sequences within 1e-3 of
+the (Ipopt-equivalent) full-NLP solution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_ros_tpu.config import MPCParams, SolverConfig
+from mpc_ros_tpu.models import diff_drive as dd
+from mpc_ros_tpu.models.costs import total_cost
+from mpc_ros_tpu.solver import ilqr
+from mpc_ros_tpu.solver.oracle import solve_oracle
+
+
+def scenario(seed=0, v0=0.3, curve=0.2):
+    """A representative tracking scenario: robot slightly off a curved path."""
+    coeffs = np.array([0.05, -0.1, curve, -0.02])
+    cte = coeffs[0]
+    etheta = float(np.arctan(coeffs[1]))
+    z0 = np.array([0.0, 0.0, 0.0, v0, cte, etheta])
+    return z0, coeffs
+
+
+def params64():
+    return MPCParams(
+        dt=0.1, ref_vel=0.5, w_cte=100.0, w_etheta=100.0, w_vel=100.0,
+        w_angvel=100.0, w_accel=50.0, w_angvel_d=10.0, w_accel_d=10.0,
+        max_angvel=1.0, max_throttle=1.0,
+    ).astype(jnp.float64)
+
+
+def test_solver_decreases_cost_and_converges():
+    z0, coeffs = scenario()
+    p = params64()
+    cfg = SolverConfig(n_steps=10)
+    res = ilqr.solve(jnp.asarray(z0), jnp.asarray(coeffs), p, cfg)
+    us0 = jnp.zeros((cfg.n_controls, 2))
+    zs0 = dd.rollout(jnp.asarray(z0), us0, jnp.asarray(coeffs), p.dt)
+    assert float(res.cost) < float(total_cost(zs0, us0, p))
+    assert bool(res.converged)
+    assert float(res.grad_norm) < 1e-6
+
+
+def test_solution_is_dynamically_feasible():
+    z0, coeffs = scenario()
+    p = params64()
+    cfg = SolverConfig(n_steps=10)
+    res = ilqr.solve(jnp.asarray(z0), jnp.asarray(coeffs), p, cfg)
+    zs_roll = dd.rollout(jnp.asarray(z0), res.us, jnp.asarray(coeffs), p.dt)
+    np.testing.assert_allclose(np.asarray(res.zs), np.asarray(zs_roll), atol=1e-12)
+    # controls respect the box
+    assert float(jnp.max(jnp.abs(res.us[:, 0]))) <= float(p.max_angvel) + 1e-12
+    assert float(jnp.max(jnp.abs(res.us[:, 1]))) <= float(p.max_throttle) + 1e-12
+
+
+@pytest.mark.parametrize("n_steps", [10, 30])
+def test_matches_ipopt_oracle(n_steps):
+    """Headline: control sequence within 1e-3 of the full-NLP optimum."""
+    z0, coeffs = scenario()
+    p = params64()
+    cfg = SolverConfig(n_steps=n_steps, max_sqp_iters=200, tol_grad=1e-10)
+    res = ilqr.solve(jnp.asarray(z0), jnp.asarray(coeffs), p, cfg)
+    orc = solve_oracle(z0, coeffs, p, cfg)
+    assert orc.success, orc.status
+    assert orc.kkt_violation < 1e-7
+    dev = np.max(np.abs(np.asarray(res.us) - orc.us))
+    assert dev < 1e-3, f"control deviation vs oracle: {dev}"
+    np.testing.assert_allclose(float(res.cost), orc.cost, rtol=1e-5)
+
+
+def test_matches_oracle_with_active_box_constraints():
+    """Saturated case: tight omega bound forces an active control constraint."""
+    z0, coeffs = scenario(curve=0.6)
+    z0[4] = 0.5   # large cte -> aggressive correction -> saturation
+    p = MPCParams(
+        dt=0.1, ref_vel=0.8, w_cte=500.0, w_etheta=100.0, w_vel=100.0,
+        w_angvel=10.0, w_accel=10.0, w_angvel_d=1.0, w_accel_d=1.0,
+        max_angvel=0.3, max_throttle=0.5,
+    ).astype(jnp.float64)
+    cfg = SolverConfig(n_steps=12, max_sqp_iters=300, tol_grad=1e-10)
+    res = ilqr.solve(jnp.asarray(z0), jnp.asarray(coeffs), p, cfg)
+    # solver must actually saturate
+    assert float(jnp.max(jnp.abs(res.us[:, 0]))) > 0.3 - 1e-6
+    orc = solve_oracle(z0, coeffs, p, cfg)
+    assert orc.success, orc.status
+    dev = np.max(np.abs(np.asarray(res.us) - orc.us))
+    assert dev < 1e-3, f"control deviation vs oracle (saturated): {dev}"
+
+
+def test_warm_start_reduces_iterations():
+    z0, coeffs = scenario()
+    p = params64()
+    cfg = SolverConfig(n_steps=20)
+    res_cold = ilqr.solve(jnp.asarray(z0), jnp.asarray(coeffs), p, cfg)
+    # shifted previous solution as warm start (the reference never did this
+    # — quirk Q9 — it is the TPU design's free win)
+    u_shift = jnp.concatenate([res_cold.us[1:], res_cold.us[-1:]])
+    res_warm = ilqr.solve(jnp.asarray(z0), jnp.asarray(coeffs), p, cfg,
+                          u_init=u_shift)
+    assert int(res_warm.n_iters) <= int(res_cold.n_iters)
+    np.testing.assert_allclose(float(res_warm.cost), float(res_cold.cost),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_vmap_batch_consistency():
+    """Batched solves must equal per-scenario solves (batch-vs-single)."""
+    p = params64()
+    cfg = SolverConfig(n_steps=10)
+    rng = np.random.default_rng(7)
+    B = 8
+    z0s = np.zeros((B, 6))
+    z0s[:, 3] = 0.3
+    z0s[:, 4] = rng.normal(size=B) * 0.3
+    z0s[:, 5] = rng.normal(size=B) * 0.2
+    coeffs = rng.normal(size=(B, 4)) * np.array([0.1, 0.2, 0.1, 0.02])
+    batched = jax.vmap(lambda z, c: ilqr.solve(z, c, p, cfg))(
+        jnp.asarray(z0s), jnp.asarray(coeffs)
+    )
+    for i in range(B):
+        single = ilqr.solve(jnp.asarray(z0s[i]), jnp.asarray(coeffs[i]), p, cfg)
+        np.testing.assert_allclose(
+            np.asarray(batched.us[i]), np.asarray(single.us), atol=1e-8
+        )
+
+
+def test_f32_close_to_f64():
+    z0, coeffs = scenario()
+    p64 = params64()
+    cfg = SolverConfig(n_steps=10)
+    res64 = ilqr.solve(jnp.asarray(z0), jnp.asarray(coeffs), p64, cfg)
+    p32 = p64.astype(jnp.float32)
+    res32 = ilqr.solve(jnp.asarray(z0, jnp.float32),
+                       jnp.asarray(coeffs, jnp.float32), p32, cfg)
+    assert res32.us.dtype == jnp.float32
+    dev = np.max(np.abs(np.asarray(res32.us) - np.asarray(res64.us)))
+    assert dev < 5e-3, f"f32 vs f64 control deviation: {dev}"
+
+
+def test_oracle_golden_hs071_analog():
+    """Sanity-check the oracle machinery itself on a tiny golden NLP with a
+    known solution (pattern of the reference's CppAD_Ipopt example)."""
+    from scipy.optimize import minimize, NonlinearConstraint, Bounds
+
+    # min x1*x4*(x1+x2+x3) + x3  s.t. prod >= 25, sum sq = 40, 1<=x<=5
+    f = lambda x: x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2]
+    res = minimize(
+        f, [1.0, 5.0, 5.0, 1.0],
+        bounds=Bounds(np.ones(4), np.full(4, 5.0)),
+        constraints=[
+            NonlinearConstraint(lambda x: x[0] * x[1] * x[2] * x[3], 25.0, np.inf),
+            NonlinearConstraint(lambda x: np.sum(x**2), 40.0, 40.0),
+        ],
+        method="SLSQP", options={"ftol": 1e-12, "maxiter": 200},
+    )
+    want = np.array([1.000000, 4.743000, 3.82115, 1.379408])
+    np.testing.assert_allclose(res.x, want, rtol=1e-5)
