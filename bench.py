@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness — batched NMPC solve throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric (BASELINE.json): NMPC solves/s/chip at the N=30 horizon.
+`vs_baseline` is measured against the north-star target of 10k solves/s on a
+single v5e host (8 chips) => 1250 solves/s/chip. The reference itself solves
+ONE NLP per control cycle with a 0.5 s CPU cap
+(/root/reference/mpc_ros/src/mpc_planner.cpp:368), i.e. its architecture
+offers no batched-throughput number to beat — the target is the explicit
+BASELINE.md goal line.
+
+Usage:
+  python bench.py              # full run (real TPU chip via axon tunnel)
+  python bench.py --quick      # small CPU run for local verification
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small CPU-only run")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--n-steps", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=None,
+                    help="fixed SQP iteration cap for the throughput run")
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from mpc_ros_tpu.config import MPCParams, SolverConfig
+    from mpc_ros_tpu.engine import batch_solve, make_random_scenarios
+
+    batch = args.batch or (256 if args.quick else 4096)
+    n_steps = args.n_steps
+    max_iters = args.iters or 30
+    dev = jax.devices()[0]
+    dtype = jnp.float32
+
+    cfg = SolverConfig(n_steps=n_steps, max_sqp_iters=max_iters,
+                       tol_grad=1e-4 if dtype == jnp.float32 else 1e-7)
+    p = MPCParams().astype(dtype)
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), batch, dtype)
+    z0s = jax.device_put(z0s, dev)
+    coeffs = jax.device_put(coeffs, dev)
+
+    # compile + warm up
+    t0 = time.time()
+    res = batch_solve(z0s, coeffs, p, cfg)
+    res.us.block_until_ready()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        res = batch_solve(z0s, coeffs, p, cfg)
+        res.us.block_until_ready()
+        times.append(time.time() - t0)
+    best = min(times)
+    solves_per_s = batch / best
+
+    conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+    mean_iters = float(jnp.mean(res.n_iters.astype(jnp.float32)))
+
+    # single-solve latency (p50/p99 over repeats) — the real-time budget check
+    z1, c1 = z0s[:1], coeffs[:1]
+    batch_solve(z1, c1, p, cfg).us.block_until_ready()
+    lat = []
+    for _ in range(50):
+        t0 = time.time()
+        batch_solve(z1, c1, p, cfg).us.block_until_ready()
+        lat.append(time.time() - t0)
+    lat = np.asarray(lat)
+
+    target_per_chip = 10000.0 / 8.0  # BASELINE.md: >=10k solves/s on 1 v5e host
+    out = {
+        "metric": f"nmpc_solves_per_s_per_chip_n{n_steps}",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / target_per_chip, 3),
+        "batch": batch,
+        "device": str(dev),
+        "compile_s": round(compile_s, 2),
+        "best_batch_s": round(best, 4),
+        "converged_frac": round(conv, 4),
+        "mean_sqp_iters": round(mean_iters, 2),
+        "p50_single_solve_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+        "p99_single_solve_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

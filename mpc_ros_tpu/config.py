@@ -68,7 +68,7 @@ class SolverConfig:
     n_steps: int = 20          # horizon knots N (reference `mpc_steps`)
     poly_order: int = 3        # reference-path polynomial order (cubic)
     max_sqp_iters: int = 60    # outer SQP/iLQR iteration cap
-    ls_iters: int = 10         # backtracking line-search halvings
+    ls_iters: int = 8          # parallel line-search step sizes (0.5^j)
     tol_grad: float = 1e-7     # projected-gradient convergence threshold
     tol_cost: float = 1e-12    # relative cost-decrease threshold
     mu_init: float = 1e-6      # initial Levenberg regularization

@@ -1,0 +1,74 @@
+"""Batched scenario solving — the single-chip throughput engine.
+
+The reference solves exactly one NLP per control cycle on a CPU
+(/root/reference/mpc_ros/src/mpc_planner.cpp:265). The TPU design's first
+scale axis (SURVEY.md §2.4a) is `vmap` over thousands of independent scenario
+NLPs — initial pose x reference shape x weight draws — so every Riccati
+step becomes a large batched (B, 8, 8) einsum that XLA maps onto the MXU.
+
+Two entry points:
+* `batch_solve`      — shared MPCParams across the batch (control serving).
+* `batch_solve_swept` — per-scenario MPCParams pytree (Monte-Carlo tuning
+  sweeps where weight vectors differ per scenario).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import MPCParams, SolverConfig
+from ..solver import ilqr
+from ..solver.types import SolveResult
+
+Array = Any
+
+
+@struct.dataclass
+class Scenario:
+    """One NMPC problem instance (all leaves batchable)."""
+
+    z0: Array      # (6,) initial state
+    coeffs: Array  # (P,) reference-polynomial coefficients
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def batch_solve(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
+                cfg: SolverConfig,
+                u_init: Optional[jnp.ndarray] = None) -> SolveResult:
+    """Solve B scenarios with shared params. z0s: (B, 6), coeffs: (B, P)."""
+    if u_init is None:
+        return jax.vmap(lambda z, c: ilqr.solve(z, c, p, cfg))(z0s, coeffs)
+    return jax.vmap(lambda z, c, u: ilqr.solve(z, c, p, cfg, u_init=u))(
+        z0s, coeffs, u_init
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def batch_solve_swept(z0s: jnp.ndarray, coeffs: jnp.ndarray,
+                      ps: MPCParams, cfg: SolverConfig) -> SolveResult:
+    """Solve B scenarios with per-scenario params (every MPCParams leaf has
+    a leading batch dimension)."""
+    return jax.vmap(lambda z, c, p: ilqr.solve(z, c, p, cfg))(z0s, coeffs, ps)
+
+
+def make_random_scenarios(key, batch: int, dtype=jnp.float32,
+                          pose_scale: float = 0.3,
+                          curve_scale: float = 0.25):
+    """Random tracking scenarios for benchmarks/sweeps: perturbed initial
+    error states + random cubic reference paths (robot-frame)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    B = batch
+    coeffs = jax.random.normal(k1, (B, 4), dtype) * jnp.asarray(
+        [0.1, 0.2, curve_scale, 0.05], dtype
+    )
+    v0 = jax.random.uniform(k2, (B,), dtype, 0.0, 0.8)
+    cte = coeffs[:, 0] + jax.random.normal(k3, (B,), dtype) * pose_scale * 0.3
+    etheta = jnp.arctan(coeffs[:, 1]) + jax.random.normal(k4, (B,), dtype) * 0.2
+    zeros = jnp.zeros((B,), dtype)
+    z0s = jnp.stack([zeros, zeros, zeros, v0, cte, etheta], axis=-1)
+    return z0s, coeffs

@@ -1,0 +1,78 @@
+"""Sharded scenario sweeps: shard_map over the data axis + psum reductions.
+
+Design constraint carried over from the reference (SURVEY.md §5.8): the
+per-cycle control path never blocks on cross-device communication — only the
+batched sweep path does collectives, and those are pure reductions (`psum`)
+over ICI after embarrassingly-parallel per-scenario solves.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import PartitionSpec as P
+
+from ..config import MPCParams, SolverConfig
+from ..solver import ilqr
+from ..solver.types import SolveResult
+from .mesh import DATA_AXIS
+
+Array = Any
+
+
+@struct.dataclass
+class SweepStats:
+    """Globally-reduced sweep statistics (one value per sweep, all devices)."""
+
+    mean_cost: Array
+    max_cost: Array
+    converged_frac: Array
+    mean_iters: Array
+    mean_abs_omega0: Array
+    mean_abs_accel0: Array
+
+
+def _local_solve_and_stats(z0s, coeffs, p, cfg):
+    res = jax.vmap(lambda z, c: ilqr.solve(z, c, p, cfg))(z0s, coeffs)
+    n_local = z0s.shape[0]
+    n_global = jax.lax.psum(jnp.asarray(n_local, z0s.dtype), DATA_AXIS)
+    psum = lambda x: jax.lax.psum(x, DATA_AXIS)
+    stats = SweepStats(
+        mean_cost=psum(jnp.sum(res.cost)) / n_global,
+        max_cost=jax.lax.pmax(jnp.max(res.cost), DATA_AXIS),
+        converged_frac=psum(jnp.sum(res.converged.astype(z0s.dtype))) / n_global,
+        mean_iters=psum(jnp.sum(res.n_iters.astype(z0s.dtype))) / n_global,
+        mean_abs_omega0=psum(jnp.sum(jnp.abs(res.us[:, 0, 0]))) / n_global,
+        mean_abs_accel0=psum(jnp.sum(jnp.abs(res.us[:, 0, 1]))) / n_global,
+    )
+    return res, stats
+
+
+def sharded_sweep(mesh, z0s: jnp.ndarray, coeffs: jnp.ndarray,
+                  p: MPCParams, cfg: SolverConfig) -> tuple[SolveResult, SweepStats]:
+    """Solve a scenario batch sharded over the mesh's data axis.
+
+    Per-scenario results stay sharded (no gather of the big arrays);
+    statistics are psum-reduced over ICI and come back replicated.
+    """
+    fn = jax.shard_map(
+        functools.partial(_local_solve_and_stats, p=p, cfg=cfg),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(
+            SolveResult(us=P(DATA_AXIS), zs=P(DATA_AXIS), cost=P(DATA_AXIS),
+                        converged=P(DATA_AXIS), n_iters=P(DATA_AXIS),
+                        grad_norm=P(DATA_AXIS), reg=P(DATA_AXIS)),
+            SweepStats(mean_cost=P(), max_cost=P(), converged_frac=P(),
+                       mean_iters=P(), mean_abs_omega0=P(),
+                       mean_abs_accel0=P()),
+        ),
+        # the solver body is shard-agnostic (pure per-scenario math); skip
+        # varying-manual-axes tracking of its internal scan carries
+        check_vma=False,
+    )
+    return jax.jit(fn)(z0s, coeffs)

@@ -26,13 +26,32 @@ _AT_LO = jnp.asarray([[1.0 if s == 1 else 0.0 for s in c] for c in _COMBOS])
 _AT_HI = jnp.asarray([[1.0 if s == 2 else 0.0 for s in c] for c in _COMBOS])
 
 
+def inv2(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of (..., 2, 2) matrices (adjugate / det).
+
+    XLA lowers `jnp.linalg.solve` on tiny systems to generic batched LU —
+    pathologically slow inside a TPU scan body. Every 2x2 solve in the hot
+    Riccati path goes through this instead (pure VPU arithmetic).
+    """
+    a = M[..., 0, 0]
+    b = M[..., 0, 1]
+    c = M[..., 1, 0]
+    d = M[..., 1, 1]
+    det = a * d - b * c
+    inv = jnp.stack(
+        [jnp.stack([d, -b], axis=-1), jnp.stack([-c, a], axis=-1)], axis=-2
+    )
+    return inv / det[..., None, None]
+
+
 def solve_boxqp_2d(Q: jnp.ndarray, q: jnp.ndarray,
                    lb: jnp.ndarray, ub: jnp.ndarray):
     """min_d 0.5 d^T Q d + q^T d  s.t. lb <= d <= ub, with Q (2,2) SPD.
 
-    Returns (d, free_mask, M) where `free_mask` is the optimal active set's
-    free-dimension indicator and `M` is the masked system matrix such that
-    gain rows for clamped dims solve to zero:  K = solve(M, -(free * Qus)).
+    Returns (d, free_mask, Minv) where `free_mask` is the optimal active
+    set's free-dimension indicator and `Minv` is the inverse of the masked
+    system matrix, such that gain rows for clamped dims come out zero:
+    K = Minv @ (-(free * Qus)).
     """
     dtype = Q.dtype
     nc = len(_COMBOS)
@@ -46,7 +65,8 @@ def solve_boxqp_2d(Q: jnp.ndarray, q: jnp.ndarray,
     )
 
     rhs = f * (-(q[None] + jnp.einsum("ij,cj->ci", Q, d_clamp))) + (1.0 - f) * d_clamp
-    d = jnp.linalg.solve(M, rhs[..., None])[..., 0]                  # (9, 2)
+    Minv = inv2(M)                                                   # (9, 2, 2)
+    d = jnp.einsum("cij,cj->ci", Minv, rhs)                          # (9, 2)
     lam = q[None] + jnp.einsum("ij,cj->ci", Q, d)                    # (9, 2)
 
     # KKT violations: free dims must stay inside the box; at-lower dims need
@@ -61,4 +81,4 @@ def solve_boxqp_2d(Q: jnp.ndarray, q: jnp.ndarray,
     # penalty per clamped dim keeps the selection deterministic.
     viol = viol + 1e-12 * jnp.sum(1.0 - f, axis=-1)
     best = jnp.argmin(viol)
-    return d[best], f[best], M[best]
+    return d[best], f[best], Minv[best]

@@ -105,8 +105,8 @@ def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
 
         lbd = lb - u_t
         ubd = ub - u_t
-        k, free, M = solve_boxqp_2d(Q_uu_reg, Q_u, lbd, ubd)
-        K = jnp.linalg.solve(M, -(free[:, None] * Q_us))
+        k, free, Minv = solve_boxqp_2d(Q_uu_reg, Q_u, lbd, ubd)
+        K = Minv @ (-(free[:, None] * Q_us))
 
         Vs_new = Q_s + K.T @ Q_uu @ k + K.T @ Q_u + Q_us.T @ k
         Vss_new = Q_ss + K.T @ Q_uu @ K + K.T @ Q_us + Q_us.T @ K
@@ -124,23 +124,37 @@ def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
     return ks, Ks, jnp.sum(dV1s), jnp.sum(dV2s), jnp.max(pgs)
 
 
-def forward_pass(ss_bar, us_bar, ks, Ks, alpha, z0, coeffs, p: MPCParams,
-                 dt, lb, ub):
-    """Closed-loop rollout of the updated policy with control clamping."""
+def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
+                             p: MPCParams, dt, lb, ub):
+    """Closed-loop rollouts for ALL candidate step sizes in ONE scan.
+
+    A sequential backtracking line search costs up-to-`ls_iters` rollout
+    scans, and under `vmap` the whole batch pays the max trip count of any
+    lane. Evaluating the K alphas simultaneously (carry (K, 8)) keeps one
+    scan per SQP iteration: K times the FLOPs — which the TPU has to spare —
+    for 1/K-th the sequential steps.
+
+    Returns ss (K, T+1, 8), us (K, T, 2), costs (K,).
+    """
+    K_ls = alphas.shape[0]
     s0 = jnp.concatenate([z0, jnp.zeros((_M,), z0.dtype)])
+    s0_all = jnp.broadcast_to(s0, (K_ls, _S))
 
-    def body(s, inp):
-        s_b, u_b, k, K = inp
-        u = u_b + alpha * k + K @ (s - s_b)
-        u = jnp.clip(u, lb, ub)
-        s_next = dd.aug_step(s, u, coeffs, dt)
-        return s_next, (s_next, u)
+    def body(s_all, inp):
+        s_b, u_b, k, Kg = inp
+        u_all = u_b + alphas[:, None] * k + (s_all - s_b) @ Kg.T
+        u_all = jnp.clip(u_all, lb, ub)
+        s_next = dd.aug_step(s_all, u_all, coeffs, dt)
+        return s_next, (s_next, u_all)
 
-    _, (ss_tail, us_new) = jax.lax.scan(body, s0, (ss_bar[:-1], us_bar, ks, Ks))
-    ss_new = jnp.concatenate([s0[None], ss_tail], axis=0)
-    zs_new = ss_new[:, : dd.STATE_DIM]
-    cost = total_cost(zs_new, us_new, p)
-    return ss_new, us_new, cost
+    _, (ss_tail, us_new) = jax.lax.scan(body, s0_all, (ss_bar[:-1], us_bar, ks, Ks))
+    ss_new = jnp.concatenate([s0_all[None], ss_tail], axis=0)   # (T+1, K, 8)
+    ss_new = jnp.swapaxes(ss_new, 0, 1)                          # (K, T+1, 8)
+    us_new = jnp.swapaxes(us_new, 0, 1)                          # (K, T, 2)
+    costs = jax.vmap(lambda zs, us: total_cost(zs, us, p))(
+        ss_new[:, :, : dd.STATE_DIM], us_new
+    )
+    return ss_new, us_new, costs
 
 
 def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
@@ -166,17 +180,20 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     cost0 = total_cost(ss0[:, : dd.STATE_DIM], us0, p)
 
     tol_grad = jnp.asarray(cfg.tol_grad, dtype)
-    tol_cost = jnp.asarray(cfg.tol_cost, dtype)
+    # relative cost tolerance can't be tighter than the dtype resolves
+    tol_cost = jnp.asarray(
+        max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps)), dtype
+    )
     mu_min = jnp.asarray(cfg.mu_init, dtype)
     mu_max = jnp.asarray(cfg.mu_max, dtype)
     mu_factor = jnp.asarray(cfg.mu_factor, dtype)
 
     def cond(state):
-        _, _, _, mu, it, done, _, _ = state
+        _, _, _, mu, it, done, _, _, _ = state
         return jnp.logical_and(it < cfg.max_sqp_iters, jnp.logical_not(done))
 
     def body(state):
-        ss, us, cost, mu, it, done, gnorm, n_small = state
+        ss, us, cost, mu, it, done, gnorm, n_small, _ = state
         A, B, l_s, l_u, l_ss, l_uu, l_us = _linearize_and_expand(
             ss, us, coeffs, p, dt
         )
@@ -184,26 +201,29 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         ks, Ks, dV1, dV2, pg = backward_pass(
             A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
         )
+        # Expected full-step improvement -(dV1 + dV2); when the model predicts
+        # no meaningful decrease we are at a (numerical) optimum — the
+        # standard iLQR stop, and the one that matters in f32 where strict
+        # line-search decreases drown in roundoff near convergence.
+        pred_decrease = -(dV1 + dV2)
+        tiny_model = pred_decrease <= tol_cost * (1.0 + jnp.abs(cost))
 
-        # Backtracking line search: accept the first alpha with a cost
-        # decrease; fixed halving schedule keeps everything jit-friendly.
-        def ls_cond(ls_state):
-            j, accepted, *_ = ls_state
-            return jnp.logical_and(j < cfg.ls_iters, jnp.logical_not(accepted))
-
-        def ls_body(ls_state):
-            j, _, _, _, _ = ls_state
-            alpha = jnp.asarray(0.5, dtype) ** j
-            ss_n, us_n, cost_n = forward_pass(
-                ss, us, ks, Ks, alpha, z0, coeffs, p, dt, lb, ub
-            )
-            ok = cost_n < cost
-            return (j + 1, ok, ss_n, us_n, cost_n)
-
-        jj, accepted, ss_n, us_n, cost_n = jax.lax.while_loop(
-            ls_cond, ls_body, (jnp.asarray(0, jnp.int32), jnp.asarray(False),
-                               ss, us, cost)
+        # Parallel-in-alpha line search: largest step size with a cost
+        # decrease wins (identical accept rule to sequential backtracking,
+        # evaluated in one rollout scan).
+        alphas = jnp.asarray(0.5, dtype) ** jnp.arange(cfg.ls_iters, dtype=dtype)
+        ss_all, us_all, costs_all = forward_pass_multi_alpha(
+            ss, us, ks, Ks, alphas, z0, coeffs, p, dt, lb, ub
         )
+        improved = costs_all < cost
+        accepted = jnp.any(improved)
+        # first (largest-alpha) improving candidate
+        pick = jnp.argmin(
+            jnp.where(improved, jnp.arange(cfg.ls_iters), cfg.ls_iters + 1)
+        )
+        ss_n = ss_all[pick]
+        us_n = us_all[pick]
+        cost_n = costs_all[pick]
 
         ss2 = jnp.where(accepted, ss_n, ss)
         us2 = jnp.where(accepted, us_n, us)
@@ -219,22 +239,23 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             accepted, jnp.abs(cost - cost2) <= tol_cost * (1.0 + jnp.abs(cost))
         )
         n_small2 = jnp.where(small_step, n_small + 1, 0)
-        converged = jnp.logical_or(pg < tol_grad, n_small2 >= 2)
+        converged = jnp.logical_or(
+            jnp.logical_or(pg < tol_grad, n_small2 >= 2), tiny_model
+        )
         stalled = jnp.logical_and(jnp.logical_not(accepted), mu2 >= mu_max)
         done2 = jnp.logical_or(converged, stalled)
-        return (ss2, us2, cost2, mu2, it + 1, done2, pg, n_small2)
+        return (ss2, us2, cost2, mu2, it + 1, done2, pg, n_small2, converged)
 
     init = (ss0, us0, cost0, mu_min, jnp.asarray(0, jnp.int32),
             jnp.asarray(False), jnp.asarray(jnp.inf, dtype),
-            jnp.asarray(0, jnp.int32))
-    ss_f, us_f, cost_f, mu_f, it_f, done_f, gnorm_f, _ = jax.lax.while_loop(
-        cond, body, init
-    )
+            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    (ss_f, us_f, cost_f, mu_f, it_f, done_f, gnorm_f, _,
+     conv_f) = jax.lax.while_loop(cond, body, init)
     return SolveResult(
         us=us_f,
         zs=ss_f[:, : dd.STATE_DIM],
         cost=cost_f,
-        converged=jnp.logical_and(done_f, gnorm_f < jnp.asarray(1e-4, dtype)),
+        converged=conv_f,
         n_iters=it_f,
         grad_norm=gnorm_f,
         reg=mu_f,

@@ -1,0 +1,73 @@
+"""Batch engine + sharded sweep tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_ros_tpu.config import MPCParams, SolverConfig
+from mpc_ros_tpu.engine import batch_solve, batch_solve_swept, make_random_scenarios
+from mpc_ros_tpu.parallel import make_mesh, sharded_sweep
+from mpc_ros_tpu.solver import ilqr
+
+
+def test_batch_solve_shapes():
+    key = jax.random.PRNGKey(0)
+    z0s, coeffs = make_random_scenarios(key, 16, dtype=jnp.float64)
+    p = MPCParams().astype(jnp.float64)
+    cfg = SolverConfig(n_steps=10)
+    res = batch_solve(z0s, coeffs, p, cfg)
+    assert res.us.shape == (16, 9, 2)
+    assert res.zs.shape == (16, 10, 6)
+    assert bool(jnp.all(jnp.isfinite(res.cost)))
+    assert float(jnp.mean(res.converged.astype(jnp.float64))) > 0.9
+
+
+def test_swept_params_differ_per_scenario():
+    key = jax.random.PRNGKey(1)
+    B = 4
+    z0s, coeffs = make_random_scenarios(key, B, dtype=jnp.float64)
+    base = MPCParams().astype(jnp.float64)
+    # sweep the cte weight; higher weight must not increase the cte cost term
+    w_cte = jnp.asarray([1.0, 10.0, 100.0, 1000.0], jnp.float64)
+    ps = jax.tree.map(lambda leaf: jnp.broadcast_to(leaf, (B,)), base)
+    ps = ps.replace(w_cte=w_cte)
+    # identical scenario for all four
+    z0s = jnp.broadcast_to(z0s[0], z0s.shape)
+    coeffs = jnp.broadcast_to(coeffs[0], coeffs.shape)
+    res = batch_solve_swept(z0s, coeffs, ps, SolverConfig(n_steps=10))
+    ctes = np.abs(np.asarray(res.zs[:, -1, 4]))  # terminal |cte|
+    # monotone trend: heavier cte weight -> smaller terminal cte
+    assert ctes[3] <= ctes[0] + 1e-9
+
+
+def test_sharded_sweep_matches_unsharded():
+    mesh = make_mesh()  # 8 CPU devices on the data axis
+    key = jax.random.PRNGKey(2)
+    B = 32
+    z0s, coeffs = make_random_scenarios(key, B, dtype=jnp.float64)
+    p = MPCParams().astype(jnp.float64)
+    cfg = SolverConfig(n_steps=10)
+    res_sh, stats = sharded_sweep(mesh, z0s, coeffs, p, cfg)
+    res = batch_solve(z0s, coeffs, p, cfg)
+    np.testing.assert_allclose(np.asarray(res_sh.us), np.asarray(res.us), atol=1e-10)
+    np.testing.assert_allclose(
+        float(stats.mean_cost), float(jnp.mean(res.cost)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(stats.max_cost), float(jnp.max(res.cost)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(stats.converged_frac),
+        float(jnp.mean(res.converged.astype(jnp.float64))), rtol=1e-12
+    )
+
+
+def test_sharded_sweep_deterministic():
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(3)
+    z0s, coeffs = make_random_scenarios(key, 16, dtype=jnp.float64)
+    p = MPCParams().astype(jnp.float64)
+    cfg = SolverConfig(n_steps=10)
+    _, s1 = sharded_sweep(mesh, z0s, coeffs, p, cfg)
+    _, s2 = sharded_sweep(mesh, z0s, coeffs, p, cfg)
+    assert float(s1.mean_cost) == float(s2.mean_cost)

@@ -57,7 +57,7 @@ def test_gain_rows_zero_when_clamped():
     ub = jnp.asarray([1.0, 5.0])
     d, free, M = solve_boxqp_2d(jnp.asarray(Q), jnp.asarray(q), lb, ub)
     Qus = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8)))
-    K = jnp.linalg.solve(M, -(free[:, None] * Qus))
+    K = M @ (-(free[:, None] * Qus))  # M is the returned inverse
     np.testing.assert_allclose(np.asarray(K)[0], np.zeros(8), atol=1e-12)
     # free row solves the reduced system: Q11 K1 = -Qus1
     np.testing.assert_allclose(

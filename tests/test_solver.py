@@ -39,7 +39,8 @@ def params64():
 def test_solver_decreases_cost_and_converges():
     z0, coeffs = scenario()
     p = params64()
-    cfg = SolverConfig(n_steps=10)
+    # tight tolerances: drive the projected gradient itself down
+    cfg = SolverConfig(n_steps=10, tol_grad=1e-8, tol_cost=0.0)
     res = ilqr.solve(jnp.asarray(z0), jnp.asarray(coeffs), p, cfg)
     us0 = jnp.zeros((cfg.n_controls, 2))
     zs0 = dd.rollout(jnp.asarray(z0), us0, jnp.asarray(coeffs), p.dt)
