@@ -74,6 +74,11 @@ class SolverConfig:
     mu_init: float = 1e-6      # initial Levenberg regularization
     mu_factor: float = 10.0    # regularization update factor
     mu_max: float = 1e8        # regularization ceiling
+    # cte/etheta coupling sign: +1.0 = reference-exact (default, FG_eval
+    # parity); -1.0 = the internally-consistent yaw-minus-path convention
+    # (reference quirk Q11 — see models/diff_drive.py docstring; closed-loop
+    # quality is weight-dominated, so parity wins the default)
+    cte_vsin_sign: float = 1.0
 
     @property
     def n_controls(self) -> int:
@@ -128,6 +133,10 @@ class PlannerConfig:
     # one-control-period latency compensation
     # (/root/reference/mpc_ros/src/driving_state.cpp:243-253)
     delay_mode: bool = True
+    # lookahead window [m]: the plan is clipped to this arclength before
+    # fitting (successor of the local-costmap clipping in the reference's
+    # getLocalPlan; a cubic over an unbounded looping course is ill-posed)
+    local_plan_length: float = 4.0
     # plan downsampling: target number of reference segments
     # (the reference divides the path into ~10 segments,
     #  /root/reference/mpc_ros/src/mpc_planner_ros.cpp:374 — with the

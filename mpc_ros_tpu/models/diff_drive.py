@@ -16,6 +16,19 @@ defects (/root/reference/mpc_ros/src/mpc_planner.cpp:208-215):
 Note cte' deliberately uses the *fresh* polynomial error f(x)-y rather than
 propagating cte (reference quirk Q10, kept: it is the behavior spec).
 
+Sign convention (`cte_vsin_sign`): the reference mixes two incompatible
+etheta conventions — `atan(coeffs[1])` initializes etheta as path-minus-yaw
+(/root/reference/mpc_ros/src/driving_state.cpp:212) while the 30%-lookahead
+heuristic overwrites it with yaw-minus-path (:233), and the dynamics couple
+them as `cte' = ... + v sin(etheta) dt` (matching the first) but
+`etheta' = etheta + w dt` (matching the second). With the heuristic active
+(almost always) the cte coupling has the WRONG sign and fights the steering
+on every curve. `cte_vsin_sign=-1.0` implements the evident intent
+consistently for the yaw-minus-path convention; `+1.0` (the default, kept
+for FG_eval parity) reproduces the reference bit-for-bit. Closed-loop
+experiments show tracking quality is dominated by the cost weights, not
+this sign, so parity wins the default. Recorded as quirk Q11 in README.
+
 Analytic Jacobians are provided (and verified against `jax.jacfwd` in tests)
 so the hot batched-linearization path is closed-form — no per-step autodiff
 graph — and maps directly onto a Pallas kernel later.
@@ -37,8 +50,12 @@ CONTROL_DIM = 2
 AUG_STATE_DIM = STATE_DIM + CONTROL_DIM
 
 
-def step(z: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt) -> jnp.ndarray:
-    """One ZOH-Euler step of the error-state kinematics. z:(6,), u:(2,)."""
+def step(z: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt,
+         cte_vsin_sign: float = 1.0) -> jnp.ndarray:
+    """One ZOH-Euler step of the error-state kinematics. z:(6,), u:(2,).
+
+    `cte_vsin_sign` is static (+1.0 = reference-exact, -1.0 = consistent
+    convention; see module docstring)."""
     x, y, theta, v, cte, etheta = (z[..., i] for i in range(6))
     omega = u[..., OMEGA]
     accel = u[..., ACCEL]
@@ -49,14 +66,15 @@ def step(z: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt) -> jnp.ndarray
             y + v * jnp.sin(theta) * dt,
             theta + omega * dt,
             v + accel * dt,
-            (f0 - y) + v * jnp.sin(etheta) * dt,
+            (f0 - y) + cte_vsin_sign * v * jnp.sin(etheta) * dt,
             etheta + omega * dt,
         ],
         axis=-1,
     )
 
 
-def step_jacobians(z: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt):
+def step_jacobians(z: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt,
+                   cte_vsin_sign: float = 1.0):
     """Closed-form (A, B) = (d step/dz, d step/du); shapes (6,6), (6,2)."""
     dtype = z.dtype
     x = z[..., X]
@@ -78,7 +96,8 @@ def step_jacobians(z: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt):
         [zero, one, v * ct * dt, st * dt, zero, zero],           # y'
         [zero, zero, one, zero, zero, zero],                     # theta'
         [zero, zero, zero, one, zero, zero],                     # v'
-        [fp, -one, zero, se * dt, zero, v * ce * dt],            # cte'
+        [fp, -one, zero, cte_vsin_sign * se * dt, zero,
+         cte_vsin_sign * v * ce * dt],                           # cte'
         [zero, zero, zero, zero, zero, one],                     # etheta'
     ]
     A = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
@@ -95,7 +114,8 @@ def step_jacobians(z: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt):
     return A, B
 
 
-def aug_step(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt) -> jnp.ndarray:
+def aug_step(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt,
+             cte_vsin_sign: float = 1.0) -> jnp.ndarray:
     """Augmented-state step: s = (z, prev_u) -> (step(z, u), u).
 
     The augmentation turns the reference's actuator-rate costs
@@ -103,14 +123,15 @@ def aug_step(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt) -> jnp.nda
     /root/reference/mpc_ros/src/mpc_planner.cpp:144-147) into Markov stage
     costs so the problem keeps the Riccati-factorizable structure.
     """
-    z_next = step(s[..., :STATE_DIM], u, coeffs, dt)
+    z_next = step(s[..., :STATE_DIM], u, coeffs, dt, cte_vsin_sign)
     return jnp.concatenate([z_next, u], axis=-1)
 
 
-def aug_step_jacobians(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt):
+def aug_step_jacobians(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt,
+                       cte_vsin_sign: float = 1.0):
     """Closed-form Jacobians of `aug_step`; shapes (8,8), (8,2)."""
     z = s[..., :STATE_DIM]
-    A, B = step_jacobians(z, u, coeffs, dt)
+    A, B = step_jacobians(z, u, coeffs, dt, cte_vsin_sign)
     batch = z.shape[:-1]
     dtype = z.dtype
     zeros_su = jnp.zeros(batch + (STATE_DIM, CONTROL_DIM), dtype)
@@ -129,7 +150,8 @@ def aug_step_jacobians(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt):
     return A_aug, B_aug
 
 
-def rollout(z0: jnp.ndarray, us: jnp.ndarray, coeffs: jnp.ndarray, dt) -> jnp.ndarray:
+def rollout(z0: jnp.ndarray, us: jnp.ndarray, coeffs: jnp.ndarray, dt,
+            cte_vsin_sign: float = 1.0) -> jnp.ndarray:
     """Roll the plant forward: z0 (6,), us (T,2) -> states (T+1, 6).
 
     The kinematic model IS the simulator (SURVEY.md §4): this same function
@@ -138,7 +160,7 @@ def rollout(z0: jnp.ndarray, us: jnp.ndarray, coeffs: jnp.ndarray, dt) -> jnp.nd
     import jax
 
     def body(z, u):
-        z_next = step(z, u, coeffs, dt)
+        z_next = step(z, u, coeffs, dt, cte_vsin_sign)
         return z_next, z_next
 
     _, zs = jax.lax.scan(body, z0, us)

@@ -1,0 +1,239 @@
+"""Planner lifecycle API — the nav_core::BaseLocalPlanner successor.
+
+Mirrors the reference plugin surface
+(/root/reference/mpc_ros/include/mpc_planner_ros.h:72-75):
+
+    initialize / set_plan / compute_velocity_commands / is_goal_reached
+
+with pluggable observability callbacks in place of ROS topics (SURVEY.md
+§7.1-4). Pose and feedback velocity are supplied by the caller (the
+transport shim / simulator) instead of tf+costmap; everything else —
+latched goal tolerances, plan cutoff & downsampling, FSM dispatch, the
+predicted-trajectory record — reproduces the reference behavior, quirk
+fixes documented inline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import MPCParams, PlannerConfig, SolverConfig
+from . import plan_utils
+from .fsm import DrivingState, check_transition, normalize_angle, rotate_command, seed_state
+from .tracking import TrackingController, TrackingDebug
+
+
+@dataclasses.dataclass
+class CycleInfo:
+    """Per-cycle observability record — successor of the 4 ROS Path topics
+    (/root/reference/mpc_ros/src/mpc_planner_ros.cpp:73-76) and the
+    write-only cost accumulators."""
+
+    state: DrivingState
+    cmd: tuple[float, float]
+    local_plan: np.ndarray
+    ref_plan: np.ndarray
+    mpc_trajectory: Optional[np.ndarray]   # (N, 3) x, y, theta in robot frame
+    tracking: Optional[TrackingDebug]
+    solve_time_s: float
+
+
+class MPCPlanner:
+    """TPU-native local planner with the reference's lifecycle semantics."""
+
+    def __init__(self, params: MPCParams = MPCParams(),
+                 solver_cfg: SolverConfig = SolverConfig(),
+                 planner_cfg: PlannerConfig = PlannerConfig(),
+                 dtype=None):
+        import jax.numpy as jnp
+
+        self._initialized = False
+        self.params = params
+        self.solver_cfg = solver_cfg
+        self.planner_cfg = planner_cfg
+        self.dtype = dtype if dtype is not None else jnp.float64
+        self.on_cycle: Optional[Callable[[CycleInfo], None]] = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def initialize(self) -> None:
+        """Bring-up (reference `initialize`,
+        /root/reference/mpc_ros/src/mpc_planner_ros.cpp:38-92): seeds the
+        FSM in ReachedAndIdle and builds the tracking controller."""
+        self.state = DrivingState.REACHED_AND_IDLE
+        self.tracker = TrackingController(self.params, self.solver_cfg,
+                                          self.planner_cfg, self.dtype)
+        self.global_plan: Optional[np.ndarray] = None
+        self.latch_xy = False
+        self.latch_yaw = False
+        self.set_new_goal = False
+        self._initialized = True
+
+    def reconfigure(self, params: MPCParams = None,
+                    planner_cfg: PlannerConfig = None) -> None:
+        """Runtime reconfiguration (successor of dynamic_reconfigure,
+        /root/reference/mpc_ros/src/mpc_planner_ros.cpp:94-120). Numeric
+        solver params hot-reload without recompilation."""
+        if params is not None:
+            self.params = params
+            self.tracker.update_params(params)
+        if planner_cfg is not None:
+            self.planner_cfg = planner_cfg
+            self.tracker.planner_cfg = planner_cfg
+
+    def set_plan(self, plan: np.ndarray, pose: np.ndarray,
+                 feedback_vel: tuple[float, float] = (0.0, 0.0)) -> bool:
+        """New global plan. plan: (M, 3) world waypoints (x, y, yaw); the
+        goal is the final pose (reference `setPlan`,
+        /root/reference/mpc_ros/src/mpc_planner_ros.cpp:134-166)."""
+        if not self._initialized:
+            return False
+        plan = np.asarray(plan, float)
+        if plan.ndim != 2 or len(plan) == 0:
+            return False
+        self.global_plan = plan
+        self.set_new_goal = True
+        self.tracker.reset()
+
+        cut = plan_utils.cutoff_plan(plan, np.asarray(pose[:2]))
+        below = self._below_heading_error(pose, cut)
+        self.state = seed_state(
+            position_reached=self._is_position_reached(pose),
+            below_heading_error=below,
+        )
+        return True
+
+    # -- queries -----------------------------------------------------------
+
+    @property
+    def goal(self) -> Optional[np.ndarray]:
+        if self.global_plan is None or len(self.global_plan) == 0:
+            return None
+        return self.global_plan[-1]
+
+    def _is_position_reached(self, pose: np.ndarray) -> bool:
+        """Latched xy tolerance (reference `isPositionReached`,
+        /root/reference/mpc_ros/src/mpc_planner_ros.cpp:181-196)."""
+        goal = self.goal
+        if goal is None:
+            return False
+        within = (np.hypot(pose[0] - goal[0], pose[1] - goal[1])
+                  <= self.planner_cfg.limits.xy_goal_tolerance)
+        if not self.set_new_goal and self.latch_xy:
+            return True
+        self.set_new_goal = False
+        self.latch_xy = bool(within)
+        return self.latch_xy
+
+    def _is_orientation_reached(self, pose: np.ndarray,
+                                feedback_vel: tuple[float, float]) -> bool:
+        """Yaw tolerance + stopped check, latching yaw (reference
+        /root/reference/mpc_ros/src/mpc_planner_ros.cpp:229-251)."""
+        goal = self.goal
+        if goal is None:
+            return False
+        angle = normalize_angle(pose[2] - goal[2])
+        if abs(angle) <= self.planner_cfg.limits.yaw_goal_tolerance:
+            v, w = feedback_vel
+            if (abs(v) <= self.planner_cfg.limits.trans_stopped_vel
+                    and abs(w) <= self.planner_cfg.limits.theta_stopped_vel):
+                self.latch_yaw = True
+                return True
+        return False
+
+    def _below_heading_error(self, pose: np.ndarray,
+                             cutoff: np.ndarray) -> bool:
+        """Reference `isBelowErrorTheta`
+        (/root/reference/mpc_ros/src/mpc_planner_ros.cpp:253-264)."""
+        if len(cutoff) == 0:
+            return False
+        path_dir = plan_utils.path_heading(cutoff)
+        err = normalize_angle(pose[2] - path_dir)
+        return abs(err) <= self.planner_cfg.heading_yaw_error_threshold
+
+    def is_goal_reached(self, pose: np.ndarray,
+                        feedback_vel: tuple[float, float]) -> bool:
+        """Termination query (reference `isGoalReached`,
+        /root/reference/mpc_ros/src/mpc_planner_ros.cpp:198-227): both
+        latches set -> consume them and force one more cycle."""
+        if self.goal is None:
+            return False
+        if self.latch_xy and self.latch_yaw:
+            self.latch_xy = False
+            self.latch_yaw = False
+            return False
+        if self._is_position_reached(pose) and self._is_orientation_reached(
+                pose, feedback_vel):
+            self.state = DrivingState.REACHED_AND_IDLE
+            return True
+        return False
+
+    # -- the hot path ------------------------------------------------------
+
+    def compute_velocity_commands(self, pose: np.ndarray,
+                                  feedback_vel: tuple[float, float]
+                                  ) -> tuple[bool, tuple[float, float], CycleInfo]:
+        """One control cycle (reference `computeVelocityCommands`,
+        /root/reference/mpc_ros/src/mpc_planner_ros.cpp:397-448).
+
+        Returns (ok, (v, w), info)."""
+        t0 = time.perf_counter()
+        pose = np.asarray(pose, float)
+        if not self._initialized or self.global_plan is None:
+            return False, (0.0, 0.0), None
+
+        cut = plan_utils.cutoff_plan(self.global_plan, pose[:2])
+        if len(cut) == 0:
+            return False, (0.0, 0.0), None
+        # keep the pruned plan as the live global plan (reference prunes via
+        # LocalPlannerUtil each cycle)
+        self.global_plan = cut
+        # local lookahead window (the costmap-extent clipping analog)
+        cut = plan_utils.truncate_by_length(
+            cut, self.planner_cfg.local_plan_length)
+
+        position_reached = self._is_position_reached(pose)
+        goal_reached = False
+        below = False
+        if position_reached:
+            goal_reached = self._is_orientation_reached(pose, feedback_vel)
+        else:
+            below = self._below_heading_error(pose, cut)
+        self.state = check_transition(
+            self.state, position_reached=position_reached,
+            goal_reached=goal_reached, below_heading_error=below)
+
+        mpc_traj = None
+        tracking_dbg = None
+        ref_plan = np.zeros((0, cut.shape[1]))
+
+        if self.state is DrivingState.REACHED_AND_IDLE:
+            cmd = (0.0, 0.0)
+        elif self.state is DrivingState.STOP_AND_ROTATE:
+            cmd = rotate_command(pose[2], float(self.goal[2]),
+                                 self.planner_cfg.rotate_p_gain)
+        elif self.state is DrivingState.ROTATE_BEFORE_TRACKING:
+            cmd = rotate_command(pose[2], plan_utils.path_heading(cut),
+                                 self.planner_cfg.rotate_p_gain)
+        else:  # TRACKING
+            ref_plan = plan_utils.downsample_plan(
+                cut, self.planner_cfg.downsample_segments)
+            (v_cmd, w_cmd), tracking_dbg = self.tracker.compute(
+                pose, self.goal, feedback_vel[0], ref_plan)
+            cmd = (v_cmd, w_cmd)
+            if tracking_dbg.solve is not None:
+                zs = np.asarray(tracking_dbg.solve.zs)
+                mpc_traj = zs[:, :3]  # x, y, theta in robot base frame
+
+        info = CycleInfo(
+            state=self.state, cmd=cmd, local_plan=cut, ref_plan=ref_plan,
+            mpc_trajectory=mpc_traj, tracking=tracking_dbg,
+            solve_time_s=time.perf_counter() - t0,
+        )
+        if self.on_cycle is not None:
+            self.on_cycle(info)
+        return True, cmd, info

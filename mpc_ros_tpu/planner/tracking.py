@@ -1,0 +1,189 @@
+"""Tracking controller: error-state extraction + NMPC solve per cycle.
+
+Re-implements the reference Tracking state's `findBestPath` + `deceleration`
+(/root/reference/mpc_ros/src/driving_state.cpp:105-271) around the jitted
+TPU solver:
+
+* world->robot transform of the downsampled reference plan,
+* cubic polyfit, cte = f(0), etheta via the 30%-lookahead path-direction
+  heuristic with the 0->2pi continuity shim,
+* optional delay-mode one-step state prediction (actuation latency
+  compensation),
+* deceleration-based reference-speed scheduling near the goal,
+* speed integration `speed = v + throttle*dt` capped at the scheduled
+  reference speed.
+
+Host-side float64 numpy for the tiny per-cycle path math (polyfit of ~10
+points); the solve itself is the compiled fixed-shape TPU program, reused
+every cycle (the reference re-taped CppAD + recomputed sparsity per solve —
+quirk Q9). Warm starting (shift of the previous solution) is on by default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MPCParams, PlannerConfig, SolverConfig
+from ..solver import ilqr
+from ..solver.types import SolveResult
+from .plan_utils import lookahead_heading
+
+
+@functools.lru_cache(maxsize=None)
+def _warm_solve_jit(cfg: SolverConfig):
+    """Jitted warm-started solve, compiled once per SolverConfig."""
+
+    @jax.jit
+    def f(z0, coeffs, p, u_init):
+        return ilqr.solve(z0, coeffs, p, cfg, u_init=u_init)
+
+    return f
+
+
+@dataclasses.dataclass
+class TrackingDebug:
+    """Per-cycle observability record (successor of the reference's
+    mpc_reference / mpc_trajectory topics + write-only cost accumulators)."""
+
+    coeffs: np.ndarray
+    state: np.ndarray
+    ref_vel: float
+    solve: Optional[SolveResult]
+    cost: float
+
+
+class TrackingController:
+    """Owns solver params + cross-cycle actuation state (_w, _speed,
+    _throttle), like the reference's DrivingStateContext
+    (/root/reference/mpc_ros/include/driving_state.h:64-98)."""
+
+    def __init__(self, params: MPCParams, solver_cfg: SolverConfig,
+                 planner_cfg: PlannerConfig, dtype=jnp.float64):
+        self.params = params.astype(dtype)
+        self.solver_cfg = solver_cfg
+        self.planner_cfg = planner_cfg
+        self.dtype = dtype
+        self.w = 0.0
+        self.speed = 0.0
+        self.throttle = 1.0
+        self.ref_vel = float(params.ref_vel)
+        self._warm_us: Optional[np.ndarray] = None
+
+    def reset(self) -> None:
+        self.w = 0.0
+        self.speed = 0.0
+        self.throttle = 1.0
+        self.ref_vel = float(self.params.ref_vel)
+        self._warm_us = None
+
+    def update_params(self, params: MPCParams) -> None:
+        """Hot-reload solver weights (no recompilation: params are traced)."""
+        self.params = params.astype(self.dtype)
+        self.ref_vel = float(params.ref_vel)
+
+    def scheduled_ref_vel(self, pose: np.ndarray, goal: np.ndarray,
+                          v: float) -> float:
+        """Deceleration scheduling
+        (/root/reference/mpc_ros/src/driving_state.cpp:121-141): inside the
+        braking distance v^2/max_throttle, scale the reference speed with
+        distance-to-goal, clamped to [min_speed, max_speed]."""
+        dist = float(np.hypot(pose[0] - goal[0], pose[1] - goal[1]))
+        max_thr = float(self.params.max_throttle)
+        if dist <= v * v / max_thr:
+            return float(np.clip(max_thr * dist,
+                                 self.planner_cfg.min_speed,
+                                 self.planner_cfg.max_speed))
+        return self.ref_vel
+
+    def compute(self, pose: np.ndarray, goal: np.ndarray,
+                feedback_v: float, ref_plan: np.ndarray):
+        """One Tracking cycle. pose: (x, y, yaw); ref_plan: (M, >=2) world
+        waypoints (downsampled). Returns ((v_cmd, w_cmd), TrackingDebug)."""
+        if len(ref_plan) == 0:
+            # reference quirk Q1 applied the stale command anyway; here the
+            # failure is explicit: hold the previous command, flag no solve
+            return (self.speed, self.w), TrackingDebug(
+                coeffs=np.zeros(self.solver_cfg.n_coeffs),
+                state=np.zeros(6), ref_vel=self.ref_vel, solve=None,
+                cost=float("nan"))
+
+        px, py, theta = float(pose[0]), float(pose[1]), float(pose[2])
+        v = float(feedback_v)
+        dt = float(self.params.dt)
+
+        ref_vel_eff = self.scheduled_ref_vel(pose, goal, v)
+
+        # world -> robot frame (driving_state.cpp:196-207)
+        ct, st = np.cos(theta), np.sin(theta)
+        dx = ref_plan[:, 0] - px
+        dy = ref_plan[:, 1] - py
+        x_veh = dx * ct + dy * st
+        y_veh = dy * ct - dx * st
+
+        # cubic fit; guard the reference's `order <= n-1` assert by degree
+        # reduction on very short plans
+        order = min(self.solver_cfg.poly_order, len(ref_plan) - 1)
+        c = np.polyfit(x_veh, y_veh, order)[::-1]
+        coeffs = np.zeros(self.solver_cfg.n_coeffs)
+        coeffs[: len(c)] = c
+
+        cte = float(np.polyval(coeffs[::-1], 0.0))
+        etheta = float(np.arctan(coeffs[1]))
+
+        # 30%-lookahead path direction + continuity shim
+        # (driving_state.cpp:214-235)
+        traj_deg, valid = lookahead_heading(ref_plan)
+        temp_theta = theta
+        if temp_theta <= -np.pi + traj_deg:
+            temp_theta += 2.0 * np.pi
+        if valid and (temp_theta - traj_deg) < 1.8 * np.pi:
+            etheta = temp_theta - traj_deg
+        else:
+            etheta = 0.0
+
+        # delay-mode one-step prediction (driving_state.cpp:243-253). Under
+        # the consistent convention (quirk Q11, cte_vsin_sign=-1) the cte and
+        # etheta updates follow the corrected model; with +1 they reproduce
+        # the reference formulas bit-for-bit.
+        if self.planner_cfg.delay_mode:
+            sign = self.solver_cfg.cte_vsin_sign
+            px_act = v * dt
+            py_act = 0.0
+            theta_act = self.w * dt
+            v_act = v + self.throttle * dt
+            cte_act = cte + sign * v * np.sin(etheta) * dt
+            etheta_act = etheta - sign * theta_act
+            state = np.array([px_act, py_act, theta_act, v_act, cte_act,
+                              etheta_act])
+        else:
+            state = np.array([0.0, 0.0, 0.0, v, cte, etheta])
+
+        p = self.params.replace(ref_vel=jnp.asarray(ref_vel_eff, self.dtype))
+        z0 = jnp.asarray(state, self.dtype)
+        cj = jnp.asarray(coeffs, self.dtype)
+        if self._warm_us is None:
+            res = ilqr.solve_jit(z0, cj, p, self.solver_cfg)
+        else:
+            # shift of the previous optimum — the warm start the reference
+            # never had (quirk Q9)
+            u_init = jnp.asarray(
+                np.concatenate([self._warm_us[1:], self._warm_us[-1:]]),
+                self.dtype)
+            res = _warm_solve_jit(self.solver_cfg)(z0, cj, p, u_init)
+        us = np.asarray(res.us)
+        self._warm_us = us
+
+        self.w = float(us[0, 0])
+        self.throttle = float(us[0, 1])
+        self.speed = min(v + self.throttle * dt, ref_vel_eff)
+
+        dbg = TrackingDebug(coeffs=coeffs, state=state, ref_vel=ref_vel_eff,
+                            solve=res, cost=float(res.cost))
+        return (self.speed, self.w), dbg

@@ -1,0 +1,16 @@
+from .shapes import infinity, epitrochoid, square, get_shape, SHAPES
+from .simulator import UnicyclePlant, run_closed_loop, ClosedLoopResult
+from .logger import write_tracking_csv, read_tracking_csv
+
+__all__ = [
+    "infinity",
+    "epitrochoid",
+    "square",
+    "get_shape",
+    "SHAPES",
+    "UnicyclePlant",
+    "run_closed_loop",
+    "ClosedLoopResult",
+    "write_tracking_csv",
+    "read_tracking_csv",
+]

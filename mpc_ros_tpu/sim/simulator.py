@@ -1,0 +1,126 @@
+"""Kinematic closed-loop simulator — the Gazebo replacement.
+
+"The kinematic model IS the simulator" (SURVEY.md §4): the plant rolls the
+same differential-drive unicycle the solver optimizes, so closed-loop tests
+isolate controller behavior from modeling error. Commands are (v, w) exactly
+as the reference's `cmd_vel` twist.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..planner.planner import MPCPlanner, CycleInfo
+
+
+@dataclasses.dataclass
+class UnicyclePlant:
+    """Differential-drive kinematics: pose integrates commanded (v, w)."""
+
+    pose: np.ndarray          # (3,) x, y, yaw
+    dt: float = 0.1
+    v: float = 0.0
+    w: float = 0.0
+
+    def step(self, v_cmd: float, w_cmd: float) -> np.ndarray:
+        self.v = float(v_cmd)
+        self.w = float(w_cmd)
+        x, y, yaw = self.pose
+        self.pose = np.array([
+            x + self.v * np.cos(yaw) * self.dt,
+            y + self.v * np.sin(yaw) * self.dt,
+            yaw + self.w * self.dt,
+        ])
+        return self.pose
+
+    @property
+    def feedback_vel(self) -> tuple[float, float]:
+        return self.v, self.w
+
+
+@dataclasses.dataclass
+class ClosedLoopResult:
+    records: np.ndarray       # (n, 5): idx, cte, etheta, v_cmd, w_cmd
+    poses: np.ndarray         # (n, 3)
+    states: list              # per-cycle DrivingState
+    reached: bool
+    n_cycles: int
+    wall_time_s: float
+    course_time_s: float      # n_cycles * dt
+
+    @property
+    def mean_abs_cte(self) -> float:
+        return float(np.mean(np.abs(self.records[:, 1])))
+
+    @property
+    def max_abs_cte(self) -> float:
+        return float(np.max(np.abs(self.records[:, 1])))
+
+
+def run_closed_loop(planner: MPCPlanner, plan: np.ndarray,
+                    start_pose: Optional[np.ndarray] = None,
+                    max_cycles: int = 5000,
+                    log_path: Optional[str] = None) -> ClosedLoopResult:
+    """Drive the plant with the planner until the goal is reached.
+
+    Logs per-cycle (idx, cte, etheta, v_cmd, w_cmd) in the schema of the
+    reference benchmark CSVs (/root/reference/assets/mpc.csv:1) — cte and
+    etheta are the solver's error-state inputs, exactly what the reference
+    tooling recorded.
+    """
+    dt = float(planner.params.dt)
+    if start_pose is None:
+        start_pose = plan[0].copy()
+    plant = UnicyclePlant(pose=np.asarray(start_pose, float), dt=dt)
+
+    planner.initialize()
+    assert planner.set_plan(plan, plant.pose, plant.feedback_vel)
+
+    records = []
+    poses = []
+    states = []
+    reached = False
+    t_start = time.perf_counter()
+    cycle = 0
+    for cycle in range(1, max_cycles + 1):
+        if planner.is_goal_reached(plant.pose, plant.feedback_vel):
+            reached = True
+            break
+        ok, (v_cmd, w_cmd), info = planner.compute_velocity_commands(
+            plant.pose, plant.feedback_vel)
+        if not ok:
+            break
+        if info.tracking is not None and info.tracking.solve is not None:
+            cte = float(info.tracking.state[4])
+            etheta = float(info.tracking.state[5])
+        else:
+            # outside Tracking, log the geometric cross-track error to the
+            # nearest plan point (the reference logged whatever the last
+            # solver cycle had; a geometric value is strictly more honest)
+            d = np.hypot(plan[:, 0] - plant.pose[0], plan[:, 1] - plant.pose[1])
+            cte = float(np.min(d))
+            etheta = 0.0
+        records.append([cycle, cte, etheta, v_cmd, w_cmd])
+        states.append(info.state)
+        poses.append(plant.pose.copy())
+        plant.step(v_cmd, w_cmd)
+
+    wall = time.perf_counter() - t_start
+    result = ClosedLoopResult(
+        records=np.asarray(records) if records else np.zeros((0, 5)),
+        poses=np.asarray(poses) if poses else np.zeros((0, 3)),
+        states=states,
+        reached=reached,
+        n_cycles=cycle,
+        wall_time_s=wall,
+        course_time_s=cycle * dt,
+    )
+    if log_path is not None:
+        from .logger import write_tracking_csv
+
+        write_tracking_csv(log_path, result.records, result.course_time_s)
+    return result

@@ -40,25 +40,25 @@ _S = dd.AUG_STATE_DIM   # 8
 _M = dd.CONTROL_DIM     # 2
 
 
-def _rollout_aug(z0, us, coeffs, dt):
+def _rollout_aug(z0, us, coeffs, dt, sign):
     """Augmented-state rollout: returns ss (T+1, 8) with s = (z, prev_u)."""
     s0 = jnp.concatenate([z0, jnp.zeros((_M,), z0.dtype)])
 
     def body(s, u):
-        s_next = dd.aug_step(s, u, coeffs, dt)
+        s_next = dd.aug_step(s, u, coeffs, dt, sign)
         return s_next, s_next
 
     _, ss = jax.lax.scan(body, s0, us)
     return jnp.concatenate([s0[None], ss], axis=0)
 
 
-def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt):
+def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign):
     """Per-stage Jacobians and exact cost quadratics along a trajectory."""
     T = us.shape[0]
     rate_on = jnp.concatenate(
         [jnp.zeros((1,), ss.dtype), jnp.ones((T - 1,), ss.dtype)]
     )
-    A, B = jax.vmap(lambda s, u: dd.aug_step_jacobians(s, u, coeffs, dt))(
+    A, B = jax.vmap(lambda s, u: dd.aug_step_jacobians(s, u, coeffs, dt, sign))(
         ss[:-1], us
     )
     l_s, l_u, l_ss, l_uu, l_us = jax.vmap(
@@ -125,7 +125,7 @@ def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
 
 
 def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
-                             p: MPCParams, dt, lb, ub):
+                             p: MPCParams, dt, lb, ub, sign):
     """Closed-loop rollouts for ALL candidate step sizes in ONE scan.
 
     A sequential backtracking line search costs up-to-`ls_iters` rollout
@@ -144,7 +144,7 @@ def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
         s_b, u_b, k, Kg = inp
         u_all = u_b + alphas[:, None] * k + (s_all - s_b) @ Kg.T
         u_all = jnp.clip(u_all, lb, ub)
-        s_next = dd.aug_step(s_all, u_all, coeffs, dt)
+        s_next = dd.aug_step(s_all, u_all, coeffs, dt, sign)
         return s_next, (s_next, u_all)
 
     _, (ss_tail, us_new) = jax.lax.scan(body, s0_all, (ss_bar[:-1], us_bar, ks, Ks))
@@ -176,7 +176,8 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         us0 = jnp.zeros((T, _M), dtype)
     else:
         us0 = jnp.clip(jnp.asarray(u_init, dtype), lb, ub)
-    ss0 = _rollout_aug(z0, us0, coeffs, dt)
+    sign = cfg.cte_vsin_sign
+    ss0 = _rollout_aug(z0, us0, coeffs, dt, sign)
     cost0 = total_cost(ss0[:, : dd.STATE_DIM], us0, p)
 
     tol_grad = jnp.asarray(cfg.tol_grad, dtype)
@@ -195,7 +196,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     def body(state):
         ss, us, cost, mu, it, done, gnorm, n_small, _ = state
         A, B, l_s, l_u, l_ss, l_uu, l_us = _linearize_and_expand(
-            ss, us, coeffs, p, dt
+            ss, us, coeffs, p, dt, sign
         )
         V_s, V_ss = _terminal_expansion(ss[-1], p)
         ks, Ks, dV1, dV2, pg = backward_pass(
@@ -213,7 +214,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # evaluated in one rollout scan).
         alphas = jnp.asarray(0.5, dtype) ** jnp.arange(cfg.ls_iters, dtype=dtype)
         ss_all, us_all, costs_all = forward_pass_multi_alpha(
-            ss, us, ks, Ks, alphas, z0, coeffs, p, dt, lb, ub
+            ss, us, ks, Ks, alphas, z0, coeffs, p, dt, lb, ub, sign
         )
         improved = costs_all < cost
         accepted = jnp.any(improved)

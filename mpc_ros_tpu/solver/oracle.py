@@ -40,7 +40,8 @@ class OracleResult:
     kkt_violation: float  # max |dynamics defect| at the solution
 
 
-def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int):
+def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int,
+                 cte_vsin_sign: float = 1.0):
     """Objective/constraints on the flat reference-layout vector (jax f64)."""
     import jax
     import jax.numpy as jnp
@@ -67,7 +68,8 @@ def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int):
         zs, us = unpack(v)
         # per-block initial rows followed by the N-1 defects of that block,
         # matching fg[1 + block_start + {0, 1+i}] in FG_eval
-        preds = jax.vmap(lambda z, u: dd.step(z, u, coeffs, dt))(zs[:-1], us)
+        preds = jax.vmap(lambda z, u: dd.step(z, u, coeffs, dt,
+                                              cte_vsin_sign))(zs[:-1], us)
         defects = zs[1:] - preds                       # (N-1, 6)
         rows = [jnp.concatenate([zs[0, j:j + 1], defects[:, j]]) for j in range(6)]
         return jnp.concatenate(rows)
@@ -90,7 +92,8 @@ def solve_oracle(z0: np.ndarray, coeffs: np.ndarray, p: MPCParams,
     n_vars = cfg.n_vars
     z0 = np.asarray(z0, np.float64)
 
-    obj, grad, con, jac = _build_funcs(np.asarray(coeffs), p, N)
+    obj, grad, con, jac = _build_funcs(np.asarray(coeffs), p, N,
+                                       cfg.cte_vsin_sign)
 
     # cold start: zeros + initial state write-in
     v0 = np.zeros(n_vars)

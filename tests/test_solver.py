@@ -43,7 +43,8 @@ def test_solver_decreases_cost_and_converges():
     cfg = SolverConfig(n_steps=10, tol_grad=1e-8, tol_cost=0.0)
     res = ilqr.solve(jnp.asarray(z0), jnp.asarray(coeffs), p, cfg)
     us0 = jnp.zeros((cfg.n_controls, 2))
-    zs0 = dd.rollout(jnp.asarray(z0), us0, jnp.asarray(coeffs), p.dt)
+    zs0 = dd.rollout(jnp.asarray(z0), us0, jnp.asarray(coeffs), p.dt,
+                     cfg.cte_vsin_sign)
     assert float(res.cost) < float(total_cost(zs0, us0, p))
     assert bool(res.converged)
     assert float(res.grad_norm) < 1e-6
@@ -54,7 +55,8 @@ def test_solution_is_dynamically_feasible():
     p = params64()
     cfg = SolverConfig(n_steps=10)
     res = ilqr.solve(jnp.asarray(z0), jnp.asarray(coeffs), p, cfg)
-    zs_roll = dd.rollout(jnp.asarray(z0), res.us, jnp.asarray(coeffs), p.dt)
+    zs_roll = dd.rollout(jnp.asarray(z0), res.us, jnp.asarray(coeffs), p.dt,
+                         cfg.cte_vsin_sign)
     np.testing.assert_allclose(np.asarray(res.zs), np.asarray(zs_roll), atol=1e-12)
     # controls respect the box
     assert float(jnp.max(jnp.abs(res.us[:, 0]))) <= float(p.max_angvel) + 1e-12
