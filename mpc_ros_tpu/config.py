@@ -74,6 +74,10 @@ class SolverConfig:
     mu_init: float = 1e-6      # initial Levenberg regularization
     mu_factor: float = 10.0    # regularization update factor
     mu_max: float = 1e8        # regularization ceiling
+    # horizon-parallel backward pass: O(log N) associative-scan Riccati
+    # (solver/riccati.py) instead of the O(N) sequential scan — exact while
+    # control bounds are inactive; opt in for long horizons
+    horizon_parallel: bool = False
     # cte/etheta coupling sign: +1.0 = reference-exact (default, FG_eval
     # parity); -1.0 = the internally-consistent yaw-minus-path convention
     # (reference quirk Q11 — see models/diff_drive.py docstring; closed-loop

@@ -14,7 +14,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from flax import struct
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import MPCParams, SolverConfig
 from ..solver import ilqr
@@ -50,6 +50,27 @@ def _local_solve_and_stats(z0s, coeffs, p, cfg):
         mean_abs_accel0=psum(jnp.sum(jnp.abs(res.us[:, 0, 1]))) / n_global,
     )
     return res, stats
+
+
+def time_sharded_riccati(mesh, A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss):
+    """Batched horizon-parallel Riccati with BOTH axes sharded: scenario
+    batch over `data`, horizon over `time`.
+
+    The associative scan (solver/riccati.py) runs over the time-sharded
+    axis; XLA GSPMD inserts the inter-device collectives (the block-scan
+    prefix exchange) along ICI. Inputs: A,B,l_* have shape (batch, T, ...);
+    V_s, V_ss are per-batch terminal expansions (batch, ...).
+    """
+    from ..solver.riccati import parallel_gains
+    from .mesh import DATA_AXIS, TIME_AXIS
+
+    bt = NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS))
+    b_only = NamedSharding(mesh, P(DATA_AXIS))
+    fn = jax.jit(
+        jax.vmap(parallel_gains),
+        in_shardings=(bt, bt, bt, bt, bt, bt, bt, b_only, b_only),
+    )
+    return fn(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss)
 
 
 def sharded_sweep(mesh, z0s: jnp.ndarray, coeffs: jnp.ndarray,

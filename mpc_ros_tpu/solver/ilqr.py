@@ -124,6 +124,43 @@ def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
     return ks, Ks, jnp.sum(dV1s), jnp.sum(dV2s), jnp.max(pgs)
 
 
+def backward_pass_parallel(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
+                           us, lb, ub, mu):
+    """Horizon-parallel backward pass: O(log T) associative-scan Riccati
+    (solver/riccati.py) for the value functions, then every stage's box-QP
+    solved simultaneously under `vmap`.
+
+    Exactly equivalent to the sequential pass while the box bounds are
+    inactive; under saturation the value functions ignore the clamping
+    (the sequential pass folds it in), so the default stays sequential and
+    this path is opt-in for long horizons (SolverConfig.horizon_parallel).
+    """
+    from .riccati import parallel_value_functions
+
+    dtype = A.dtype
+    l_uu_reg = l_uu + mu * jnp.eye(_M, dtype=dtype)[None]
+    Ps, ps = parallel_value_functions(
+        A, B, l_s, l_u, l_ss, l_uu_reg, l_us, V_s, V_ss)
+    P_next = Ps[1:]
+    p_next = ps[1:]
+    Bt = jnp.swapaxes(B, -1, -2)
+    Q_u = l_u + jnp.einsum("tmn,tn->tm", Bt, p_next)
+    Q_uu = l_uu_reg + Bt @ P_next @ B
+    Q_uu = 0.5 * (Q_uu + jnp.swapaxes(Q_uu, -1, -2))
+    Q_us = l_us + Bt @ P_next @ A
+
+    def stage_qp(Quu_t, Qu_t, Qus_t, u_t):
+        k, free, Minv = solve_boxqp_2d(Quu_t, Qu_t, lb - u_t, ub - u_t)
+        K = Minv @ (-(free[:, None] * Qus_t))
+        return k, K
+
+    ks, Ks = jax.vmap(stage_qp)(Q_uu, Q_u, Q_us, us)
+    dV1 = jnp.sum(jnp.einsum("tm,tm->t", ks, Q_u))
+    dV2 = 0.5 * jnp.sum(jnp.einsum("tm,tmk,tk->t", ks, Q_uu, ks))
+    pg = jnp.max(jnp.abs(us - jnp.clip(us - Q_u, lb, ub)))
+    return ks, Ks, dV1, dV2, pg
+
+
 def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
                              p: MPCParams, dt, lb, ub, sign):
     """Closed-loop rollouts for ALL candidate step sizes in ONE scan.
@@ -199,7 +236,8 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             ss, us, coeffs, p, dt, sign
         )
         V_s, V_ss = _terminal_expansion(ss[-1], p)
-        ks, Ks, dV1, dV2, pg = backward_pass(
+        bp = backward_pass_parallel if cfg.horizon_parallel else backward_pass
+        ks, Ks, dV1, dV2, pg = bp(
             A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
         )
         # Expected full-step improvement -(dV1 + dV2); when the model predicts
