@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=None,
                     help="fixed SQP iteration cap for the throughput run")
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--obstacles", action="store_true",
+                    help="add per-scenario costmap obstacle penalty terms")
     args = ap.parse_args()
 
     import jax
@@ -59,16 +61,35 @@ def main() -> None:
     z0s = jax.device_put(z0s, dev)
     coeffs = jax.device_put(coeffs, dev)
 
+    if args.obstacles:
+        from mpc_ros_tpu.models.obstacles import gaussian_blob_map
+        from mpc_ros_tpu.solver import ilqr
+        import functools
+
+        centers = jax.random.uniform(jax.random.PRNGKey(1), (batch, 2),
+                                     dtype, 0.3, 1.2)
+        omaps = jax.vmap(lambda c: gaussian_blob_map(
+            (c[0], c[1]), sigma=0.3, weight=100.0, dtype=dtype))(centers)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def run(z0s, coeffs, p, omaps, cfg):
+            return jax.vmap(lambda z, c, m: ilqr.solve(z, c, p, cfg, omap=m))(
+                z0s, coeffs, omaps)
+
+        solve_fn = lambda: run(z0s, coeffs, p, omaps, cfg)
+    else:
+        solve_fn = lambda: batch_solve(z0s, coeffs, p, cfg)
+
     # compile + warm up
     t0 = time.time()
-    res = batch_solve(z0s, coeffs, p, cfg)
+    res = solve_fn()
     res.us.block_until_ready()
     compile_s = time.time() - t0
 
     times = []
     for _ in range(args.repeats):
         t0 = time.time()
-        res = batch_solve(z0s, coeffs, p, cfg)
+        res = solve_fn()
         res.us.block_until_ready()
         times.append(time.time() - t0)
     best = min(times)
@@ -88,8 +109,9 @@ def main() -> None:
     lat = np.asarray(lat)
 
     target_per_chip = 10000.0 / 8.0  # BASELINE.md: >=10k solves/s on 1 v5e host
+    suffix = "_obstacles" if args.obstacles else ""
     out = {
-        "metric": f"nmpc_solves_per_s_per_chip_n{n_steps}",
+        "metric": f"nmpc_solves_per_s_per_chip_n{n_steps}{suffix}",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / target_per_chip, 3),

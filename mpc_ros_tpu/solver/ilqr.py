@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..config import MPCParams, SolverConfig
 from ..models import diff_drive as dd
 from ..models.costs import total_cost, stage_expansion_aug
+from ..models.obstacles import ObstacleMap, obstacle_cost, obstacle_grad_xy
 from .boxqp import solve_boxqp_2d
 from .types import SolveResult
 
@@ -52,8 +53,12 @@ def _rollout_aug(z0, us, coeffs, dt, sign):
     return jnp.concatenate([s0[None], ss], axis=0)
 
 
-def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign):
-    """Per-stage Jacobians and exact cost quadratics along a trajectory."""
+def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign, omap=None):
+    """Per-stage Jacobians and exact cost quadratics along a trajectory.
+
+    With an ObstacleMap, the costmap penalty's analytic (x, y) gradient is
+    folded into l_s (first-order; curvature is covered by the Levenberg
+    regularizer)."""
     T = us.shape[0]
     rate_on = jnp.concatenate(
         [jnp.zeros((1,), ss.dtype), jnp.ones((T - 1,), ss.dtype)]
@@ -64,11 +69,16 @@ def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign):
     l_s, l_u, l_ss, l_uu, l_us = jax.vmap(
         lambda s, u, r: stage_expansion_aug(s, u, r, p)
     )(ss[:-1], us, rate_on)
+    if omap is not None:
+        g = obstacle_grad_xy(omap, ss[:-1, :2])              # (T, 2)
+        l_s = l_s.at[:, 0:2].add(g)
     return A, B, l_s, l_u, l_ss, l_uu, l_us
 
 
-def _terminal_expansion(s_T, p: MPCParams):
-    """Gradient/Hessian of the terminal tracking cost (exact, closed form)."""
+def _terminal_expansion(s_T, p: MPCParams, omap=None):
+    """Gradient/Hessian of the terminal tracking cost (exact, closed form;
+    plus the terminal knot's obstacle gradient when an ObstacleMap is set).
+    """
     dtype = s_T.dtype
     wz = jnp.zeros((_S,), dtype)
     wz = wz.at[dd.V].set(jnp.asarray(p.w_vel, dtype))
@@ -80,6 +90,8 @@ def _terminal_expansion(s_T, p: MPCParams):
     ref = ref.at[dd.ETHETA].set(jnp.asarray(p.ref_etheta, dtype))
     V_s = 2.0 * wz * (s_T - ref)
     V_ss = jnp.diag(2.0 * wz)
+    if omap is not None:
+        V_s = V_s.at[0:2].add(obstacle_grad_xy(omap, s_T[:2]))
     return V_s, V_ss
 
 
@@ -162,7 +174,7 @@ def backward_pass_parallel(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
 
 
 def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
-                             p: MPCParams, dt, lb, ub, sign):
+                             p: MPCParams, dt, lb, ub, sign, omap=None):
     """Closed-loop rollouts for ALL candidate step sizes in ONE scan.
 
     A sequential backtracking line search costs up-to-`ls_iters` rollout
@@ -188,15 +200,27 @@ def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
     ss_new = jnp.concatenate([s0_all[None], ss_tail], axis=0)   # (T+1, K, 8)
     ss_new = jnp.swapaxes(ss_new, 0, 1)                          # (K, T+1, 8)
     us_new = jnp.swapaxes(us_new, 0, 1)                          # (K, T, 2)
-    costs = jax.vmap(lambda zs, us: total_cost(zs, us, p))(
+    costs = jax.vmap(lambda zs, us: _traj_cost(zs, us, p, omap))(
         ss_new[:, :, : dd.STATE_DIM], us_new
     )
     return ss_new, us_new, costs
 
 
+def _traj_cost(zs, us, p: MPCParams, omap=None):
+    """FG_eval objective + (optional) costmap penalty over all knots."""
+    J = total_cost(zs, us, p)
+    if omap is not None:
+        J = J + obstacle_cost(omap, zs[:, :2])
+    return J
+
+
 def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
-          cfg: SolverConfig, u_init: Optional[jnp.ndarray] = None) -> SolveResult:
+          cfg: SolverConfig, u_init: Optional[jnp.ndarray] = None,
+          omap: Optional[ObstacleMap] = None) -> SolveResult:
     """Solve one NMPC problem. z0: (6,), coeffs: (poly_order+1,).
+
+    `omap` adds a costmap obstacle penalty over the predicted horizon
+    (absent from the reference NLP; see models/obstacles.py).
 
     Cold start (u_init=None) rolls the plant under zero controls — the
     feasible analog of the reference's zero initialization
@@ -215,7 +239,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         us0 = jnp.clip(jnp.asarray(u_init, dtype), lb, ub)
     sign = cfg.cte_vsin_sign
     ss0 = _rollout_aug(z0, us0, coeffs, dt, sign)
-    cost0 = total_cost(ss0[:, : dd.STATE_DIM], us0, p)
+    cost0 = _traj_cost(ss0[:, : dd.STATE_DIM], us0, p, omap)
 
     tol_grad = jnp.asarray(cfg.tol_grad, dtype)
     # relative cost tolerance can't be tighter than the dtype resolves
@@ -233,9 +257,9 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     def body(state):
         ss, us, cost, mu, it, done, gnorm, n_small, _ = state
         A, B, l_s, l_u, l_ss, l_uu, l_us = _linearize_and_expand(
-            ss, us, coeffs, p, dt, sign
+            ss, us, coeffs, p, dt, sign, omap
         )
-        V_s, V_ss = _terminal_expansion(ss[-1], p)
+        V_s, V_ss = _terminal_expansion(ss[-1], p, omap)
         bp = backward_pass_parallel if cfg.horizon_parallel else backward_pass
         ks, Ks, dV1, dV2, pg = bp(
             A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
@@ -252,7 +276,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # evaluated in one rollout scan).
         alphas = jnp.asarray(0.5, dtype) ** jnp.arange(cfg.ls_iters, dtype=dtype)
         ss_all, us_all, costs_all = forward_pass_multi_alpha(
-            ss, us, ks, Ks, alphas, z0, coeffs, p, dt, lb, ub, sign
+            ss, us, ks, Ks, alphas, z0, coeffs, p, dt, lb, ub, sign, omap
         )
         improved = costs_all < cost
         accepted = jnp.any(improved)
