@@ -1,0 +1,180 @@
+"""ctypes bindings for the native runtime (runtime.cc).
+
+Auto-builds `libmpcrt.so` with g++ on first import if missing/stale (the
+image has no pybind11; plain C ABI + ctypes keeps the binding surface
+trivial). All classes are also usable as context managers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "runtime.cc")
+_SO = os.path.join(_DIR, "libmpcrt.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC],
+        check=True, capture_output=True,
+    )
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        # topics
+        lib.topic_create.restype = ctypes.c_void_p
+        lib.topic_create.argtypes = [ctypes.c_uint32]
+        lib.topic_destroy.argtypes = [ctypes.c_void_p]
+        lib.topic_publish.restype = ctypes.c_int
+        lib.topic_publish.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_uint32]
+        lib.topic_read.restype = ctypes.c_int
+        lib.topic_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_uint32]
+        lib.topic_publish_count.restype = ctypes.c_uint64
+        lib.topic_publish_count.argtypes = [ctypes.c_void_p]
+        # rate loop
+        lib.rate_create.restype = ctypes.c_void_p
+        lib.rate_create.argtypes = [ctypes.c_int64]
+        lib.rate_destroy.argtypes = [ctypes.c_void_p]
+        lib.rate_sleep.restype = ctypes.c_int64
+        lib.rate_sleep.argtypes = [ctypes.c_void_p]
+        lib.rate_cycles.restype = ctypes.c_uint64
+        lib.rate_cycles.argtypes = [ctypes.c_void_p]
+        lib.rate_overruns.restype = ctypes.c_uint64
+        lib.rate_overruns.argtypes = [ctypes.c_void_p]
+        lib.rate_worst_late_ns.restype = ctypes.c_int64
+        lib.rate_worst_late_ns.argtypes = [ctypes.c_void_p]
+        # csv
+        lib.csv_open.restype = ctypes.c_void_p
+        lib.csv_open.argtypes = [ctypes.c_char_p]
+        lib.csv_row.restype = ctypes.c_int
+        lib.csv_row.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.c_double, ctypes.c_double,
+                                ctypes.c_double, ctypes.c_double]
+        lib.csv_close.restype = ctypes.c_int
+        lib.csv_close.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_int64]
+        _lib = lib
+        return lib
+
+
+class Topic:
+    """Race-free latest-value topic slot (seqlock).
+
+    The in-process successor of a ROS topic for fixed-size payloads; fixes
+    the reference's unsynchronized feedback_vel handoff (SURVEY.md §5.2).
+    """
+
+    def __init__(self, capacity: int = 256):
+        self._lib = get_lib()
+        self._h = self._lib.topic_create(capacity)
+        if not self._h:
+            raise MemoryError("topic_create failed")
+        self.capacity = capacity
+
+    def publish(self, payload: bytes) -> None:
+        buf = ctypes.create_string_buffer(payload, len(payload))
+        rc = self._lib.topic_publish(self._h, buf, len(payload))
+        if rc != 0:
+            raise ValueError("payload exceeds topic capacity")
+
+    def read(self) -> bytes | None:
+        buf = ctypes.create_string_buffer(self.capacity)
+        n = self._lib.topic_read(self._h, buf, self.capacity)
+        if n < 0:
+            raise RuntimeError("topic_read failed")
+        if n == 0:
+            return None
+        return buf.raw[:n]
+
+    @property
+    def publish_count(self) -> int:
+        return int(self._lib.topic_publish_count(self._h))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.topic_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class RateLoop:
+    """Absolute-deadline control-rate pacing with overrun accounting.
+
+    Successor of move_base's controller_frequency loop, with the deadline
+    monitoring the reference lacked (its 0.5 s solver cap silently blows
+    the 0.05/0.1 s period — SURVEY.md §6)."""
+
+    def __init__(self, period_s: float):
+        self._lib = get_lib()
+        self._h = self._lib.rate_create(int(period_s * 1e9))
+        if not self._h:
+            raise MemoryError("rate_create failed")
+        self.period_s = period_s
+
+    def sleep(self) -> float:
+        """Sleep until next deadline; returns the previous cycle's overrun
+        in seconds (0.0 if it met its deadline)."""
+        return self._lib.rate_sleep(self._h) / 1e9
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "cycles": int(self._lib.rate_cycles(self._h)),
+            "overruns": int(self._lib.rate_overruns(self._h)),
+            "worst_late_ms": self._lib.rate_worst_late_ns(self._h) / 1e6,
+        }
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.rate_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class NativeCsvLogger:
+    """Buffered tracking-CSV writer (reference assets/*.csv schema)."""
+
+    def __init__(self, path: str):
+        self._lib = get_lib()
+        self._h = self._lib.csv_open(path.encode())
+        if not self._h:
+            raise OSError(f"cannot open {path}")
+
+    def row(self, idx: int, cte: float, etheta: float, v: float, w: float):
+        self._lib.csv_row(self._h, idx, cte, etheta, v, w)
+
+    def close(self, course_time_s: float) -> int:
+        """Write the tracking-time footer; returns rows written."""
+        if self._h:
+            sec = int(course_time_s)
+            nsec = int(round((course_time_s - sec) * 1e9))
+            rows = self._lib.csv_close(self._h, sec, nsec)
+            self._h = None
+            return rows
+        return 0

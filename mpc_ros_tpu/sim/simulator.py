@@ -51,6 +51,7 @@ class ClosedLoopResult:
     n_cycles: int
     wall_time_s: float
     course_time_s: float      # n_cycles * dt
+    rate_stats: Optional[dict] = None  # realtime mode: overruns/jitter
 
     @property
     def mean_abs_cte(self) -> float:
@@ -64,18 +65,29 @@ class ClosedLoopResult:
 def run_closed_loop(planner: MPCPlanner, plan: np.ndarray,
                     start_pose: Optional[np.ndarray] = None,
                     max_cycles: int = 5000,
-                    log_path: Optional[str] = None) -> ClosedLoopResult:
+                    log_path: Optional[str] = None,
+                    realtime: bool = False) -> ClosedLoopResult:
     """Drive the plant with the planner until the goal is reached.
 
     Logs per-cycle (idx, cte, etheta, v_cmd, w_cmd) in the schema of the
     reference benchmark CSVs (/root/reference/assets/mpc.csv:1) — cte and
     etheta are the solver's error-state inputs, exactly what the reference
     tooling recorded.
+
+    `realtime=True` paces cycles at the control period with the native
+    rate executor (mpc_ros_tpu.native.RateLoop) and reports overrun stats —
+    the deadline monitoring the reference lacks.
     """
     dt = float(planner.params.dt)
     if start_pose is None:
         start_pose = plan[0].copy()
     plant = UnicyclePlant(pose=np.asarray(start_pose, float), dt=dt)
+
+    rate = None
+    if realtime:
+        from ..native import RateLoop
+
+        rate = RateLoop(dt)
 
     planner.initialize()
     assert planner.set_plan(plan, plant.pose, plant.feedback_vel)
@@ -108,8 +120,14 @@ def run_closed_loop(planner: MPCPlanner, plan: np.ndarray,
         states.append(info.state)
         poses.append(plant.pose.copy())
         plant.step(v_cmd, w_cmd)
+        if rate is not None:
+            rate.sleep()
 
     wall = time.perf_counter() - t_start
+    rate_stats = None
+    if rate is not None:
+        rate_stats = rate.stats
+        rate.close()
     result = ClosedLoopResult(
         records=np.asarray(records) if records else np.zeros((0, 5)),
         poses=np.asarray(poses) if poses else np.zeros((0, 3)),
@@ -118,6 +136,7 @@ def run_closed_loop(planner: MPCPlanner, plan: np.ndarray,
         n_cycles=cycle,
         wall_time_s=wall,
         course_time_s=cycle * dt,
+        rate_stats=rate_stats,
     )
     if log_path is not None:
         from .logger import write_tracking_csv

@@ -1,0 +1,119 @@
+"""Native runtime tests: seqlock topics (tear-free under contention),
+rate executor deadlines, CSV logger schema."""
+
+import os
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from mpc_ros_tpu.native import Topic, RateLoop, NativeCsvLogger
+
+
+def test_topic_roundtrip():
+    with Topic(64) as t:
+        assert t.read() is None
+        t.publish(struct.pack("<2d", 0.5, -0.2))
+        v, w = struct.unpack("<2d", t.read())
+        assert (v, w) == (0.5, -0.2)
+        assert t.publish_count == 1
+
+
+def test_topic_capacity_enforced():
+    with Topic(8) as t:
+        with pytest.raises(ValueError):
+            t.publish(b"x" * 9)
+
+
+def test_topic_tear_free_under_contention():
+    """Writer hammers (k, k, ..., k) payloads; reader must NEVER see a mixed
+    payload — the exact race the reference's feedback_vel handoff has."""
+    n_words = 8
+    stop = threading.Event()
+    torn = []
+
+    with Topic(n_words * 8) as t:
+        def writer():
+            k = 0
+            while not stop.is_set():
+                t.publish(struct.pack(f"<{n_words}q", *([k] * n_words)))
+                k += 1
+
+        th = threading.Thread(target=writer)
+        th.start()
+        t_end = time.time() + 1.0
+        reads = 0
+        while time.time() < t_end:
+            raw = t.read()
+            if raw is None:
+                continue
+            vals = struct.unpack(f"<{n_words}q", raw)
+            if len(set(vals)) != 1:
+                torn.append(vals)
+            reads += 1
+        stop.set()
+        th.join()
+    assert reads > 1000
+    assert not torn, f"torn reads observed: {torn[:3]}"
+
+
+def test_rate_loop_paces_and_counts():
+    period = 0.005
+    with RateLoop(period) as r:
+        t0 = time.perf_counter()
+        for _ in range(20):
+            r.sleep()
+        elapsed = time.perf_counter() - t0
+    # 20 periods of 5ms = 100ms; generous upper bound for CI jitter
+    assert elapsed >= 0.095
+    assert r.stats["cycles"] == 20 if r._h else True
+
+
+def test_rate_loop_detects_overrun():
+    with RateLoop(0.005) as r:
+        r.sleep()
+        time.sleep(0.02)  # blow the deadline
+        late = r.sleep()
+        assert late > 0.0
+        assert r.stats["overruns"] >= 1
+        assert r.stats["worst_late_ms"] > 1.0
+
+
+def test_native_csv_matches_reference_schema(tmp_path):
+    from mpc_ros_tpu.sim.logger import read_tracking_csv
+
+    path = str(tmp_path / "native.csv")
+    log = NativeCsvLogger(path)
+    log.row(1, 0.03, 0.01, 0.0, 0.0)
+    log.row(2, 0.01, -0.05, 0.5, -0.18)
+    rows = log.close(12.5)
+    assert rows == 2
+    with open(path) as f:
+        assert f.readline().strip() == \
+            "idx,cte,etheta,cmd_vel.linear.x,cmd_vel.angular.z"
+    rec, course = read_tracking_csv(path)
+    assert rec.shape == (2, 5)
+    np.testing.assert_allclose(course, 12.5, atol=1e-9)
+
+
+def test_realtime_closed_loop_meets_deadlines():
+    """Real-time paced closed loop: solves at dt=0.05 must meet the period
+    (the reference's 0.5 s cap could blow it 10x — SURVEY.md §6)."""
+    import jax.numpy as jnp
+
+    from mpc_ros_tpu.config import MPCParams, PlannerConfig, SolverConfig
+    from mpc_ros_tpu.planner import MPCPlanner
+    from mpc_ros_tpu.sim import infinity, run_closed_loop
+
+    p = MPCParams(dt=0.05, ref_vel=0.5, w_cte=300.0)
+    planner = MPCPlanner(params=p, solver_cfg=SolverConfig(n_steps=10),
+                         planner_cfg=PlannerConfig(local_plan_length=2.0))
+    res = run_closed_loop(planner, infinity(n_points=300), max_cycles=60,
+                          realtime=True)
+    assert res.rate_stats is not None
+    assert res.rate_stats["cycles"] >= 59
+    # after jit warmup the 2ms solve fits the 50ms budget easily; allow the
+    # first-compile cycle to overrun
+    assert res.rate_stats["overruns"] <= 2, res.rate_stats
