@@ -1,3 +1,10 @@
 from .batch import batch_solve, batch_solve_swept, make_random_scenarios, Scenario
+from ..solver.batch_lane import batch_solve_lane
 
-__all__ = ["batch_solve", "batch_solve_swept", "make_random_scenarios", "Scenario"]
+__all__ = [
+    "batch_solve",
+    "batch_solve_swept",
+    "batch_solve_lane",
+    "make_random_scenarios",
+    "Scenario",
+]

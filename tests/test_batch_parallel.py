@@ -71,3 +71,34 @@ def test_sharded_sweep_deterministic():
     _, s1 = sharded_sweep(mesh, z0s, coeffs, p, cfg)
     _, s2 = sharded_sweep(mesh, z0s, coeffs, p, cfg)
     assert float(s1.mean_cost) == float(s2.mean_cost)
+
+
+def test_lane_solver_matches_vmapped():
+    """The lane-major TPU path must agree with the per-scenario solver."""
+    from mpc_ros_tpu.engine import batch_solve_lane
+
+    key = jax.random.PRNGKey(5)
+    z0s, coeffs = make_random_scenarios(key, 32, dtype=jnp.float64)
+    p = MPCParams().astype(jnp.float64)
+    cfg = SolverConfig(n_steps=20)
+    r_ref = batch_solve(z0s, coeffs, p, cfg)
+    r_ln = batch_solve_lane(z0s, coeffs, p, cfg)
+    np.testing.assert_allclose(np.asarray(r_ln.us), np.asarray(r_ref.us),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r_ln.cost), np.asarray(r_ref.cost),
+                               rtol=1e-10)
+    assert bool(jnp.all(r_ln.converged == r_ref.converged))
+
+
+def test_lane_solver_warm_start():
+    from mpc_ros_tpu.engine import batch_solve_lane
+
+    key = jax.random.PRNGKey(6)
+    z0s, coeffs = make_random_scenarios(key, 8, dtype=jnp.float64)
+    p = MPCParams().astype(jnp.float64)
+    cfg = SolverConfig(n_steps=15)
+    cold = batch_solve_lane(z0s, coeffs, p, cfg)
+    warm = batch_solve_lane(z0s, coeffs, p, cfg, u_init=cold.us)
+    assert int(jnp.max(warm.n_iters)) <= int(jnp.max(cold.n_iters))
+    np.testing.assert_allclose(np.asarray(warm.cost), np.asarray(cold.cost),
+                               rtol=1e-6)
