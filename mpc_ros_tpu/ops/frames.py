@@ -8,6 +8,8 @@ Vectorized over waypoints and batchable over scenarios.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 
@@ -35,7 +37,7 @@ def robot_to_world(xr: jnp.ndarray, yr: jnp.ndarray,
     return px + xr * c - yr * s, py + xr * s + yr * c
 
 
-def normalize_angle(angle, amin=-jnp.pi, amax=jnp.pi):
+def normalize_angle(angle, amin=-math.pi, amax=math.pi):
     """Wrap `angle` into [amin, amax) — branchless analog of the reference's
     fmod-based normalizeAngle (/root/reference/mpc_ros/include/driving_state.h:32-40).
     """

@@ -49,13 +49,16 @@ class MPCPlanner:
                  solver_cfg: SolverConfig = SolverConfig(),
                  planner_cfg: PlannerConfig = PlannerConfig(),
                  dtype=None):
+        import jax
         import jax.numpy as jnp
 
         self._initialized = False
         self.params = params
         self.solver_cfg = solver_cfg
         self.planner_cfg = planner_cfg
-        self.dtype = dtype if dtype is not None else jnp.float64
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
         self.on_cycle: Optional[Callable[[CycleInfo], None]] = None
 
     # -- lifecycle ---------------------------------------------------------

@@ -1,0 +1,83 @@
+"""Closed-loop simulation CLI.
+
+Successor of the reference's Gazebo launch workflow
+(`roslaunch mpc_ros ref_trajectory_tracking_gazebo.launch`, absent from the
+fork — SURVEY.md §4.3):
+
+    python -m mpc_ros_tpu.sim.run --shape infinity --log mpc.csv
+
+runs the full planner stack against the built-in kinematic plant and writes
+a tracking CSV in the reference's assets/*.csv schema.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--shape", choices=["infinity", "epitrochoid", "square"],
+                    default="infinity")
+    ap.add_argument("--n-steps", type=int, default=20, help="MPC horizon N")
+    ap.add_argument("--dt", type=float, default=0.1)
+    ap.add_argument("--ref-vel", type=float, default=0.5)
+    ap.add_argument("--w-cte", type=float, default=300.0)
+    ap.add_argument("--max-cycles", type=int, default=3000)
+    ap.add_argument("--log", type=str, default=None, help="tracking CSV path")
+    ap.add_argument("--realtime", action="store_true",
+                    help="pace cycles with the native rate executor")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (skip the TPU tunnel)")
+    args = ap.parse_args()
+
+    import os
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from ..config import MPCParams, PlannerConfig, SolverConfig
+    from ..obs import RunStats
+    from ..planner import MPCPlanner
+    from .shapes import get_shape
+    from .simulator import run_closed_loop
+
+    plan = get_shape(args.shape)
+    p = MPCParams(dt=args.dt, ref_vel=args.ref_vel, max_angvel=1.5,
+                  w_cte=args.w_cte, w_angvel_d=10.0, w_accel_d=10.0)
+    planner = MPCPlanner(params=p,
+                         solver_cfg=SolverConfig(n_steps=args.n_steps),
+                         planner_cfg=PlannerConfig(local_plan_length=2.5))
+    stats = RunStats()
+    planner.on_cycle = stats.record_cycle
+    res = run_closed_loop(planner, plan, max_cycles=args.max_cycles,
+                          log_path=args.log, realtime=args.realtime)
+
+    d = np.array([np.min(np.hypot(plan[:, 0] - q[0], plan[:, 1] - q[1]))
+                  for q in res.poses]) if len(res.poses) else np.zeros(1)
+    out = {
+        "shape": args.shape,
+        "reached": res.reached,
+        "cycles": res.n_cycles,
+        "course_time_s": res.course_time_s,
+        "wall_time_s": round(res.wall_time_s, 2),
+        "mean_abs_cte": round(res.mean_abs_cte, 4) if len(res.records) else None,
+        "geo_err_mean_m": round(float(d.mean()), 4),
+        "geo_err_max_m": round(float(d.max()), 4),
+        **stats.summary(),
+    }
+    if res.rate_stats:
+        out["rate"] = res.rate_stats
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,13 +17,17 @@ from __future__ import annotations
 
 import itertools
 
+import numpy as np
+
 import jax.numpy as jnp
 
 # All (state_dim0, state_dim1) combos; 0=free, 1=at lower, 2=at upper.
+# Tables are numpy at module scope: creating jnp arrays at import time would
+# initialize the default backend before callers can select a platform.
 _COMBOS = list(itertools.product(range(3), repeat=2))
-_FREE = jnp.asarray([[1.0 if s == 0 else 0.0 for s in c] for c in _COMBOS])
-_AT_LO = jnp.asarray([[1.0 if s == 1 else 0.0 for s in c] for c in _COMBOS])
-_AT_HI = jnp.asarray([[1.0 if s == 2 else 0.0 for s in c] for c in _COMBOS])
+_FREE = np.asarray([[1.0 if s == 0 else 0.0 for s in c] for c in _COMBOS])
+_AT_LO = np.asarray([[1.0 if s == 1 else 0.0 for s in c] for c in _COMBOS])
+_AT_HI = np.asarray([[1.0 if s == 2 else 0.0 for s in c] for c in _COMBOS])
 
 
 def inv2(M: jnp.ndarray) -> jnp.ndarray:
@@ -55,8 +59,10 @@ def solve_boxqp_2d(Q: jnp.ndarray, q: jnp.ndarray,
     """
     dtype = Q.dtype
     nc = len(_COMBOS)
-    f = _FREE.astype(dtype)          # (9, 2)
-    d_clamp = _AT_LO.astype(dtype) * lb + _AT_HI.astype(dtype) * ub  # (9, 2)
+    f = jnp.asarray(_FREE, dtype)          # (9, 2)
+    at_lo = jnp.asarray(_AT_LO, dtype)
+    at_hi = jnp.asarray(_AT_HI, dtype)
+    d_clamp = at_lo * lb + at_hi * ub      # (9, 2)
 
     # Masked system: free rows keep Q on free cols; clamped rows become
     # identity rows pinning d to the bound value.
@@ -73,8 +79,8 @@ def solve_boxqp_2d(Q: jnp.ndarray, q: jnp.ndarray,
     # lam >= 0; at-upper dims need lam <= 0.
     viol = jnp.sum(
         f * (jnp.maximum(lb[None] - d, 0.0) + jnp.maximum(d - ub[None], 0.0))
-        + _AT_LO.astype(dtype) * jnp.maximum(-lam, 0.0)
-        + _AT_HI.astype(dtype) * jnp.maximum(lam, 0.0),
+        + at_lo * jnp.maximum(-lam, 0.0)
+        + at_hi * jnp.maximum(lam, 0.0),
         axis=-1,
     )
     # Prefer more-free combos on exact ties (degenerate boundaries): tiny
