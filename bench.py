@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--obstacles", action="store_true",
                     help="add per-scenario costmap obstacle penalty terms")
+    ap.add_argument("--roofline", action="store_true",
+                    help="also print speed-of-light accounting (extra line)")
     ap.add_argument("--engine", choices=["lane", "vmap"], default="lane",
                     help="lane = lane-major batched solver (fast path); "
                          "vmap = per-scenario solver under vmap")
@@ -141,6 +143,15 @@ def main() -> None:
         "p99_single_solve_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
     }
     print(json.dumps(out))
+
+    if args.roofline:
+        from mpc_ros_tpu.kernels import solve_accounting, efficiency
+
+        acct = solve_accounting(batch, n_steps - 1, n_alpha=cfg.ls_iters,
+                                n_iters=mean_iters)
+        acct["measured_ms"] = round(best * 1e3, 2)
+        acct["speed_of_light_frac"] = round(efficiency(best, acct), 4)
+        print(json.dumps(acct))
 
 
 if __name__ == "__main__":

@@ -35,6 +35,11 @@ from .types import SolveResult
 _COMBOS = list(itertools.product(range(3), repeat=2))
 _NC = len(_COMBOS)
 
+# scan unroll factor (1 = plain scan). unroll=4 was measured slightly
+# SLOWER on v5e at T=29/B=4096 (223 vs 199 ms) with much longer compiles;
+# kept as a knob for other shapes.
+_UNROLL = 1
+
 
 def _pl(p: MPCParams, name, dtype):
     return jnp.asarray(getattr(p, name), dtype)
@@ -99,7 +104,7 @@ def _rollout_and_cost(s0, us, coeffs, dt, sign, p, dtype, T):
 
     B = s0.shape[-1]
     init = (s0, jnp.zeros((B,), dtype), jnp.asarray(0, jnp.int32))
-    (s_f, acc, _), ss_tail = jax.lax.scan(body, init, us)
+    (s_f, acc, _), ss_tail = jax.lax.scan(body, init, us, unroll=_UNROLL)
     cost = acc + _state_cost_bl(s_f, p, dtype)
     ss = jnp.concatenate([s0[None], ss_tail], axis=0)
     return ss, cost
@@ -318,7 +323,7 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu):
 
     (_, _), (ks, Ks, dV1s, dV2s, pgs) = jax.lax.scan(
         step, (V_s, V_ss), (A, Bm, l_s, l_u, l_ss, l_uu, l_us, us),
-        reverse=True)
+        reverse=True, unroll=_UNROLL)
     return ks, Ks, jnp.sum(dV1s, 0), jnp.sum(dV2s, 0), jnp.max(pgs, 0)
 
 
@@ -347,7 +352,7 @@ def _forward_multi_alpha_bl(ss_bar, us_bar, ks, Ks, alphas, coeffs, dt, sign,
 
     init = (s0, jnp.zeros((n_ls, B), dtype), jnp.asarray(0, jnp.int32))
     (s_f, acc, _), (ss_tail, us_new) = jax.lax.scan(
-        body, init, (ss_bar[:-1], us_bar, ks, Ks))
+        body, init, (ss_bar[:-1], us_bar, ks, Ks), unroll=_UNROLL)
     costs = acc + _state_cost_bl(s_f, p, dtype)
     ss_new = jnp.concatenate([s0[None], ss_tail], axis=0)
     return ss_new, us_new, costs
