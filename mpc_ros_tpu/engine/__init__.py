@@ -1,5 +1,6 @@
 from .batch import batch_solve, batch_solve_swept, make_random_scenarios, Scenario
 from ..solver.batch_lane import batch_solve_lane
+from .sweep import tuning_sweep, sample_weight_candidates, SweepResult
 
 __all__ = [
     "batch_solve",
@@ -7,4 +8,7 @@ __all__ = [
     "batch_solve_lane",
     "make_random_scenarios",
     "Scenario",
+    "tuning_sweep",
+    "sample_weight_candidates",
+    "SweepResult",
 ]

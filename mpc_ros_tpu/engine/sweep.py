@@ -1,0 +1,87 @@
+"""Monte-Carlo weight-tuning sweeps (BASELINE.md config #5).
+
+The reference exposes its 7 cost weights through dynamic_reconfigure and
+leaves tuning to the operator. Here tuning is a batched compute problem:
+sample candidate weight vectors, evaluate each on a common scenario set by
+solving (n_weights x n_scenarios) NMPC problems in one sharded batch, and
+rank candidates by closed-loop-relevant statistics. Because `MPCParams` is
+a traced pytree, per-scenario weights need no recompilation — the sweep is
+one XLA program regardless of the candidate set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MPCParams, SolverConfig
+from .batch import batch_solve_swept, make_random_scenarios
+
+
+@dataclasses.dataclass
+class SweepResult:
+    weights: MPCParams          # candidate weight sets (leaves (n_weights,))
+    mean_cost: jnp.ndarray      # (n_weights,) mean solve cost over scenarios
+    mean_terminal_cte: jnp.ndarray   # (n_weights,)
+    converged_frac: jnp.ndarray      # (n_weights,)
+    best_index: int
+
+    def best_params(self) -> MPCParams:
+        i = self.best_index
+        return jax.tree.map(lambda leaf: leaf[i], self.weights)
+
+
+def sample_weight_candidates(key, n: int, base: MPCParams,
+                             scale: float = 3.0,
+                             dtype=jnp.float32) -> MPCParams:
+    """Log-uniform perturbations of the tracking weights around `base`."""
+    names = ["w_cte", "w_etheta", "w_vel", "w_angvel", "w_accel",
+             "w_angvel_d", "w_accel_d"]
+    keys = jax.random.split(key, len(names))
+    out = base.astype(dtype)
+    out = jax.tree.map(lambda leaf: jnp.broadcast_to(leaf, (n,)), out)
+    for name, k in zip(names, keys):
+        factor = jnp.exp(jax.random.uniform(
+            k, (n,), dtype, -jnp.log(scale), jnp.log(scale)))
+        out = out.replace(**{name: jnp.asarray(getattr(base, name), dtype)
+                             * factor})
+    return out
+
+
+def tuning_sweep(key, candidates: MPCParams, n_scenarios: int,
+                 cfg: SolverConfig, dtype=jnp.float32,
+                 score_cte_weight: float = 1.0) -> SweepResult:
+    """Evaluate `n_weights` candidates on a shared random scenario set.
+
+    Total batch = n_weights * n_scenarios solves in ONE program. Scoring
+    uses a fixed evaluation metric (terminal |cte| + convergence), NOT each
+    candidate's own cost (costs with different weights are incomparable).
+    """
+    n_weights = jax.tree.leaves(candidates)[0].shape[0]
+    kz, _ = jax.random.split(key)
+    z0s, coeffs = make_random_scenarios(kz, n_scenarios, dtype)
+
+    # tile: scenario-major blocks per candidate
+    z0s_t = jnp.tile(z0s, (n_weights, 1))
+    coeffs_t = jnp.tile(coeffs, (n_weights, 1))
+    ps = jax.tree.map(
+        lambda leaf: jnp.repeat(leaf, n_scenarios, axis=0), candidates)
+
+    res = batch_solve_swept(z0s_t, coeffs_t, ps, cfg)
+    costs = res.cost.reshape(n_weights, n_scenarios)
+    term_cte = jnp.abs(res.zs[:, -1, 4]).reshape(n_weights, n_scenarios)
+    conv = res.converged.reshape(n_weights, n_scenarios)
+
+    mean_cost = jnp.mean(costs, axis=1)
+    mean_cte = jnp.mean(term_cte, axis=1)
+    conv_frac = jnp.mean(conv.astype(dtype), axis=1)
+    score = score_cte_weight * mean_cte + jnp.where(conv_frac < 0.99,
+                                                   jnp.inf, 0.0)
+    best = int(jnp.argmin(score))
+    return SweepResult(
+        weights=candidates, mean_cost=mean_cost, mean_terminal_cte=mean_cte,
+        converged_frac=conv_frac, best_index=best,
+    )
