@@ -399,35 +399,62 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
 
     def cond(st):
         it, done = st[4], st[5]
-        return jnp.logical_and(it < cfg.max_sqp_iters,
-                               jnp.logical_not(jnp.all(done)))
+        if cfg.done_frac >= 1.0:
+            keep_going = jnp.logical_not(jnp.all(done))
+        else:
+            keep_going = jnp.mean(done.astype(dtype)) < cfg.done_frac
+        return jnp.logical_and(it < cfg.max_sqp_iters, keep_going)
+
+    use_pallas = (cfg.backward == "pallas"
+                  or (cfg.backward == "auto"
+                      and jax.default_backend() == "tpu"
+                      and B % 128 == 0
+                      and dtype == jnp.float32))
 
     def body(st):
         ss, us, cost, mu, it, done, gnorm, n_small, conv, iters = st
         V_s, V_ss = _terminal_bl(ss[-1], p, dtype)
-        ks, Ks, dV1, dV2, pg = _backward_bl(
-            ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu)
+        if use_pallas:
+            from ..kernels.backward_fused_pallas import (backward_fused_pallas,
+                                                         pack_params)
+
+            pp = pack_params(p, B, dtype)
+            ks, Ks, dV1, dV2, pg = backward_fused_pallas(
+                ss, us, cT, pp, sign, V_s, V_ss, lb, ub, mu)
+        else:
+            ks, Ks, dV1, dV2, pg = _backward_bl(
+                ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu)
 
         pred_decrease = -(dV1 + dV2)
         tiny_model = pred_decrease <= tol_cost * (1.0 + jnp.abs(cost))
 
-        ss_all, us_all, costs_all = _forward_multi_alpha_bl(
-            ss, us, ks, Ks, alphas, cT, dt, sign, lb, ub, p, dtype)
-        improved = costs_all < cost[None]                   # (n_ls, B)
-        accepted = jnp.any(improved, axis=0)                # (B,)
-        pick = jnp.argmin(jnp.where(
-            improved, jnp.arange(cfg.ls_iters)[:, None], cfg.ls_iters + 1),
-            axis=0)                                         # (B,)
-        sel = jax.nn.one_hot(pick, cfg.ls_iters, dtype=dtype, axis=0)
-        ss_n = jnp.einsum("ab,taib->tib", sel, ss_all)
-        us_n = jnp.einsum("ab,tamb->tmb", sel, us_all)
-        cost_n = jnp.einsum("ab,ab->b", sel, costs_all)
-
         act = jnp.logical_not(done)                         # still-solving lanes
+        if use_pallas:
+            from ..kernels.forward_pallas import forward_pallas
+            from ..kernels.backward_fused_pallas import pack_params
+
+            pp = pack_params(p, B, dtype)
+            ss2, us2, cost2, acc_f = forward_pallas(
+                ss, us, ks, Ks, cT, pp, sign, lb, ub, cost,
+                act.astype(dtype), n_alpha=cfg.ls_iters)
+            accepted = acc_f > 0.5
+        else:
+            ss_all, us_all, costs_all = _forward_multi_alpha_bl(
+                ss, us, ks, Ks, alphas, cT, dt, sign, lb, ub, p, dtype)
+            improved = costs_all < cost[None]               # (n_ls, B)
+            accepted = jnp.any(improved, axis=0)            # (B,)
+            pick = jnp.argmin(jnp.where(
+                improved, jnp.arange(cfg.ls_iters)[:, None],
+                cfg.ls_iters + 1), axis=0)                  # (B,)
+            sel = jax.nn.one_hot(pick, cfg.ls_iters, dtype=dtype, axis=0)
+            ss_n = jnp.einsum("ab,taib->tib", sel, ss_all)
+            us_n = jnp.einsum("ab,tamb->tmb", sel, us_all)
+            cost_n = jnp.einsum("ab,ab->b", sel, costs_all)
+            upd = jnp.logical_and(act, accepted)
+            ss2 = jnp.where(upd[None, None, :], ss_n, ss)
+            us2 = jnp.where(upd[None, None, :], us_n, us)
+            cost2 = jnp.where(upd, cost_n, cost)
         upd = jnp.logical_and(act, accepted)
-        ss2 = jnp.where(upd[None, None, :], ss_n, ss)
-        us2 = jnp.where(upd[None, None, :], us_n, us)
-        cost2 = jnp.where(upd, cost_n, cost)
         mu2 = jnp.where(
             upd, jnp.maximum(mu / mu_factor, mu_min),
             jnp.where(act, jnp.minimum(mu * mu_factor, mu_max), mu))

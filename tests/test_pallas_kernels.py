@@ -1,0 +1,139 @@
+"""Pallas kernel tests (interpret mode on CPU) vs the XLA lane solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_ros_tpu.config import MPCParams, SolverConfig
+from mpc_ros_tpu.solver import batch_lane as bl
+from mpc_ros_tpu.kernels.backward_pallas import backward_pallas
+from mpc_ros_tpu.kernels.backward_fused_pallas import (backward_fused_pallas,
+                                                       pack_params)
+from mpc_ros_tpu.kernels.forward_pallas import forward_pallas
+
+
+@pytest.fixture
+def problem():
+    dtype = jnp.float32
+    B, T = 128, 7
+    key = jax.random.PRNGKey(0)
+    kk = jax.random.split(key, 6)
+    z0s = jax.random.normal(kk[0], (B, 6), dtype) * 0.3
+    coeffs = jax.random.normal(kk[1], (B, 4), dtype) * 0.1
+    us = jax.random.normal(kk[2], (T, 2, B), dtype) * 0.3
+    p = MPCParams().astype(dtype)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    s0 = jnp.concatenate([zT, jnp.zeros((2, B), dtype)], axis=0)
+    ss, cost0 = bl._rollout_and_cost(s0, us, cT, 0.1, 1.0, p, dtype, T)
+    V_s, V_ss = bl._terminal_bl(ss[-1], p, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-0.4, -0.5], dtype)[:, None], (2, B))
+    mu = jnp.full((B,), 1e-6, dtype)
+    return dict(B=B, T=T, dtype=dtype, p=p, cT=cT, ss=ss, us=us, V_s=V_s,
+                V_ss=V_ss, lb=lb, ub=-lb, mu=mu, cost0=cost0,
+                kk=kk)
+
+
+def test_backward_fused_matches_xla(problem):
+    pr = problem
+    r_ref = bl._backward_bl(pr["ss"], pr["us"], pr["cT"], 0.1, 1.0, pr["p"],
+                            pr["V_s"], pr["V_ss"], pr["lb"], pr["ub"],
+                            pr["mu"])
+    pp = pack_params(pr["p"], pr["B"], pr["dtype"])
+    r_pls = backward_fused_pallas(pr["ss"], pr["us"], pr["cT"], pp, 1.0,
+                                  pr["V_s"], pr["V_ss"], pr["lb"], pr["ub"],
+                                  pr["mu"], interpret=True)
+    np.testing.assert_allclose(np.asarray(r_pls[0]), np.asarray(r_ref[0]),
+                               atol=2e-6)   # ks
+    np.testing.assert_allclose(np.asarray(r_pls[1]), np.asarray(r_ref[1]),
+                               atol=2e-6)   # Ks
+    np.testing.assert_allclose(np.asarray(r_pls[4]), np.asarray(r_ref[4]),
+                               atol=1e-6)   # pg
+
+
+def test_backward_arrays_kernel_matches_xla(problem):
+    pr = problem
+    dtype = pr["dtype"]
+    rate = jnp.concatenate([jnp.zeros((1,), dtype),
+                            jnp.ones((pr["T"] - 1,), dtype)])
+    A, Bm, l_s, l_u, l_ss, l_uu, l_us = jax.vmap(
+        lambda s_t, u_t, r_t: bl._stage_linexp_bl(
+            s_t, u_t, pr["cT"], 0.1, 1.0, r_t, pr["p"], dtype)
+    )(pr["ss"][:-1], pr["us"], rate)
+    r_ref = bl._backward_bl(pr["ss"], pr["us"], pr["cT"], 0.1, 1.0, pr["p"],
+                            pr["V_s"], pr["V_ss"], pr["lb"], pr["ub"],
+                            pr["mu"])
+    r_pls = backward_pallas(A, Bm, l_s, l_u, l_ss, l_uu, l_us, pr["us"],
+                            pr["V_s"], pr["V_ss"], pr["lb"], pr["ub"],
+                            pr["mu"], interpret=True)
+    np.testing.assert_allclose(np.asarray(r_pls[0]), np.asarray(r_ref[0]),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r_pls[1]), np.asarray(r_ref[1]),
+                               atol=2e-6)
+
+
+def test_forward_kernel_matches_xla_selection(problem):
+    pr = problem
+    dtype = pr["dtype"]
+    B, T = pr["B"], pr["T"]
+    NA = 8
+    ksg = jax.random.normal(pr["kk"][3], (T, 2, B), dtype) * 0.1
+    Ksg = jax.random.normal(pr["kk"][4], (T, 2, 8, B), dtype) * 0.05
+    act = (jax.random.uniform(pr["kk"][5], (B,)) > 0.3).astype(dtype)
+    alphas = jnp.asarray(0.5, dtype) ** jnp.arange(NA, dtype=dtype)
+
+    ss_all, us_all, costs_all = bl._forward_multi_alpha_bl(
+        pr["ss"], pr["us"], ksg, Ksg, alphas, pr["cT"], 0.1, 1.0,
+        pr["lb"], pr["ub"], pr["p"], dtype)
+    improved = costs_all < pr["cost0"][None]
+    accepted = jnp.any(improved, axis=0).astype(dtype)
+    pick = jnp.argmin(jnp.where(improved, jnp.arange(NA)[:, None], NA + 1),
+                      axis=0)
+    sel = jax.nn.one_hot(pick, NA, dtype=dtype, axis=0)
+    upd = accepted * act
+    ss2 = jnp.where(upd[None, None, :] > 0.5,
+                    jnp.einsum("ab,taib->tib", sel, ss_all), pr["ss"])
+    us2 = jnp.where(upd[None, None, :] > 0.5,
+                    jnp.einsum("ab,tamb->tmb", sel, us_all), pr["us"])
+
+    pp = pack_params(pr["p"], B, dtype)
+    ss_p, us_p, cost_p, acc_p = forward_pallas(
+        pr["ss"], pr["us"], ksg, Ksg, pr["cT"], pp, 1.0, pr["lb"], pr["ub"],
+        pr["cost0"], act, NA, interpret=True)
+    np.testing.assert_allclose(np.asarray(ss_p), np.asarray(ss2), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(us_p), np.asarray(us2), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(acc_p), np.asarray(accepted),
+                               atol=0)
+
+
+def test_full_solve_forced_pallas_interpret_matches_xla():
+    """End-to-end: batch_solve_lane with backward='pallas' in interpret
+    mode (monkeypatched) equals the XLA path."""
+    import mpc_ros_tpu.kernels.backward_fused_pallas as bfp
+    import mpc_ros_tpu.kernels.forward_pallas as fp
+    from mpc_ros_tpu.engine import make_random_scenarios
+
+    dtype = jnp.float32
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(9), 128, dtype)
+    p = MPCParams().astype(dtype)
+    cfg_x = SolverConfig(n_steps=12, max_sqp_iters=8, tol_grad=1e-3,
+                         backward="xla")
+    cfg_p = SolverConfig(n_steps=12, max_sqp_iters=8, tol_grad=1e-3,
+                         backward="pallas")
+    r_x = bl.batch_solve_lane(z0s, coeffs, p, cfg_x)
+
+    orig_b = bfp.backward_fused_pallas
+    orig_f = fp.forward_pallas
+    bfp.backward_fused_pallas = lambda *a, **kw: orig_b(
+        *a, **{**kw, "interpret": True})
+    fp.forward_pallas = lambda *a, **kw: orig_f(
+        *a, **{**kw, "interpret": True})
+    try:
+        r_p = bl.batch_solve_lane(z0s, coeffs, p, cfg_p)
+    finally:
+        bfp.backward_fused_pallas = orig_b
+        fp.forward_pallas = orig_f
+
+    du = float(jnp.max(jnp.abs(r_x.us - r_p.us)))
+    assert du < 5e-3, f"pallas-vs-xla full solve deviation {du}"
