@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--obstacles", action="store_true",
                     help="add per-scenario costmap obstacle penalty terms")
+    ap.add_argument("--serving", action="store_true",
+                    help="receding-horizon serving metric: warm-started "
+                         "control cycles/s for the whole robot fleet")
     ap.add_argument("--roofline", action="store_true",
                     help="also print speed-of-light accounting (extra line)")
     ap.add_argument("--engine", choices=["lane", "vmap"], default="lane",
@@ -68,6 +71,40 @@ def main() -> None:
     z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), batch, dtype)
     z0s = jax.device_put(z0s, dev)
     coeffs = jax.device_put(coeffs, dev)
+
+    if args.serving:
+        from mpc_ros_tpu.engine.receding import receding_horizon_rollout
+
+        n_cycles = 10
+        def solve_fn():
+            return receding_horizon_rollout(z0s, coeffs, p, cfg,
+                                            n_cycles=n_cycles)
+
+        t0 = time.time()
+        tr = solve_fn()
+        float(jnp.sum(tr.us))
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            tr = solve_fn()
+            float(jnp.sum(tr.us))
+            times.append(time.time() - t0)
+        best = min(times)
+        cycles_per_s = batch * n_cycles / best
+        print(json.dumps({
+            "metric": f"mpc_serving_cycles_per_s_per_chip_n{n_steps}",
+            "value": round(cycles_per_s, 1),
+            "unit": "control cycles/s",
+            "vs_baseline": round(cycles_per_s / (10000.0 / 8.0), 3),
+            "batch": batch,
+            "n_cycles": n_cycles,
+            "device": str(dev),
+            "compile_s": round(compile_s, 2),
+            "mean_sqp_iters_warm": round(
+                float(jnp.mean(tr.iters[1:].astype(jnp.float32))), 2),
+        }))
+        return
 
     if args.engine == "lane" and not args.obstacles:
         from mpc_ros_tpu.solver.batch_lane import batch_solve_lane

@@ -1,6 +1,7 @@
 from .batch import batch_solve, batch_solve_swept, make_random_scenarios, Scenario
 from ..solver.batch_lane import batch_solve_lane
 from .sweep import tuning_sweep, sample_weight_candidates, SweepResult
+from .receding import receding_horizon_rollout, RecedingTrace
 
 __all__ = [
     "batch_solve",
@@ -11,4 +12,6 @@ __all__ = [
     "tuning_sweep",
     "sample_weight_candidates",
     "SweepResult",
+    "receding_horizon_rollout",
+    "RecedingTrace",
 ]
