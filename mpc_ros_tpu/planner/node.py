@@ -1,0 +1,112 @@
+"""Planner node: the move_base-equivalent control loop over native topics.
+
+The reference is a plugin inside move_base: ROS topics in (feedback_vel),
+tf/costmap for pose, cmd_vel out, driven at controller_frequency
+(/root/reference/mpc_ros/src/mpc_planner_ros.cpp:38-92,397). This node is
+the standalone successor: a control loop paced by the native rate executor
+(deadline-monitored) that consumes pose/feedback from seqlock Topics
+(tear-free — the reference's handoff was racy, SURVEY.md §5.2) and
+publishes the command and predicted trajectory to Topics.
+
+Message framing is plain little-endian doubles (struct), matching the
+fixed-size Twist/Pose payloads the reference exchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..native import RateLoop, Topic
+from .planner import MPCPlanner
+
+POSE_FMT = "<3d"        # x, y, yaw
+TWIST_FMT = "<2d"       # v, w
+
+
+def pack_pose(x: float, y: float, yaw: float) -> bytes:
+    return struct.pack(POSE_FMT, x, y, yaw)
+
+
+def pack_twist(v: float, w: float) -> bytes:
+    return struct.pack(TWIST_FMT, v, w)
+
+
+class PlannerNode:
+    """Runs `MPCPlanner` at a fixed rate against topic inputs.
+
+    Topics:
+      pose      (in):  (x, y, yaw) POSE_FMT
+      feedback  (in):  (v, w)      TWIST_FMT   (reference: feedback_vel)
+      cmd       (out): (v, w)      TWIST_FMT   (reference: cmd_vel)
+      mpc_traj  (out): N x (x, y, yaw) doubles (reference: mpc_trajectory)
+    """
+
+    def __init__(self, planner: MPCPlanner, period_s: Optional[float] = None):
+        self.planner = planner
+        self.period_s = period_s or float(planner.params.dt)
+        self.pose_topic = Topic(64)
+        self.feedback_topic = Topic(64)
+        self.cmd_topic = Topic(64)
+        n = planner.solver_cfg.n_steps
+        self.traj_topic = Topic(n * 3 * 8 + 16)
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self.cycles = 0
+        self.errors = 0
+        self.rate_stats: dict = {}
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def set_plan(self, plan: np.ndarray) -> bool:
+        raw = self.pose_topic.read()
+        pose = np.array(struct.unpack(POSE_FMT, raw)) if raw else plan[0]
+        return self.planner.set_plan(plan, pose)
+
+    def start(self) -> None:
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    # -- the loop ----------------------------------------------------------
+
+    def _loop(self) -> None:
+        rate = RateLoop(self.period_s)
+        try:
+            while not self._stop.is_set():
+                self._cycle()
+                rate.sleep()
+            self.rate_stats = rate.stats
+        finally:
+            rate.close()
+
+    def _cycle(self) -> None:
+        raw_pose = self.pose_topic.read()
+        if raw_pose is None:
+            return
+        pose = np.array(struct.unpack(POSE_FMT, raw_pose))
+        raw_fb = self.feedback_topic.read()
+        fb = struct.unpack(TWIST_FMT, raw_fb) if raw_fb else (0.0, 0.0)
+
+        if self.planner.is_goal_reached(pose, fb):
+            self.cmd_topic.publish(pack_twist(0.0, 0.0))
+            self.cycles += 1
+            return
+        ok, (v, w), info = self.planner.compute_velocity_commands(pose, fb)
+        if not ok:
+            self.errors += 1
+            return
+        self.cmd_topic.publish(pack_twist(v, w))
+        if info is not None and info.mpc_trajectory is not None:
+            traj = np.ascontiguousarray(info.mpc_trajectory, dtype=np.float64)
+            self.traj_topic.publish(traj.tobytes())
+        self.cycles += 1
