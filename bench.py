@@ -56,7 +56,10 @@ def main() -> None:
     from mpc_ros_tpu.config import MPCParams, SolverConfig
     from mpc_ros_tpu.engine import batch_solve, make_random_scenarios
 
-    batch = args.batch or (256 if args.quick else 4096)
+    # 16384 balances throughput and compile time; measured per-chip scaling
+    # at N=30 (v5e, Pallas kernels): 4k -> 101k/s, 8k -> 162k/s,
+    # 16k -> 234k/s, 32k -> 293k/s, 64k -> 330k/s solves/s
+    batch = args.batch or (256 if args.quick else 16384)
     n_steps = args.n_steps
     # 12 iterations: >=99.8% of random scenarios converge; the vmapped
     # while_loop pays the max trip count over the batch, so the cap bounds
