@@ -115,20 +115,13 @@ def main() -> None:
         solve_fn = lambda: batch_solve_lane(z0s, coeffs, p, cfg)
     elif args.obstacles:
         from mpc_ros_tpu.models.obstacles import gaussian_blob_map
-        from mpc_ros_tpu.solver import ilqr
-        import functools
+        from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
 
         centers = jax.random.uniform(jax.random.PRNGKey(1), (batch, 2),
                                      dtype, 0.3, 1.2)
         omaps = jax.vmap(lambda c: gaussian_blob_map(
             (c[0], c[1]), sigma=0.3, weight=100.0, dtype=dtype))(centers)
-
-        @functools.partial(jax.jit, static_argnames=("cfg",))
-        def run(z0s, coeffs, p, omaps, cfg):
-            return jax.vmap(lambda z, c, m: ilqr.solve(z, c, p, cfg, omap=m))(
-                z0s, coeffs, omaps)
-
-        solve_fn = lambda: run(z0s, coeffs, p, omaps, cfg)
+        solve_fn = lambda: batch_solve_lane(z0s, coeffs, p, cfg, omaps=omaps)
     else:
         solve_fn = lambda: batch_solve(z0s, coeffs, p, cfg)
 

@@ -102,6 +102,44 @@ def obstacle_grad_xy(omap: ObstacleMap, xy: jnp.ndarray) -> jnp.ndarray:
     return omap.weight * jnp.stack([dx, dy], axis=-1)
 
 
+def obstacle_cost_grad_bl(omaps: "ObstacleMap", x: jnp.ndarray,
+                          y: jnp.ndarray):
+    """Lane-major batched sampling: per-scenario grids, batch-last points.
+
+    omaps: batched ObstacleMap (leaves with leading B: grid (B,H,W),
+    origin (B,2), resolution (B,), weight (B,)). x, y: (..., B) robot-frame
+    points. Returns (cost, dx, dy), each (..., B), already weight-scaled.
+    Implemented as four flat gathers per point set (bilinear corners).
+    """
+    grids = omaps.grid                        # (B, H, W)
+    B, H, W = grids.shape
+    flat = grids.reshape(B * H * W)
+    res = omaps.resolution                    # (B,)
+    ox = omaps.origin[:, 0]
+    oy = omaps.origin[:, 1]
+    wgt = omaps.weight
+
+    fx = (x - ox) / res
+    fy = (y - oy) / res
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, H - 2)
+    tx = jnp.clip(fx - x0.astype(fx.dtype), 0.0, 1.0)
+    ty = jnp.clip(fy - y0.astype(fy.dtype), 0.0, 1.0)
+
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), x0.shape)
+    base = (b_idx * H + y0) * W + x0
+    g00 = jnp.take(flat, base)
+    g01 = jnp.take(flat, base + 1)
+    g10 = jnp.take(flat, base + W)
+    g11 = jnp.take(flat, base + W + 1)
+
+    val = ((1 - ty) * ((1 - tx) * g00 + tx * g01)
+           + ty * ((1 - tx) * g10 + tx * g11))
+    dx = ((1 - ty) * (g01 - g00) + ty * (g11 - g10)) / res
+    dy = ((1 - tx) * (g10 - g00) + tx * (g11 - g01)) / res
+    return wgt * val, wgt * dx, wgt * dy
+
+
 def gaussian_blob_map(center, sigma: float = 0.4, extent: float = 4.0,
                       cells: int = 64, weight: float = 50.0,
                       dtype=jnp.float32) -> ObstacleMap:

@@ -37,12 +37,26 @@ from .plan_utils import lookahead_heading
 
 
 @functools.lru_cache(maxsize=None)
-def _warm_solve_jit(cfg: SolverConfig):
+def _warm_solve_jit(cfg: SolverConfig, with_omap: bool = False):
     """Jitted warm-started solve, compiled once per SolverConfig."""
 
+    if with_omap:
+        @jax.jit
+        def f(z0, coeffs, p, u_init, omap):
+            return ilqr.solve(z0, coeffs, p, cfg, u_init=u_init, omap=omap)
+    else:
+        @jax.jit
+        def f(z0, coeffs, p, u_init):
+            return ilqr.solve(z0, coeffs, p, cfg, u_init=u_init)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _cold_omap_solve_jit(cfg: SolverConfig):
     @jax.jit
-    def f(z0, coeffs, p, u_init):
-        return ilqr.solve(z0, coeffs, p, cfg, u_init=u_init)
+    def f(z0, coeffs, p, omap):
+        return ilqr.solve(z0, coeffs, p, cfg, omap=omap)
 
     return f
 
@@ -75,6 +89,10 @@ class TrackingController:
         self.throttle = 1.0
         self.ref_vel = float(params.ref_vel)
         self._warm_us: Optional[np.ndarray] = None
+        # optional robot-frame local costmap (models.obstacles.ObstacleMap);
+        # set per cycle by the embedder — the obstacle awareness the
+        # reference wired up but never used in its NLP (SURVEY.md C1)
+        self.obstacle_map = None
 
     def reset(self) -> None:
         self.w = 0.0
@@ -168,15 +186,23 @@ class TrackingController:
         p = self.params.replace(ref_vel=jnp.asarray(ref_vel_eff, self.dtype))
         z0 = jnp.asarray(state, self.dtype)
         cj = jnp.asarray(coeffs, self.dtype)
+        omap = self.obstacle_map
         if self._warm_us is None:
-            res = ilqr.solve_jit(z0, cj, p, self.solver_cfg)
+            if omap is None:
+                res = ilqr.solve_jit(z0, cj, p, self.solver_cfg)
+            else:
+                res = _cold_omap_solve_jit(self.solver_cfg)(z0, cj, p, omap)
         else:
             # shift of the previous optimum — the warm start the reference
             # never had (quirk Q9)
             u_init = jnp.asarray(
                 np.concatenate([self._warm_us[1:], self._warm_us[-1:]]),
                 self.dtype)
-            res = _warm_solve_jit(self.solver_cfg)(z0, cj, p, u_init)
+            if omap is None:
+                res = _warm_solve_jit(self.solver_cfg)(z0, cj, p, u_init)
+            else:
+                res = _warm_solve_jit(self.solver_cfg, True)(
+                    z0, cj, p, u_init, omap)
         us = np.asarray(res.us)
         self._warm_us = us
 

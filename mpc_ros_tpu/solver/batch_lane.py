@@ -274,7 +274,8 @@ def _stage_linexp_bl(s, u, coeffs, dt, sign, rate_on, p, dtype):
     return A, Bm, l_s, l_u, l_ss, l_uu, l_us
 
 
-def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu):
+def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
+                 omaps=None):
     """Control-limited Riccati scan, batch-last. mu: (B,).
 
     Stage Jacobians/quadratics are materialized for all T stages up front
@@ -291,6 +292,11 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu):
         lambda s_t, u_t, r_t: _stage_linexp_bl(
             s_t, u_t, coeffs, dt, sign, r_t, p, dtype)
     )(ss[:-1], us, rate)
+    if omaps is not None:
+        from ..models.obstacles import obstacle_cost_grad_bl
+
+        _, gx, gy = obstacle_cost_grad_bl(omaps, ss[:-1, 0], ss[:-1, 1])
+        l_s = l_s.at[:, 0].add(gx).at[:, 1].add(gy)
 
     def step(carry, inp):
         Vs, Vss = carry
@@ -364,11 +370,16 @@ def _forward_multi_alpha_bl(ss_bar, us_bar, ks, Ks, alphas, coeffs, dt, sign,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                      cfg: SolverConfig,
-                     u_init: Optional[jnp.ndarray] = None) -> SolveResult:
+                     u_init: Optional[jnp.ndarray] = None,
+                     omaps=None) -> SolveResult:
     """Lane-major batched solve. z0s (B, 6), coeffs (B, P>=4); returns
     batch-major SolveResult identical (within fp tolerance) to
     engine.batch_solve. Per-scenario MPCParams leaves of shape (B,) are
-    supported (they broadcast lane-wise)."""
+    supported (they broadcast lane-wise).
+
+    `omaps`: optional batched ObstacleMap (leaves with leading B) adding
+    per-scenario costmap penalties; obstacle solves use the XLA paths (the
+    fused Pallas kernels do not sample grids)."""
     dtype = z0s.dtype
     B = z0s.shape[0]
     T = cfg.n_controls
@@ -387,7 +398,17 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # u_init arrives batch-major (B, T, 2) like engine.batch_solve
         us0 = jnp.clip(jnp.moveaxis(jnp.asarray(u_init, dtype), 0, -1),
                        lb[None], ub[None])
+    def _obs_cost_knots(ss_):
+        """Total obstacle penalty over all knots; ss_ (T+1, 8, B) or with
+        extra leading dims -> (..., B)."""
+        from ..models.obstacles import obstacle_cost_grad_bl
+
+        val, _, _ = obstacle_cost_grad_bl(omaps, ss_[..., 0, :], ss_[..., 1, :])
+        return jnp.sum(val, axis=0)
+
     ss0, cost0 = _rollout_and_cost(s0, us0, cT, dt, sign, p, dtype, T)
+    if omaps is not None:
+        cost0 = cost0 + _obs_cost_knots(ss0)
 
     tol_grad = jnp.asarray(cfg.tol_grad, dtype)
     tol_cost = jnp.asarray(
@@ -405,15 +426,21 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             keep_going = jnp.mean(done.astype(dtype)) < cfg.done_frac
         return jnp.logical_and(it < cfg.max_sqp_iters, keep_going)
 
-    use_pallas = (cfg.backward == "pallas"
-                  or (cfg.backward == "auto"
-                      and jax.default_backend() == "tpu"
-                      and B % 128 == 0
-                      and dtype == jnp.float32))
+    use_pallas = (omaps is None
+                  and (cfg.backward == "pallas"
+                       or (cfg.backward == "auto"
+                           and jax.default_backend() == "tpu"
+                           and B % 128 == 0
+                           and dtype == jnp.float32)))
 
     def body(st):
         ss, us, cost, mu, it, done, gnorm, n_small, conv, iters = st
         V_s, V_ss = _terminal_bl(ss[-1], p, dtype)
+        if omaps is not None:
+            from ..models.obstacles import obstacle_cost_grad_bl
+
+            _, gxT, gyT = obstacle_cost_grad_bl(omaps, ss[-1, 0], ss[-1, 1])
+            V_s = V_s.at[0].add(gxT).at[1].add(gyT)
         if use_pallas:
             from ..kernels.backward_fused_pallas import (backward_fused_pallas,
                                                          pack_params)
@@ -423,7 +450,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                 ss, us, cT, pp, sign, V_s, V_ss, lb, ub, mu)
         else:
             ks, Ks, dV1, dV2, pg = _backward_bl(
-                ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu)
+                ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu, omaps)
 
         pred_decrease = -(dV1 + dV2)
         tiny_model = pred_decrease <= tol_cost * (1.0 + jnp.abs(cost))
@@ -441,6 +468,10 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         else:
             ss_all, us_all, costs_all = _forward_multi_alpha_bl(
                 ss, us, ks, Ks, alphas, cT, dt, sign, lb, ub, p, dtype)
+            if omaps is not None:
+                # ss_all (T+1, n_ls, 8, B): add per-candidate obstacle cost
+                costs_all = costs_all + jax.vmap(
+                    _obs_cost_knots, in_axes=1, out_axes=0)(ss_all)
             improved = costs_all < cost[None]               # (n_ls, B)
             accepted = jnp.any(improved, axis=0)            # (B,)
             pick = jnp.argmin(jnp.where(

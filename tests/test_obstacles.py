@@ -83,3 +83,83 @@ def test_batched_obstacle_solves():
         z0s, coeffs, omaps)
     assert res.us.shape == (B, 9, 2)
     assert bool(jnp.all(jnp.isfinite(res.cost)))
+
+
+def test_lane_solver_obstacles_match_vmapped():
+    """Lane solver with batched obstacle maps must agree with the vmapped
+    per-scenario obstacle solves."""
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    dtype = jnp.float64
+    B = 8
+    z0s = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.5, 0.0, 0.0], dtype), (B, 1))
+    coeffs = jnp.zeros((B, 4), dtype)
+    p = MPCParams(ref_vel=0.5, w_cte=50.0).astype(dtype)
+    cfg = SolverConfig(n_steps=10)
+    centers = jnp.stack([jnp.linspace(0.3, 1.0, B),
+                         jnp.full((B,), 0.05, dtype)], axis=-1)
+    omaps = jax.vmap(lambda c: gaussian_blob_map(
+        (c[0], c[1]), sigma=0.25, weight=100.0, dtype=dtype))(centers)
+    r_vm = jax.vmap(lambda z, c, m: ilqr.solve(z, c, p, cfg, omap=m))(
+        z0s, coeffs, omaps)
+    r_ln = batch_solve_lane(z0s, coeffs, p, cfg, omaps=omaps)
+    np.testing.assert_allclose(np.asarray(r_ln.us), np.asarray(r_vm.us),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_ln.cost), np.asarray(r_vm.cost),
+                               rtol=1e-8)
+
+
+def test_lane_obstacle_sampling_matches_single():
+    """obstacle_cost_grad_bl must agree with the per-map functions."""
+    from mpc_ros_tpu.models.obstacles import obstacle_cost_grad_bl
+
+    dtype = jnp.float64
+    B = 4
+    centers = jnp.stack([jnp.linspace(-0.5, 0.6, B),
+                         jnp.linspace(0.2, -0.3, B)], axis=-1)
+    omaps = jax.vmap(lambda c: gaussian_blob_map(
+        (c[0], c[1]), weight=7.0, dtype=dtype))(centers)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-1.5, 1.5, size=(5, 2, B)))
+    val, dx, dy = obstacle_cost_grad_bl(omaps, pts[:, 0], pts[:, 1])
+    for b in range(B):
+        omap_b = jax.tree.map(lambda leaf: leaf[b], omaps)
+        for i in range(5):
+            xy = jnp.asarray([pts[i, 0, b], pts[i, 1, b]])
+            v_ref = obstacle_cost(omap_b, xy[None])
+            g_ref = obstacle_grad_xy(omap_b, xy)
+            np.testing.assert_allclose(float(val[i, b]), float(v_ref),
+                                       rtol=1e-10)
+            np.testing.assert_allclose(
+                [float(dx[i, b]), float(dy[i, b])],
+                np.asarray(g_ref), rtol=1e-10, atol=1e-12)
+
+
+def test_planner_tracking_with_costmap_steers_away():
+    """The live planner consumes a robot-frame costmap: with a blob ahead
+    slightly left, the commanded angular velocity must steer right
+    relative to the obstacle-free command."""
+    from mpc_ros_tpu.config import PlannerConfig
+    from mpc_ros_tpu.planner import MPCPlanner
+
+    p = MPCParams(dt=0.1, ref_vel=0.5, w_cte=50.0)
+    plan = np.stack([np.linspace(0, 5, 100), np.zeros(100),
+                     np.zeros(100)], axis=1)
+
+    def run(with_map):
+        planner = MPCPlanner(params=p, solver_cfg=SolverConfig(n_steps=10),
+                             planner_cfg=PlannerConfig(local_plan_length=2.0,
+                                                       delay_mode=False))
+        planner.initialize()
+        planner.set_plan(plan, np.array([0.0, 0.0, 0.0]))
+        if with_map:
+            planner.tracker.obstacle_map = gaussian_blob_map(
+                (0.6, 0.06), sigma=0.25, weight=300.0, dtype=jnp.float64)
+        ok, (v, w), info = planner.compute_velocity_commands(
+            np.array([0.0, 0.0, 0.0]), (0.5, 0.0))
+        assert ok
+        return w
+
+    w_free = run(False)
+    w_obs = run(True)
+    assert w_obs < w_free - 1e-3, (w_free, w_obs)
