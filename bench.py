@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--obstacles", action="store_true",
                     help="add per-scenario costmap obstacle penalty terms")
+    ap.add_argument("--sweep", action="store_true",
+                    help="Monte-Carlo tuning-sweep metric: 100k+ per-weight"
+                         "-candidate solves in one program")
     ap.add_argument("--serving", action="store_true",
                     help="receding-horizon serving metric: warm-started "
                          "control cycles/s for the whole robot fleet")
@@ -74,6 +77,42 @@ def main() -> None:
     z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), batch, dtype)
     z0s = jax.device_put(z0s, dev)
     coeffs = jax.device_put(coeffs, dev)
+
+    if args.sweep:
+        from mpc_ros_tpu.config import MPCParams as _P
+        from mpc_ros_tpu.engine.sweep import (sample_weight_candidates,
+                                              tuning_sweep)
+
+        n_weights = 4 if args.quick else 8
+        n_scen = 64 if args.quick else 16384
+        cands = sample_weight_candidates(jax.random.PRNGKey(3), n_weights,
+                                         _P(), dtype=dtype)
+        t0 = time.time()
+        sw = tuning_sweep(jax.random.PRNGKey(4), cands, n_scen, cfg,
+                          dtype=dtype)
+        best = sw.best_index
+        compile_s = time.time() - t0
+        t0 = time.time()
+        sw = tuning_sweep(jax.random.PRNGKey(4), cands, n_scen, cfg,
+                          dtype=dtype)
+        _ = sw.best_index
+        wall = time.time() - t0
+        total = n_weights * n_scen
+        print(json.dumps({
+            "metric": f"mc_tuning_sweep_solves_per_s_per_chip_n{n_steps}",
+            "value": round(total / wall, 1),
+            "unit": "solves/s",
+            "vs_baseline": round(total / wall / (10000.0 / 8.0), 3),
+            "total_solves": total,
+            "n_weight_candidates": n_weights,
+            "device": str(dev),
+            "compile_s": round(compile_s, 2),
+            "sweep_s": round(wall, 3),
+            "best_candidate": int(best),
+            "best_mean_terminal_cte": round(
+                float(sw.mean_terminal_cte[best]), 5),
+        }))
+        return
 
     if args.serving:
         from mpc_ros_tpu.engine.receding import receding_horizon_rollout

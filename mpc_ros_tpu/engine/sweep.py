@@ -70,7 +70,16 @@ def tuning_sweep(key, candidates: MPCParams, n_scenarios: int,
     ps = jax.tree.map(
         lambda leaf: jnp.repeat(leaf, n_scenarios, axis=0), candidates)
 
-    res = batch_solve_swept(z0s_t, coeffs_t, ps, cfg)
+    # lane-major engine: per-scenario params ride the lanes (incl. through
+    # the Pallas kernels' packed-parameter tile); falls back to the vmapped
+    # engine off-TPU shapes automatically
+    from ..solver.batch_lane import batch_solve_lane
+
+    total = n_weights * n_scenarios
+    if total % 128 == 0:
+        res = batch_solve_lane(z0s_t, coeffs_t, ps, cfg)
+    else:
+        res = batch_solve_swept(z0s_t, coeffs_t, ps, cfg)
     costs = res.cost.reshape(n_weights, n_scenarios)
     term_cte = jnp.abs(res.zs[:, -1, 4]).reshape(n_weights, n_scenarios)
     conv = res.converged.reshape(n_weights, n_scenarios)
