@@ -14,9 +14,12 @@ the VPU/MXU. Measured on v5e: the backward Riccati scan drops from 46 ms to
 
 Same math as ilqr.solve (tested for agreement): control-limited Riccati with
 exact per-stage 2-dim box QPs, parallel-in-alpha line search, per-lane
-Levenberg regularization and convergence masks. Obstacle maps and custom
-agendas stay on the vmapped path; this one is for the headline batched
-serving/sweep workloads.
+Levenberg regularization and convergence masks. On TPU (f32, B % 128 == 0)
+the backward pass and line search run as fused Pallas kernels
+(kernels/backward_fused_pallas.py, kernels/forward_pallas.py); costmap
+obstacle solves (omaps=...) use the XLA lane paths. Per-scenario MPCParams
+leaves of shape (B,) ride the lanes, including through the kernels'
+packed-parameter tile — Monte-Carlo weight sweeps need no recompilation.
 """
 
 from __future__ import annotations
