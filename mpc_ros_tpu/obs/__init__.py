@@ -1,5 +1,6 @@
 from .metrics import CostBreakdown, cost_breakdown, RunStats
 from .timers import PhaseTimers, device_trace
+from .checkpoint import save_checkpoint, restore_checkpoint, serving_state, sweep_state
 
 __all__ = [
     "CostBreakdown",
@@ -7,4 +8,8 @@ __all__ = [
     "RunStats",
     "PhaseTimers",
     "device_trace",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "serving_state",
+    "sweep_state",
 ]

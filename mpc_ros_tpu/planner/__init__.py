@@ -1,6 +1,7 @@
 from .fsm import DrivingState, check_transition, seed_state, rotate_command
 from .planner import MPCPlanner, CycleInfo
 from .tracking import TrackingController, TrackingDebug
+from .safety import SafetyMonitor, SafetyConfig, SafetyStatus
 from . import plan_utils
 
 __all__ = [
@@ -12,5 +13,8 @@ __all__ = [
     "CycleInfo",
     "TrackingController",
     "TrackingDebug",
+    "SafetyMonitor",
+    "SafetyConfig",
+    "SafetyStatus",
     "plan_utils",
 ]
