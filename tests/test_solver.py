@@ -164,3 +164,45 @@ def test_oracle_golden_hs071_analog():
     )
     want = np.array([1.000000, 4.743000, 3.82115, 1.379408])
     np.testing.assert_allclose(res.x, want, rtol=1e-5)
+
+
+def test_long_horizon_n100_converges():
+    """The reference's cfg allows mpc_steps up to 100
+    (/root/reference/mpc_ros/cfg/MPCPlanner.cfg:22); the solver must handle
+    the full range. N=100 interior solve, both sequential and
+    horizon-parallel backward passes."""
+    z0, coeffs = scenario()
+    p = params64()
+    for hp in (False, True):
+        cfg = SolverConfig(n_steps=100, max_sqp_iters=150, tol_grad=1e-8,
+                           tol_cost=0.0, horizon_parallel=hp)
+        res = ilqr.solve(jnp.asarray(z0), jnp.asarray(coeffs), p, cfg)
+        assert bool(res.converged), f"horizon_parallel={hp}"
+        # N=100 conditioning: ~2e-6 is the f64 floor for this problem
+        assert float(res.grad_norm) < 1e-5
+        assert res.us.shape == (99, 2)
+        zs_roll = dd.rollout(jnp.asarray(z0), res.us, jnp.asarray(coeffs),
+                             p.dt, cfg.cte_vsin_sign)
+        np.testing.assert_allclose(np.asarray(res.zs), np.asarray(zs_roll),
+                                   atol=1e-10)
+
+
+def test_lane_solver_n100():
+    from mpc_ros_tpu.engine import batch_solve_lane
+
+    # gentle references: a 10 s horizon sweeps ~3.5 m of the robot-frame
+    # cubic; wild random curvatures at that range are not representative
+    rng = np.random.default_rng(11)
+    B = 16
+    coeffs = np.zeros((B, 4))
+    coeffs[:, 0] = rng.normal(size=B) * 0.15
+    coeffs[:, 1] = rng.normal(size=B) * 0.05
+    z0s = np.zeros((B, 6))
+    z0s[:, 3] = 0.3
+    z0s[:, 4] = coeffs[:, 0]
+    z0s[:, 5] = np.arctan(coeffs[:, 1])
+    p = params64()
+    cfg = SolverConfig(n_steps=100, max_sqp_iters=30)
+    res = batch_solve_lane(jnp.asarray(z0s), jnp.asarray(coeffs), p, cfg)
+    assert bool(jnp.all(jnp.isfinite(res.cost)))
+    assert float(jnp.mean(res.converged.astype(jnp.float64))) > 0.9
