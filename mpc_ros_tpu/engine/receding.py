@@ -25,7 +25,6 @@ from flax import struct
 
 from ..config import MPCParams, SolverConfig
 from ..models import diff_drive as dd
-from .batch import batch_solve  # noqa: F401  (vmapped path for reference)
 from ..solver.batch_lane import batch_solve_lane
 
 Array = Any

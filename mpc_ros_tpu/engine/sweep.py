@@ -12,8 +12,6 @@ one XLA program regardless of the candidate set.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

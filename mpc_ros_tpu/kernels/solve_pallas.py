@@ -1,0 +1,444 @@
+"""Pallas TPU megakernel: the ENTIRE batched SQP solve in one kernel.
+
+One program per 128-lane batch tile runs the complete control-limited SQP
+loop on-chip: initial rollout, per-iteration (inline-linearized Riccati
+backward scan -> per-stage box QPs -> multi-alpha line search -> masked
+accept) and per-lane convergence bookkeeping — with the trajectory held in
+double-buffered VMEM scratch for the whole solve. HBM traffic per solve is
+inputs + final outputs only.
+
+Beyond removing all inter-kernel traffic, the decisive win is PER-TILE
+adaptive iteration: each 128-lane tile's while-loop exits when ITS lanes
+are done, instead of the whole batch paying the globally slowest lane
+(global max ~12 iterations vs per-tile ~6-8 at the default tolerances).
+
+The per-stage math is the same as kernels/backward_fused_pallas.py and
+kernels/forward_pallas.py (structured-sparsity Jacobian products, exact
+9-combo box QP, FG_eval cost) — equality with the XLA lane solver is
+asserted in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .backward_fused_pallas import (N_PAR, P_DT, P_RCTE, P_RETH, P_RVEL,
+                                    P_WACC, P_WANG, P_WCTE, P_WDACC,
+                                    P_WDANG, P_WETH, P_WVEL)
+from .backward_pallas import _boxqp_tile, _mm, _mtm, _mtv, _mv
+
+_N = 8
+_M = 2
+_LANES = 128
+
+
+def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
+            tol_grad: float, tol_cost_eff: float, mu_min: float,
+            mu_max: float, mu_factor: float, dtype,
+            z0_ref, c_ref, par_ref, lb_ref, ub_ref, u0_ref,
+            ss_out, us_out, cost_out, conv_out, iters_out, gnorm_out,
+            mu_out,
+            traj_s, traj_u, ks_ref, Ks_ref, s_scr):
+    par = par_ref[...]
+    lb = lb_ref[...]
+    ub = ub_ref[...]
+    c0, c1, c2, c3 = c_ref[0], c_ref[1], c_ref[2], c_ref[3]
+    dt = par[P_DT]
+    zeros = jnp.zeros((_LANES,), dtype)
+    alphas = [0.5 ** j for j in range(n_alpha)]
+
+    wv2 = 2.0 * par[P_WVEL]
+    wc2 = 2.0 * par[P_WCTE]
+    we2 = 2.0 * par[P_WETH]
+    ww2 = 2.0 * par[P_WANG]
+    wa2 = 2.0 * par[P_WACC]
+
+    # ---------------- shared per-stage math (values in, values out) ------
+
+    def dyn_step(s_a, u0, u1):
+        x, y, th, v, cte, eth = (s_a[i] for i in range(6))
+        f0 = c0 + x * (c1 + x * (c2 + x * c3))
+        return jnp.stack([
+            x + v * jnp.cos(th) * dt,
+            y + v * jnp.sin(th) * dt,
+            th + u0 * dt,
+            v + u1 * dt,
+            (f0 - y) + sign * v * jnp.sin(eth) * dt,
+            eth + u0 * dt,
+            u0,
+            u1,
+        ])
+
+    def stage_cost(s_rows, u0, u1, rate):
+        du0 = u0 - s_rows[6]
+        du1 = u1 - s_rows[7]
+        return (par[P_WCTE] * (s_rows[4] - par[P_RCTE]) ** 2
+                + par[P_WETH] * (s_rows[5] - par[P_RETH]) ** 2
+                + par[P_WVEL] * (s_rows[3] - par[P_RVEL]) ** 2
+                + par[P_WANG] * u0 ** 2 + par[P_WACC] * u1 ** 2
+                + rate * (par[P_WDANG] * du0 ** 2 + par[P_WDACC] * du1 ** 2))
+
+    def term_cost(s_rows):
+        return (par[P_WCTE] * (s_rows[4] - par[P_RCTE]) ** 2
+                + par[P_WETH] * (s_rows[5] - par[P_RETH]) ** 2
+                + par[P_WVEL] * (s_rows[3] - par[P_RVEL]) ** 2)
+
+    # ---------------- initial rollout into buffer 0 ----------------------
+
+    s0 = jnp.concatenate(
+        [z0_ref[...], jnp.zeros((2, _LANES), dtype)], axis=0)
+    traj_s[0, 0] = s0
+
+    def init_body(t, acc):
+        s_a = traj_s[0, t]
+        u0 = u0_ref[t, 0]
+        u1 = u0_ref[t, 1]
+        traj_u[0, t] = jnp.stack([u0, u1])
+        rate = jnp.where(t >= 1, 1.0, 0.0).astype(dtype)
+        acc = acc + stage_cost(s_a, u0, u1, rate)
+        traj_s[0, t + 1] = dyn_step(s_a, u0, u1)
+        return acc
+
+    cost0 = jax.lax.fori_loop(0, T, init_body, zeros)
+    cost0 = cost0 + term_cost(traj_s[0, T])
+
+    # ---------------- SQP loop -------------------------------------------
+
+    def cond(carry):
+        it, cur, cost, mu, n_small, done, conv, gnorm, iters = carry
+        return jnp.logical_and(it < max_iters, jnp.sum(done) < _LANES - 0.5)
+
+    def body(carry):
+        it, cur, cost, mu, n_small, done, conv, gnorm, iters = carry
+        act = 1.0 - done
+
+        # ---- backward scan with inline linearization ----
+        sT = traj_s[cur, T]
+        Vs0 = jnp.stack([
+            zeros, zeros, zeros,
+            wv2 * (sT[3] - par[P_RVEL]),
+            wc2 * (sT[4] - par[P_RCTE]),
+            we2 * (sT[5] - par[P_RETH]),
+            zeros, zeros,
+        ])
+        diagT = [zeros, zeros, zeros, wv2, wc2, we2, zeros, zeros]
+        Vss0 = jnp.stack([
+            jnp.stack([jnp.broadcast_to(diagT[i], (_LANES,))
+                       if i == j else zeros for j in range(_N)])
+            for i in range(_N)
+        ])
+
+        def bwd_body(i, bcarry):
+            Vs, Vss, dv1, dv2, pg = bcarry
+            t = jnp.asarray(T - 1, jnp.int32) - i
+            s_t = traj_s[cur, t]
+            u_t = traj_u[cur, t]
+            rate = jnp.where(t >= 1, 1.0, 0.0).astype(dtype)
+
+            x = s_t[0]
+            th = s_t[2]
+            v = s_t[3]
+            eth = s_t[5]
+            ct, st = jnp.cos(th), jnp.sin(th)
+            ce, se = jnp.cos(eth), jnp.sin(eth)
+            fp = c1 + x * (2.0 * c2 + x * (3.0 * c3))
+            a02 = -v * st * dt
+            a03 = ct * dt
+            a12 = v * ct * dt
+            a13 = st * dt
+            a40 = fp
+            a43 = sign * se * dt
+            a45 = sign * v * ce * dt
+
+            def At_vec(y):
+                z = jnp.zeros_like(y[0])
+                return jnp.stack([
+                    y[0] + a40 * y[4],
+                    y[1] - y[4],
+                    a02 * y[0] + a12 * y[1] + y[2],
+                    a03 * y[0] + a13 * y[1] + y[3] + a43 * y[4],
+                    z,
+                    a45 * y[4] + y[5],
+                    z,
+                    z,
+                ])
+
+            def Bt_vec(y):
+                return jnp.stack([
+                    dt * (y[2] + y[5]) + y[6],
+                    dt * y[3] + y[7],
+                ])
+
+            wdw2 = 2.0 * rate * par[P_WDANG]
+            wda2 = 2.0 * rate * par[P_WDACC]
+            du0 = u_t[0] - s_t[6]
+            du1 = u_t[1] - s_t[7]
+            ls = jnp.stack([
+                zeros, zeros, zeros,
+                wv2 * (v - par[P_RVEL]),
+                wc2 * (s_t[4] - par[P_RCTE]),
+                we2 * (eth - par[P_RETH]),
+                -wdw2 * du0,
+                -wda2 * du1,
+            ])
+            lu = jnp.stack([
+                ww2 * u_t[0] + wdw2 * du0,
+                wa2 * u_t[1] + wda2 * du1,
+            ])
+            lss_diag = [zeros, zeros, zeros, wv2, wc2, we2, wdw2, wda2]
+
+            Qs = ls + At_vec(Vs)
+            Qu = lu + Bt_vec(Vs)
+            VA = jnp.stack([
+                Vss[:, 0] + a40 * Vss[:, 4],
+                Vss[:, 1] - Vss[:, 4],
+                a02 * Vss[:, 0] + a12 * Vss[:, 1] + Vss[:, 2],
+                a03 * Vss[:, 0] + a13 * Vss[:, 1] + Vss[:, 3]
+                + a43 * Vss[:, 4],
+                jnp.zeros_like(Vss[:, 0]),
+                a45 * Vss[:, 4] + Vss[:, 5],
+                jnp.zeros_like(Vss[:, 0]),
+                jnp.zeros_like(Vss[:, 0]),
+            ], axis=1)
+            AtVA = At_vec(VA)
+            Qss = jnp.stack([
+                jnp.stack([AtVA[i, j]
+                           + (jnp.broadcast_to(lss_diag[i], (_LANES,))
+                              if i == j else zeros)
+                           for j in range(_N)]) for i in range(_N)
+            ])
+            BtVA = Bt_vec(VA)
+            Qus = jnp.stack([
+                jnp.stack([BtVA[0, j] + (-wdw2 if j == 6 else zeros)
+                           for j in range(_N)]),
+                jnp.stack([BtVA[1, j] + (-wda2 if j == 7 else zeros)
+                           for j in range(_N)]),
+            ])
+            VB0 = dt * (Vss[:, 2] + Vss[:, 5]) + Vss[:, 6]
+            VB1 = dt * Vss[:, 3] + Vss[:, 7]
+            VB = jnp.stack([VB0, VB1], axis=1)
+            BtVB = Bt_vec(VB)
+            offd = 0.5 * (BtVB[0, 1] + BtVB[1, 0])
+            Quu = jnp.stack([
+                jnp.stack([BtVB[0, 0] + ww2 + wdw2, offd]),
+                jnp.stack([offd, BtVB[1, 1] + wa2 + wda2]),
+            ])
+            Quu_reg = jnp.stack([
+                jnp.stack([Quu[0, 0] + mu, Quu[0, 1]]),
+                jnp.stack([Quu[1, 0], Quu[1, 1] + mu]),
+            ])
+
+            k, K = _boxqp_tile(Quu_reg, Qu, lb - u_t, ub - u_t, Qus, dtype)
+
+            Quu_k = _mv(Quu, k, _M, _M)
+            Vs_n = (Qs + _mtv(K, Quu_k, _N, _M) + _mtv(K, Qu, _N, _M)
+                    + _mtv(Qus, k, _N, _M))
+            KtQuu = _mtm(K, Quu, _N, _M, _M)
+            Vss_n = (Qss + _mm(KtQuu, K, _N, _M, _N)
+                     + _mtm(K, Qus, _N, _M, _N) + _mtm(Qus, K, _N, _M, _N))
+            Vss_n = 0.5 * (Vss_n + Vss_n.transpose(1, 0, 2))
+
+            ks_ref[t] = k
+            Ks_ref[t] = K
+            dv1 = dv1 + k[0] * Qu[0] + k[1] * Qu[1]
+            dv2 = dv2 + 0.5 * (k[0] * Quu_k[0] + k[1] * Quu_k[1])
+            pg_t = jnp.maximum(
+                jnp.abs(u_t[0] - jnp.clip(u_t[0] - Qu[0], lb[0], ub[0])),
+                jnp.abs(u_t[1] - jnp.clip(u_t[1] - Qu[1], lb[1], ub[1])))
+            return (Vs_n, Vss_n, dv1, dv2, jnp.maximum(pg, pg_t))
+
+        _, _, dv1, dv2, pg = jax.lax.fori_loop(
+            0, T, bwd_body, (Vs0, Vss0, zeros, zeros, zeros))
+
+        pred_decrease = -(dv1 + dv2)
+        tiny_model = (pred_decrease
+                      <= tol_cost_eff * (1.0 + jnp.abs(cost))).astype(dtype)
+
+        # ---- multi-alpha line search ----
+        s0_t = traj_s[cur, 0]
+        for a in range(n_alpha):
+            s_scr[pl.ds(a * _N, _N)] = s0_t
+
+        def roll_body(t, accs):
+            s_b = traj_s[cur, t]
+            u_b = traj_u[cur, t]
+            k = ks_ref[t]
+            K = Ks_ref[t]
+            rate = jnp.where(t >= 1, 1.0, 0.0).astype(dtype)
+            new_accs = []
+            for a in range(n_alpha):
+                s_a = s_scr[pl.ds(a * _N, _N)]
+                ds = s_a - s_b
+                u0 = u_b[0] + alphas[a] * k[0] + sum(
+                    K[0, j] * ds[j] for j in range(_N))
+                u1 = u_b[1] + alphas[a] * k[1] + sum(
+                    K[1, j] * ds[j] for j in range(_N))
+                u0 = jnp.clip(u0, lb[0], ub[0])
+                u1 = jnp.clip(u1, lb[1], ub[1])
+                new_accs.append(accs[a] + stage_cost(s_a, u0, u1, rate))
+                s_scr[pl.ds(a * _N, _N)] = dyn_step(s_a, u0, u1)
+            return tuple(new_accs)
+
+        accs = jax.lax.fori_loop(0, T, roll_body,
+                                 tuple(zeros for _ in range(n_alpha)))
+        costs = [accs[a] + term_cost(s_scr[pl.ds(a * _N, _N)])
+                 for a in range(n_alpha)]
+
+        picked = zeros
+        alpha_sel = zeros
+        cost_sel = cost
+        for a in range(n_alpha):
+            improved = (costs[a] < cost).astype(dtype)
+            take = improved * (1.0 - jnp.minimum(picked, 1.0))
+            picked = picked + take
+            alpha_sel = alpha_sel + take * alphas[a]
+            cost_sel = jnp.where(take > 0.5, costs[a], cost_sel)
+        accepted = jnp.minimum(picked, 1.0)
+        upd = accepted * act
+
+        # ---- winner re-roll into the other buffer (masked) ----
+        nxt = 1 - cur
+        traj_s[nxt, 0] = s0_t
+        s_scr[pl.ds(0, _N)] = s0_t
+
+        def sel_body(t, _):
+            s_b = traj_s[cur, t]
+            u_b = traj_u[cur, t]
+            k = ks_ref[t]
+            K = Ks_ref[t]
+            s_a = s_scr[pl.ds(0, _N)]
+            ds = s_a - s_b
+            u0 = u_b[0] + alpha_sel * k[0] + sum(
+                K[0, j] * ds[j] for j in range(_N))
+            u1 = u_b[1] + alpha_sel * k[1] + sum(
+                K[1, j] * ds[j] for j in range(_N))
+            u0 = jnp.clip(u0, lb[0], ub[0])
+            u1 = jnp.clip(u1, lb[1], ub[1])
+            s_n = dyn_step(s_a, u0, u1)
+            s_scr[pl.ds(0, _N)] = s_n
+            traj_u[nxt, t] = (upd[None, :] * jnp.stack([u0, u1])
+                              + (1.0 - upd)[None, :] * u_b)
+            traj_s[nxt, t + 1] = (upd[None, :] * s_n
+                                  + (1.0 - upd)[None, :] * traj_s[cur, t + 1])
+            return 0
+
+        jax.lax.fori_loop(0, T, sel_body, 0)
+        cost2 = jnp.where(upd > 0.5, cost_sel, cost)
+
+        # ---- per-lane bookkeeping (matches batch_lane) ----
+        mu2 = jnp.where(
+            upd > 0.5, jnp.maximum(mu / mu_factor, mu_min),
+            jnp.where(act > 0.5, jnp.minimum(mu * mu_factor, mu_max), mu))
+        small_step = accepted * (
+            jnp.abs(cost - cost2)
+            <= tol_cost_eff * (1.0 + jnp.abs(cost))).astype(dtype)
+        n_small2 = jnp.where(act > 0.5,
+                             jnp.where(small_step > 0.5, n_small + 1.0, 0.0),
+                             n_small)
+        converged_now = jnp.maximum(
+            jnp.maximum((pg < tol_grad).astype(dtype),
+                        (n_small2 >= 2.0).astype(dtype)), tiny_model)
+        stalled = (1.0 - accepted) * (mu2 >= mu_max).astype(dtype)
+        done2 = jnp.where(act > 0.5,
+                          jnp.maximum(converged_now, stalled), done)
+        conv2 = jnp.where(act > 0.5, converged_now, conv)
+        gnorm2 = jnp.where(act > 0.5, pg, gnorm)
+        iters2 = iters + act
+        return (it + 1, nxt, cost2, mu2, n_small2, done2, conv2, gnorm2,
+                iters2)
+
+    init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), cost0,
+            jnp.full((_LANES,), mu_min, dtype), zeros, zeros, zeros,
+            jnp.full((_LANES,), jnp.inf, dtype), zeros)
+    (_, cur_f, cost_f, mu_f, _, done_f, conv_f, gnorm_f,
+     iters_f) = jax.lax.while_loop(cond, body, init)
+
+    # ---- outputs ----
+    def out_body(t, _):
+        ss_out[t] = traj_s[cur_f, t]
+
+        @pl.when(t < T)
+        def _():
+            us_out[t] = traj_u[cur_f, t]
+
+        return 0
+
+    jax.lax.fori_loop(0, T + 1, out_body, 0)
+    cost_out[0] = cost_f
+    conv_out[0] = conv_f
+    iters_out[0] = iters_f
+    gnorm_out[0] = gnorm_f
+    mu_out[0] = mu_f
+
+
+def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
+                 interpret: bool = False):
+    """Whole-solve megakernel. Batch-last inputs: zT (6,B), cT (4,B),
+    params_pack (12,B), lb/ub (2,B), u0 (T,2,B) initial controls.
+
+    Returns (ss (T+1,8,B), us (T,2,B), cost (B,), conv (B,), iters (B,),
+    gnorm (B,), mu (B,)).
+    """
+    T = cfg.n_controls
+    B = zT.shape[-1]
+    assert B % _LANES == 0
+    grid = (B // _LANES,)
+    tol_cost_eff = max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps))
+
+    def lane_spec(*dims):
+        ndim = len(dims)
+        return pl.BlockSpec(
+            dims + (_LANES,),
+            lambda i, nd=ndim: (0,) * nd + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _kernel, T, cfg.ls_iters, cfg.max_sqp_iters, float(cfg.cte_vsin_sign),
+        float(cfg.tol_grad), float(tol_cost_eff), float(cfg.mu_init),
+        float(cfg.mu_max), float(cfg.mu_factor), dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lane_spec(6),            # z0
+            lane_spec(4),            # coeffs
+            lane_spec(N_PAR),        # params
+            lane_spec(_M),           # lb
+            lane_spec(_M),           # ub
+            lane_spec(T, _M),        # u_init
+        ],
+        out_specs=[
+            lane_spec(T + 1, _N),
+            lane_spec(T, _M),
+            lane_spec(1),
+            lane_spec(1),
+            lane_spec(1),
+            lane_spec(1),
+            lane_spec(1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T + 1, _N, B), dtype),
+            jax.ShapeDtypeStruct((T, _M, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, T + 1, _N, _LANES), dtype),    # traj_s
+            pltpu.VMEM((2, T, _M, _LANES), dtype),        # traj_u
+            pltpu.VMEM((T, _M, _LANES), dtype),           # ks
+            pltpu.VMEM((T, _M, _N, _LANES), dtype),       # Ks
+            pltpu.VMEM((cfg.ls_iters * _N, _LANES), dtype),
+        ],
+        interpret=interpret,
+    )(zT, cT, params_pack, lb, ub, u0)
+    ss, us, cost, conv, iters, gnorm, mu = out
+    return ss, us, cost[0], conv[0], iters[0], gnorm[0], mu[0]

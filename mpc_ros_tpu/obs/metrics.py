@@ -10,7 +10,7 @@ trajectory, plus an aggregator for run-level latency/convergence stats.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config import MPCParams, SolverConfig
 from ..engine.batch import make_random_scenarios
-from .mesh import DATA_AXIS, make_mesh, batch_sharding
+from .mesh import make_mesh, batch_sharding
 from .sharded import sharded_sweep
 
 

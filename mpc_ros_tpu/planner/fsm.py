@@ -15,7 +15,6 @@ import enum
 
 import numpy as np
 
-from ..ops import frames  # noqa: F401  (angle conventions shared with jax side)
 
 
 class DrivingState(enum.Enum):

@@ -14,7 +14,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..planner.planner import MPCPlanner, CycleInfo
+from ..planner.planner import MPCPlanner
 
 
 @dataclasses.dataclass

@@ -7,7 +7,6 @@ import numpy as np
 from mpc_ros_tpu.config import MPCParams, SolverConfig
 from mpc_ros_tpu.engine import batch_solve, batch_solve_swept, make_random_scenarios
 from mpc_ros_tpu.parallel import make_mesh, sharded_sweep
-from mpc_ros_tpu.solver import ilqr
 
 
 def test_batch_solve_shapes():

@@ -1,7 +1,6 @@
 """Native runtime tests: seqlock topics (tear-free under contention),
 rate executor deadlines, CSV logger schema."""
 
-import os
 import struct
 import threading
 import time
@@ -101,8 +100,6 @@ def test_native_csv_matches_reference_schema(tmp_path):
 def test_realtime_closed_loop_meets_deadlines():
     """Real-time paced closed loop: solves at dt=0.05 must meet the period
     (the reference's 0.5 s cap could blow it 10x — SURVEY.md §6)."""
-    import jax.numpy as jnp
-
     from mpc_ros_tpu.config import MPCParams, PlannerConfig, SolverConfig
     from mpc_ros_tpu.planner import MPCPlanner
     from mpc_ros_tpu.sim import infinity, run_closed_loop

@@ -7,8 +7,8 @@ import numpy as np
 
 from mpc_ros_tpu.config import MPCParams, PlannerConfig, SolverConfig
 from mpc_ros_tpu.planner import MPCPlanner
-from mpc_ros_tpu.planner.node import (POSE_FMT, TWIST_FMT, PlannerNode,
-                                      pack_pose, pack_twist)
+from mpc_ros_tpu.planner.node import (TWIST_FMT, PlannerNode, pack_pose,
+                                      pack_twist)
 
 
 def test_node_closed_loop_over_topics():

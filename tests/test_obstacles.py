@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpc_ros_tpu.config import MPCParams, SolverConfig
-from mpc_ros_tpu.models.obstacles import (ObstacleMap, bilinear_sample,
+from mpc_ros_tpu.models.obstacles import (bilinear_sample,
                                           gaussian_blob_map, obstacle_cost,
                                           obstacle_grad_xy)
 from mpc_ros_tpu.solver import ilqr

@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from mpc_ros_tpu.config import MPCParams, PlannerConfig, PlannerLimits, SolverConfig
+from mpc_ros_tpu.config import MPCParams, PlannerConfig, SolverConfig
 from mpc_ros_tpu.planner import plan_utils, MPCPlanner
 from mpc_ros_tpu.planner.fsm import (DrivingState, check_transition,
                                      rotate_command, seed_state)
@@ -95,8 +95,6 @@ def test_rotate_command_p_control_and_wrap():
 # -- lifecycle --------------------------------------------------------------
 
 def _mk_planner(**plan_kw):
-    import jax.numpy as jnp
-
     p = MPCParams(dt=0.1, ref_vel=0.5, w_cte=300.0)
     planner = MPCPlanner(params=p, solver_cfg=SolverConfig(n_steps=10),
                          planner_cfg=PlannerConfig(**plan_kw))

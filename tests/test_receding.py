@@ -2,10 +2,7 @@
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from mpc_ros_tpu.config import MPCParams, SolverConfig
-from mpc_ros_tpu.engine import make_random_scenarios
 from mpc_ros_tpu.engine.receding import receding_horizon_rollout
 
 
