@@ -79,14 +79,18 @@ class SolverConfig:
     # converged=False). 1.0 = run until every lane is done — the whole
     # batch pays the slowest lane's iteration count.
     done_frac: float = 1.0
-    # backward-pass kernel for the lane-major batched solver:
-    #   "auto"   -> fused Pallas kernel on TPU (f32, batch % 128 == 0),
-    #               XLA scan otherwise
-    #   "xla"    -> always the XLA lax.scan path
-    #   "pallas" -> force the Pallas kernel (errors off-TPU/odd shapes)
-    # The Pallas kernel measured 7.4x faster AND ~3000x more accurate than
-    # the XLA scan on v5e (XLA routes the batched 8x8 einsums through the
-    # MXU in bf16; the kernel is pure f32 VPU) — see kernels/backward_pallas.
+    # kernel selection for the lane-major batched solver
+    # (f32, batch % 128 == 0, no obstacle maps — else XLA paths):
+    #   "auto"   -> whole-solve Pallas megakernel on TPU
+    #               (kernels/solve_pallas.py: per-tile adaptive iteration,
+    #               trajectories VMEM-resident for the entire solve),
+    #               XLA elsewhere
+    #   "mega"   -> force the megakernel
+    #   "pallas" -> the two-kernel design (fused backward + fused forward)
+    #   "xla"    -> pure XLA lax.scan paths
+    # The Pallas kernels measured ~5x faster AND ~3000x more accurate than
+    # the XLA scans on v5e (XLA routes the batched 8x8 einsums through the
+    # MXU in bf16; the kernels are pure f32 VPU).
     backward: str = "auto"
     # horizon-parallel backward pass: O(log N) associative-scan Riccati
     # (solver/riccati.py) instead of the O(N) sequential scan — exact while

@@ -109,12 +109,24 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
     # ---------------- SQP loop -------------------------------------------
 
+    # Per-lane loop state packed as rows of ONE (8, 128) register tile:
+    # Mosaic rejects 1-D and mishandles (1, 128) while-loop carries.
+    R_COST, R_MU, R_NSMALL, R_DONE, R_CONV, R_GNORM, R_ITERS, R_PAD = range(8)
+
     def cond(carry):
-        it, cur, cost, mu, n_small, done, conv, gnorm, iters = carry
-        return jnp.logical_and(it < max_iters, jnp.sum(done) < _LANES - 0.5)
+        it, cur, regs = carry
+        return jnp.logical_and(it < max_iters,
+                               jnp.sum(regs[R_DONE]) < _LANES - 0.5)
 
     def body(carry):
-        it, cur, cost, mu, n_small, done, conv, gnorm, iters = carry
+        it, cur, regs = carry
+        cost = regs[R_COST]
+        mu = regs[R_MU]
+        n_small = regs[R_NSMALL]
+        done = regs[R_DONE]
+        conv = regs[R_CONV]
+        gnorm = regs[R_GNORM]
+        iters = regs[R_ITERS]
         act = 1.0 - done
 
         # ---- backward scan with inline linearization ----
@@ -349,14 +361,21 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         conv2 = jnp.where(act > 0.5, converged_now, conv)
         gnorm2 = jnp.where(act > 0.5, pg, gnorm)
         iters2 = iters + act
-        return (it + 1, nxt, cost2, mu2, n_small2, done2, conv2, gnorm2,
-                iters2)
+        regs2 = jnp.stack([cost2, mu2, n_small2, done2, conv2, gnorm2,
+                           iters2, zeros])
+        return (it + 1, nxt, regs2)
 
-    init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), cost0,
-            jnp.full((_LANES,), mu_min, dtype), zeros, zeros, zeros,
-            jnp.full((_LANES,), jnp.inf, dtype), zeros)
-    (_, cur_f, cost_f, mu_f, _, done_f, conv_f, gnorm_f,
-     iters_f) = jax.lax.while_loop(cond, body, init)
+    regs0 = jnp.stack([
+        cost0, jnp.full((_LANES,), mu_min, dtype), zeros, zeros, zeros,
+        jnp.full((_LANES,), jnp.inf, dtype), zeros, zeros])
+    (_, cur_f, regs_f) = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                     regs0))
+    cost_f = regs_f[R_COST]
+    mu_f = regs_f[R_MU]
+    conv_f = regs_f[R_CONV]
+    gnorm_f = regs_f[R_GNORM]
+    iters_f = regs_f[R_ITERS]
 
     # ---- outputs ----
     def out_body(t, _):

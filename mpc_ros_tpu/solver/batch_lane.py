@@ -429,12 +429,30 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             keep_going = jnp.mean(done.astype(dtype)) < cfg.done_frac
         return jnp.logical_and(it < cfg.max_sqp_iters, keep_going)
 
-    use_pallas = (omaps is None
-                  and (cfg.backward == "pallas"
-                       or (cfg.backward == "auto"
-                           and jax.default_backend() == "tpu"
-                           and B % 128 == 0
-                           and dtype == jnp.float32)))
+    kernels_ok = (omaps is None and B % 128 == 0 and dtype == jnp.float32)
+    on_tpu = jax.default_backend() == "tpu"
+    # "auto" -> whole-solve megakernel on TPU; "mega" forces it;
+    # "pallas" = the two-kernel (backward+forward) design; "xla" = pure XLA
+    use_mega = kernels_ok and (
+        cfg.backward == "mega" or (cfg.backward == "auto" and on_tpu))
+    use_pallas = (not use_mega) and kernels_ok and cfg.backward == "pallas"
+
+    if use_mega:
+        from ..kernels.backward_fused_pallas import pack_params
+        from ..kernels.solve_pallas import solve_pallas
+
+        pp = pack_params(p, B, dtype)
+        ss_f, us_f, cost_f, conv_f, iters_f, gnorm_f, mu_f = solve_pallas(
+            zT, cT, pp, lb, ub, us0, cfg, dtype=dtype)
+        return SolveResult(
+            us=jnp.moveaxis(us_f, -1, 0),
+            zs=jnp.moveaxis(ss_f[:, :6, :], -1, 0),
+            cost=cost_f,
+            converged=conv_f > 0.5,
+            n_iters=iters_f.astype(jnp.int32),
+            grad_norm=gnorm_f,
+            reg=mu_f,
+        )
 
     def body(st):
         ss, us, cost, mu, it, done, gnorm, n_small, conv, iters = st
