@@ -35,7 +35,11 @@ def main() -> None:
                     help="fixed SQP iteration cap for the throughput run")
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--obstacles", action="store_true",
-                    help="add per-scenario costmap obstacle penalty terms")
+                    help="add per-scenario parametric (Gaussian-blob) "
+                         "obstacle penalties — runs inside the megakernel")
+    ap.add_argument("--obstacles-grid", action="store_true",
+                    help="add per-scenario grid-costmap obstacle penalties "
+                         "(bilinear sampling; XLA lane path)")
     ap.add_argument("--sweep", action="store_true",
                     help="Monte-Carlo tuning-sweep metric: 100k+ per-weight"
                          "-candidate solves in one program")
@@ -148,11 +152,25 @@ def main() -> None:
         }))
         return
 
-    if args.engine == "lane" and not args.obstacles:
+    if args.obstacles:
+        # parametric Gaussian-blob obstacles: same field as the grid bench
+        # below (one blob at a random spot ahead) + 3 inert far blobs to
+        # exercise the K=4 cost, analytic grad/curvature in the megakernel
+        from mpc_ros_tpu.models.obstacles import GaussianObstacles
         from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
 
-        solve_fn = lambda: batch_solve_lane(z0s, coeffs, p, cfg)
-    elif args.obstacles:
+        K = 4
+        centers = jax.random.uniform(jax.random.PRNGKey(1), (batch, 2),
+                                     dtype, 0.3, 1.2)
+        cxs = jnp.concatenate([centers[:, :1],
+                               jnp.full((batch, K - 1), 50.0, dtype)], axis=1)
+        cys = jnp.concatenate([centers[:, 1:],
+                               jnp.full((batch, K - 1), 50.0, dtype)], axis=1)
+        blobs = GaussianObstacles.from_sigmas(
+            cxs, cys, jnp.full((batch, K), 0.3, dtype),
+            jnp.full((batch, K), 100.0, dtype))
+        solve_fn = lambda: batch_solve_lane(z0s, coeffs, p, cfg, blobs=blobs)
+    elif args.obstacles_grid:
         from mpc_ros_tpu.models.obstacles import gaussian_blob_map
         from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
 
@@ -161,6 +179,10 @@ def main() -> None:
         omaps = jax.vmap(lambda c: gaussian_blob_map(
             (c[0], c[1]), sigma=0.3, weight=100.0, dtype=dtype))(centers)
         solve_fn = lambda: batch_solve_lane(z0s, coeffs, p, cfg, omaps=omaps)
+    elif args.engine == "lane":
+        from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+        solve_fn = lambda: batch_solve_lane(z0s, coeffs, p, cfg)
     else:
         solve_fn = lambda: batch_solve(z0s, coeffs, p, cfg)
 
@@ -198,8 +220,9 @@ def main() -> None:
     lat = np.asarray(lat)
 
     target_per_chip = 10000.0 / 8.0  # BASELINE.md: >=10k solves/s on 1 v5e host
-    suffix = "_obstacles" if args.obstacles else ""
-    suffix += "" if args.engine == "lane" or args.obstacles else "_vmap"
+    suffix = ("_obstacles" if args.obstacles
+              else "_obstacles_grid" if args.obstacles_grid else "")
+    suffix += "" if args.engine == "lane" or suffix else "_vmap"
     out = {
         "metric": f"nmpc_solves_per_s_per_chip_n{n_steps}{suffix}",
         "value": round(solves_per_s, 1),

@@ -39,11 +39,16 @@ _LANES = 128
 
 def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             tol_grad: float, tol_cost_eff: float, mu_min: float,
-            mu_max: float, mu_factor: float, dtype,
-            z0_ref, c_ref, par_ref, lb_ref, ub_ref, u0_ref,
-            ss_out, us_out, cost_out, conv_out, iters_out, gnorm_out,
-            mu_out,
-            traj_s, traj_u, ks_ref, Ks_ref, s_scr):
+            mu_max: float, mu_factor: float, dtype, n_blobs: int,
+            *refs):
+    (z0_ref, c_ref, par_ref, lb_ref, ub_ref, u0_ref) = refs[:6]
+    i = 6
+    if n_blobs:
+        bx_ref, by_ref, bg_ref, bw_ref = refs[6:10]
+        i = 10
+    (ss_out, us_out, cost_out, conv_out, iters_out, gnorm_out,
+     mu_out) = refs[i:i + 7]
+    traj_s, traj_u, ks_ref, Ks_ref, s_scr = refs[i + 7:]
     par = par_ref[...]
     lb = lb_ref[...]
     ub = ub_ref[...]
@@ -51,6 +56,37 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
     dt = par[P_DT]
     zeros = jnp.zeros((_LANES,), dtype)
     alphas = [0.5 ** j for j in range(n_alpha)]
+    if n_blobs:
+        bx = bx_ref[...]
+        by = by_ref[...]
+        bg = bg_ref[...]
+        bw = bw_ref[...]
+
+    def obs_val(x, y):
+        """Parametric obstacle penalty sum_k w exp(-|d|^2 g) — pure VPU."""
+        tot = zeros
+        for k in range(n_blobs):
+            dx = x - bx[k]
+            dy = y - by[k]
+            tot = tot + bw[k] * jnp.exp(-(dx * dx + dy * dy) * bg[k])
+        return tot
+
+    def obs_terms(x, y):
+        """Gradient + PSD Gauss-Newton curvature (see blob_terms_bl)."""
+        gx = gy = hxx = hxy = hyy = zeros
+        for k in range(n_blobs):
+            dx = x - bx[k]
+            dy = y - by[k]
+            g = bg[k]
+            v = bw[k] * jnp.exp(-(dx * dx + dy * dy) * g)
+            tg = 2.0 * g
+            gx = gx - tg * dx * v
+            gy = gy - tg * dy * v
+            s = tg * tg * v
+            hxx = hxx + s * dx * dx
+            hxy = hxy + s * dx * dy
+            hyy = hyy + s * dy * dy
+        return gx, gy, hxx, hxy, hyy
 
     wv2 = 2.0 * par[P_WVEL]
     wc2 = 2.0 * par[P_WCTE]
@@ -77,16 +113,22 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
     def stage_cost(s_rows, u0, u1, rate):
         du0 = u0 - s_rows[6]
         du1 = u1 - s_rows[7]
-        return (par[P_WCTE] * (s_rows[4] - par[P_RCTE]) ** 2
-                + par[P_WETH] * (s_rows[5] - par[P_RETH]) ** 2
-                + par[P_WVEL] * (s_rows[3] - par[P_RVEL]) ** 2
-                + par[P_WANG] * u0 ** 2 + par[P_WACC] * u1 ** 2
-                + rate * (par[P_WDANG] * du0 ** 2 + par[P_WDACC] * du1 ** 2))
+        c = (par[P_WCTE] * (s_rows[4] - par[P_RCTE]) ** 2
+             + par[P_WETH] * (s_rows[5] - par[P_RETH]) ** 2
+             + par[P_WVEL] * (s_rows[3] - par[P_RVEL]) ** 2
+             + par[P_WANG] * u0 ** 2 + par[P_WACC] * u1 ** 2
+             + rate * (par[P_WDANG] * du0 ** 2 + par[P_WDACC] * du1 ** 2))
+        if n_blobs:
+            c = c + obs_val(s_rows[0], s_rows[1])
+        return c
 
     def term_cost(s_rows):
-        return (par[P_WCTE] * (s_rows[4] - par[P_RCTE]) ** 2
-                + par[P_WETH] * (s_rows[5] - par[P_RETH]) ** 2
-                + par[P_WVEL] * (s_rows[3] - par[P_RVEL]) ** 2)
+        c = (par[P_WCTE] * (s_rows[4] - par[P_RCTE]) ** 2
+             + par[P_WETH] * (s_rows[5] - par[P_RETH]) ** 2
+             + par[P_WVEL] * (s_rows[3] - par[P_RVEL]) ** 2)
+        if n_blobs:
+            c = c + obs_val(s_rows[0], s_rows[1])
+        return c
 
     # ---------------- initial rollout into buffer 0 ----------------------
 
@@ -131,17 +173,28 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
         # ---- backward scan with inline linearization ----
         sT = traj_s[cur, T]
+        if n_blobs:
+            ogxT, ogyT, ohxxT, ohxyT, ohyyT = obs_terms(sT[0], sT[1])
+        else:
+            ogxT = ogyT = ohxxT = ohxyT = ohyyT = zeros
         Vs0 = jnp.stack([
-            zeros, zeros, zeros,
+            ogxT, ogyT, zeros,
             wv2 * (sT[3] - par[P_RVEL]),
             wc2 * (sT[4] - par[P_RCTE]),
             we2 * (sT[5] - par[P_RETH]),
             zeros, zeros,
         ])
-        diagT = [zeros, zeros, zeros, wv2, wc2, we2, zeros, zeros]
+        diagT = [ohxxT, ohyyT, zeros, wv2, wc2, we2, zeros, zeros]
+
+        def vss0_entry(i, j):
+            if i == j:
+                return jnp.broadcast_to(diagT[i], (_LANES,))
+            if n_blobs and {i, j} == {0, 1}:
+                return ohxyT
+            return zeros
+
         Vss0 = jnp.stack([
-            jnp.stack([jnp.broadcast_to(diagT[i], (_LANES,))
-                       if i == j else zeros for j in range(_N)])
+            jnp.stack([vss0_entry(i, j) for j in range(_N)])
             for i in range(_N)
         ])
 
@@ -190,8 +243,12 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             wda2 = 2.0 * rate * par[P_WDACC]
             du0 = u_t[0] - s_t[6]
             du1 = u_t[1] - s_t[7]
+            if n_blobs:
+                ogx, ogy, ohxx, ohxy, ohyy = obs_terms(s_t[0], s_t[1])
+            else:
+                ogx = ogy = ohxx = ohxy = ohyy = zeros
             ls = jnp.stack([
-                zeros, zeros, zeros,
+                ogx, ogy, zeros,
                 wv2 * (v - par[P_RVEL]),
                 wc2 * (s_t[4] - par[P_RCTE]),
                 we2 * (eth - par[P_RETH]),
@@ -218,11 +275,23 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                 jnp.zeros_like(Vss[:, 0]),
             ], axis=1)
             AtVA = At_vec(VA)
+
+            def qss_entry(i, j):
+                e = AtVA[i, j]
+                if i == j:
+                    e = e + jnp.broadcast_to(lss_diag[i], (_LANES,))
+                if n_blobs:
+                    if i == 0 and j == 0:
+                        e = e + ohxx
+                    elif i == 1 and j == 1:
+                        e = e + ohyy
+                    elif {i, j} == {0, 1}:
+                        e = e + ohxy
+                return e
+
             Qss = jnp.stack([
-                jnp.stack([AtVA[i, j]
-                           + (jnp.broadcast_to(lss_diag[i], (_LANES,))
-                              if i == j else zeros)
-                           for j in range(_N)]) for i in range(_N)
+                jnp.stack([qss_entry(i, j) for j in range(_N)])
+                for i in range(_N)
             ])
             BtVA = Bt_vec(VA)
             Qus = jnp.stack([
@@ -396,9 +465,15 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
 
 def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
-                 interpret: bool = False):
+                 interpret: bool = False, blobs=None):
     """Whole-solve megakernel. Batch-last inputs: zT (6,B), cT (4,B),
     params_pack (12,B), lb/ub (2,B), u0 (T,2,B) initial controls.
+
+    `blobs`: optional lane-major parametric obstacles — a tuple of four
+    (K, B) arrays (cx, cy, gamma, w) from `GaussianObstacles.lane()`. The
+    penalty, its gradient and its PSD Gauss-Newton curvature are evaluated
+    inline per stage (pure VPU math — this is why grids stay on the XLA
+    path but blobs run at full megakernel speed).
 
     Returns (ss (T+1,8,B), us (T,2,B), cost (B,), conv (B,), iters (B,),
     gnorm (B,), mu (B,)).
@@ -408,6 +483,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
     assert B % _LANES == 0
     grid = (B // _LANES,)
     tol_cost_eff = max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps))
+    n_blobs = 0 if blobs is None else blobs[0].shape[0]
 
     def lane_spec(*dims):
         ndim = len(dims)
@@ -420,7 +496,10 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
     kernel = functools.partial(
         _kernel, T, cfg.ls_iters, cfg.max_sqp_iters, float(cfg.cte_vsin_sign),
         float(cfg.tol_grad), float(tol_cost_eff), float(cfg.mu_init),
-        float(cfg.mu_max), float(cfg.mu_factor), dtype)
+        float(cfg.mu_max), float(cfg.mu_factor), dtype, n_blobs)
+    blob_inputs = [] if n_blobs == 0 else [
+        jnp.asarray(a, dtype) for a in blobs]
+    blob_specs = [] if n_blobs == 0 else [lane_spec(n_blobs)] * 4
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -431,7 +510,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
             lane_spec(_M),           # lb
             lane_spec(_M),           # ub
             lane_spec(T, _M),        # u_init
-        ],
+        ] + blob_specs,
         out_specs=[
             lane_spec(T + 1, _N),
             lane_spec(T, _M),
@@ -458,6 +537,6 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
             pltpu.VMEM((cfg.ls_iters * _N, _LANES), dtype),
         ],
         interpret=interpret,
-    )(zT, cT, params_pack, lb, ub, u0)
+    )(zT, cT, params_pack, lb, ub, u0, *blob_inputs)
     ss, us, cost, conv, iters, gnorm, mu = out
     return ss, us, cost[0], conv[0], iters[0], gnorm[0], mu[0]

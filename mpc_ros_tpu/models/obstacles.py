@@ -139,6 +139,139 @@ def obstacle_cost_grad_bl(omaps: "ObstacleMap", x: jnp.ndarray,
     return wgt * val, wgt * dx, wgt * dy
 
 
+@struct.dataclass
+class GaussianObstacles:
+    """Parametric obstacle field: K Gaussian blobs per scenario.
+
+    cost(x, y) = sum_k w[k] * exp(-((x-cx[k])^2 + (y-cy[k])^2) * gamma[k]),
+    gamma = 1 / (2 sigma^2). All leaves are batch-major (B, K) (or (K,) for
+    a single scenario).
+
+    This is the TPU-fast obstacle representation: smooth (C-inf) with an
+    analytic gradient AND a PSD Gauss-Newton curvature term, and pure
+    elementwise VPU math — no grid gathers — so it runs inside the
+    whole-solve Pallas megakernel at full speed. Grid costmaps
+    (`ObstacleMap`) remain supported on the XLA paths for exact costmap_2d
+    parity; `fit_gaussians_to_map` converts a grid into blobs for the fast
+    path.
+    """
+
+    cx: Array      # (B, K) blob centers x
+    cy: Array      # (B, K) blob centers y
+    gamma: Array   # (B, K) 1 / (2 sigma^2)
+    w: Array       # (B, K) weights (penalty height)
+
+    @staticmethod
+    def from_sigmas(cx, cy, sigma, w) -> "GaussianObstacles":
+        cx = jnp.asarray(cx)
+        sigma = jnp.broadcast_to(jnp.asarray(sigma, cx.dtype), cx.shape)
+        return GaussianObstacles(
+            cx=cx, cy=jnp.asarray(cy),
+            gamma=1.0 / (2.0 * sigma * sigma),
+            w=jnp.broadcast_to(jnp.asarray(w, cx.dtype), cx.shape),
+        )
+
+    @property
+    def n_blobs(self) -> int:
+        return self.cx.shape[-1]
+
+    def lane(self):
+        """Lane-major views: four (K, B) arrays (cx, cy, gamma, w)."""
+        t = lambda a: jnp.swapaxes(jnp.atleast_2d(a), 0, 1)
+        return t(self.cx), t(self.cy), t(self.gamma), t(self.w)
+
+
+def blob_cost(blobs: GaussianObstacles, xy: jnp.ndarray) -> jnp.ndarray:
+    """Total blob penalty over points xy (..., 2) for ONE scenario
+    (blob leaves (K,)); summed over all leading axes."""
+    dx = xy[..., 0:1] - blobs.cx
+    dy = xy[..., 1:2] - blobs.cy
+    return jnp.sum(blobs.w * jnp.exp(-(dx * dx + dy * dy) * blobs.gamma))
+
+
+def blob_terms_bl(bx, by, bg, bw, x, y):
+    """Batch-last blob cost/gradient/GN-curvature at points.
+
+    bx, by, bg, bw: (K, B) lane-major blob params (`GaussianObstacles.lane`).
+    x, y: (..., B) points. Returns (val, gx, gy, hxx, hxy, hyy), each
+    (..., B), summed over blobs.
+
+    The exact Hessian of one blob is v * (4 g^2 d d^T - 2 g I); the -2 g I
+    part is negative (the penalty is concave at its peak), so Gauss-Newton
+    keeps only the PSD outer-product part 4 g^2 v d d^T — the gradient stays
+    exact, curvature is a convex upper model, and the Levenberg mu absorbs
+    the rest (standard GN treatment of repulsive penalties).
+    """
+    K = bx.shape[0]
+    shp = x.shape
+    val = gx = gy = hxx = hxy = hyy = jnp.zeros(shp, x.dtype)
+    for k in range(K):
+        dx = x - bx[k]
+        dy = y - by[k]
+        g = bg[k]
+        v = bw[k] * jnp.exp(-(dx * dx + dy * dy) * g)
+        tg = 2.0 * g
+        val = val + v
+        gx = gx - tg * dx * v
+        gy = gy - tg * dy * v
+        s = tg * tg * v
+        hxx = hxx + s * dx * dx
+        hxy = hxy + s * dx * dy
+        hyy = hyy + s * dy * dy
+    return val, gx, gy, hxx, hxy, hyy
+
+
+def fit_gaussians_to_map(omap: ObstacleMap, n_blobs: int = 4,
+                         min_peak: float = 1e-3) -> GaussianObstacles:
+    """Fit K Gaussian blobs to a grid costmap by greedy peak peeling.
+
+    Repeatedly takes the residual grid's peak cell, estimates sigma from the
+    second difference at the peak (a Gaussian's log-curvature:
+    d2/dx2 log g = -1/sigma^2), subtracts the fitted blob, and repeats.
+    Host-side prep (numpy); the result feeds the megakernel fast path.
+    Peaks below `min_peak` produce zero-weight blobs (padding).
+    """
+    import numpy as np
+
+    grid = np.asarray(omap.grid, np.float64).copy()
+    H, W = grid.shape
+    res = float(omap.resolution)
+    ox, oy = float(omap.origin[0]), float(omap.origin[1])
+    wmul = float(omap.weight)
+    dtype = omap.grid.dtype
+
+    cxs, cys, sigmas, ws = [], [], [], []
+    for _ in range(n_blobs):
+        iy, ix = np.unravel_index(np.argmax(grid), grid.shape)
+        peak = grid[iy, ix]
+        if peak < min_peak:
+            cxs.append(0.0), cys.append(0.0), sigmas.append(1.0), ws.append(0.0)
+            continue
+        # sigma from the discrete log-curvature at the peak (clamped inside)
+        i0x, i1x = max(ix - 1, 0), min(ix + 1, W - 1)
+        i0y, i1y = max(iy - 1, 0), min(iy + 1, H - 1)
+        eps = 1e-12
+        cxx = (np.log(grid[iy, i1x] + eps) - 2.0 * np.log(peak + eps)
+               + np.log(grid[iy, i0x] + eps)) / res**2
+        cyy = (np.log(grid[i1y, ix] + eps) - 2.0 * np.log(peak + eps)
+               + np.log(grid[i0y, ix] + eps)) / res**2
+        curv = max(-0.5 * (cxx + cyy), 1.0 / (20.0 * res) ** 2)
+        sigma = 1.0 / np.sqrt(curv)
+        cx = ox + ix * res
+        cy = oy + iy * res
+        X = ox + np.arange(W) * res
+        Y = oy + np.arange(H) * res
+        XX, YY = np.meshgrid(X, Y)
+        blob = peak * np.exp(-((XX - cx) ** 2 + (YY - cy) ** 2)
+                             / (2.0 * sigma**2))
+        grid = np.maximum(grid - blob, 0.0)
+        cxs.append(cx), cys.append(cy), sigmas.append(sigma)
+        ws.append(peak * wmul)
+    return GaussianObstacles.from_sigmas(
+        jnp.asarray(cxs, dtype), jnp.asarray(cys, dtype),
+        jnp.asarray(sigmas, dtype), jnp.asarray(ws, dtype))
+
+
 def gaussian_blob_map(center, sigma: float = 0.4, extent: float = 4.0,
                       cells: int = 64, weight: float = 50.0,
                       dtype=jnp.float32) -> ObstacleMap:

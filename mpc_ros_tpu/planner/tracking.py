@@ -37,28 +37,28 @@ from .plan_utils import lookahead_heading
 
 
 @functools.lru_cache(maxsize=None)
-def _warm_solve_jit(cfg: SolverConfig, with_omap: bool = False):
-    """Jitted warm-started solve, compiled once per SolverConfig."""
+def _solve_jit(cfg: SolverConfig, warm: bool, with_omap: bool,
+               with_blobs: bool):
+    """Jitted (warm-started) solve, compiled once per SolverConfig and
+    obstacle signature. Call as f(z0, coeffs, p, [u_init], [omap], [blobs])
+    with only the enabled optionals present."""
 
-    if with_omap:
-        @jax.jit
-        def f(z0, coeffs, p, u_init, omap):
-            return ilqr.solve(z0, coeffs, p, cfg, u_init=u_init, omap=omap)
-    else:
-        @jax.jit
-        def f(z0, coeffs, p, u_init):
-            return ilqr.solve(z0, coeffs, p, cfg, u_init=u_init)
-
-    return f
-
-
-@functools.lru_cache(maxsize=None)
-def _cold_omap_solve_jit(cfg: SolverConfig):
     @jax.jit
-    def f(z0, coeffs, p, omap):
-        return ilqr.solve(z0, coeffs, p, cfg, omap=omap)
+    def f(z0, coeffs, p, u_init=None, omap=None, blobs=None):
+        return ilqr.solve(z0, coeffs, p, cfg, u_init=u_init, omap=omap,
+                          blobs=blobs)
 
-    return f
+    def call(z0, coeffs, p, u_init=None, omap=None, blobs=None):
+        kw = {}
+        if warm:
+            kw["u_init"] = u_init
+        if with_omap:
+            kw["omap"] = omap
+        if with_blobs:
+            kw["blobs"] = blobs
+        return f(z0, coeffs, p, **kw)
+
+    return call
 
 
 @dataclasses.dataclass
@@ -93,6 +93,10 @@ class TrackingController:
         # set per cycle by the embedder — the obstacle awareness the
         # reference wired up but never used in its NLP (SURVEY.md C1)
         self.obstacle_map = None
+        # optional parametric obstacles (models.obstacles.GaussianObstacles,
+        # leaves (K,)) — the TPU-fast smooth representation; use
+        # fit_gaussians_to_map to derive from a costmap snapshot
+        self.obstacles = None
 
     def reset(self) -> None:
         self.w = 0.0
@@ -187,22 +191,19 @@ class TrackingController:
         z0 = jnp.asarray(state, self.dtype)
         cj = jnp.asarray(coeffs, self.dtype)
         omap = self.obstacle_map
-        if self._warm_us is None:
-            if omap is None:
-                res = ilqr.solve_jit(z0, cj, p, self.solver_cfg)
-            else:
-                res = _cold_omap_solve_jit(self.solver_cfg)(z0, cj, p, omap)
+        blobs = self.obstacles
+        warm = self._warm_us is not None
+        solve = _solve_jit(self.solver_cfg, warm, omap is not None,
+                           blobs is not None)
+        if not warm:
+            res = solve(z0, cj, p, omap=omap, blobs=blobs)
         else:
             # shift of the previous optimum — the warm start the reference
             # never had (quirk Q9)
             u_init = jnp.asarray(
                 np.concatenate([self._warm_us[1:], self._warm_us[-1:]]),
                 self.dtype)
-            if omap is None:
-                res = _warm_solve_jit(self.solver_cfg)(z0, cj, p, u_init)
-            else:
-                res = _warm_solve_jit(self.solver_cfg, True)(
-                    z0, cj, p, u_init, omap)
+            res = solve(z0, cj, p, u_init=u_init, omap=omap, blobs=blobs)
         us = np.asarray(res.us)
         self._warm_us = us
 

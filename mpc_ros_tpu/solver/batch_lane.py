@@ -278,7 +278,7 @@ def _stage_linexp_bl(s, u, coeffs, dt, sign, rate_on, p, dtype):
 
 
 def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
-                 omaps=None):
+                 omaps=None, blobs=None):
     """Control-limited Riccati scan, batch-last. mu: (B,).
 
     Stage Jacobians/quadratics are materialized for all T stages up front
@@ -300,6 +300,14 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
 
         _, gx, gy = obstacle_cost_grad_bl(omaps, ss[:-1, 0], ss[:-1, 1])
         l_s = l_s.at[:, 0].add(gx).at[:, 1].add(gy)
+    if blobs is not None:
+        from ..models.obstacles import blob_terms_bl
+
+        _, gx, gy, hxx, hxy, hyy = blob_terms_bl(
+            *blobs, ss[:-1, 0], ss[:-1, 1])
+        l_s = l_s.at[:, 0].add(gx).at[:, 1].add(gy)
+        l_ss = (l_ss.at[:, 0, 0].add(hxx).at[:, 0, 1].add(hxy)
+                .at[:, 1, 0].add(hxy).at[:, 1, 1].add(hyy))
 
     def step(carry, inp):
         Vs, Vss = carry
@@ -374,15 +382,19 @@ def _forward_multi_alpha_bl(ss_bar, us_bar, ks, Ks, alphas, coeffs, dt, sign,
 def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                      cfg: SolverConfig,
                      u_init: Optional[jnp.ndarray] = None,
-                     omaps=None) -> SolveResult:
+                     omaps=None, blobs=None) -> SolveResult:
     """Lane-major batched solve. z0s (B, 6), coeffs (B, P>=4); returns
     batch-major SolveResult identical (within fp tolerance) to
     engine.batch_solve. Per-scenario MPCParams leaves of shape (B,) are
     supported (they broadcast lane-wise).
 
     `omaps`: optional batched ObstacleMap (leaves with leading B) adding
-    per-scenario costmap penalties; obstacle solves use the XLA paths (the
-    fused Pallas kernels do not sample grids)."""
+    per-scenario costmap grid penalties; grid solves use the XLA paths (the
+    fused Pallas kernels do not sample grids).
+    `blobs`: optional batched GaussianObstacles (leaves (B, K)) — the
+    parametric obstacle fast path: smooth analytic gradient + Gauss-Newton
+    curvature, runs inside the Pallas megakernel at full speed. Use
+    `models.obstacles.fit_gaussians_to_map` to convert grids."""
     dtype = z0s.dtype
     B = z0s.shape[0]
     T = cfg.n_controls
@@ -401,16 +413,26 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # u_init arrives batch-major (B, T, 2) like engine.batch_solve
         us0 = jnp.clip(jnp.moveaxis(jnp.asarray(u_init, dtype), 0, -1),
                        lb[None], ub[None])
+    bl = blobs.lane() if blobs is not None else None  # 4x (K, B)
+
     def _obs_cost_knots(ss_):
         """Total obstacle penalty over all knots; ss_ (T+1, 8, B) or with
         extra leading dims -> (..., B)."""
-        from ..models.obstacles import obstacle_cost_grad_bl
+        from ..models.obstacles import blob_terms_bl, obstacle_cost_grad_bl
 
-        val, _, _ = obstacle_cost_grad_bl(omaps, ss_[..., 0, :], ss_[..., 1, :])
-        return jnp.sum(val, axis=0)
+        tot = 0.0
+        if omaps is not None:
+            val, _, _ = obstacle_cost_grad_bl(
+                omaps, ss_[..., 0, :], ss_[..., 1, :])
+            tot = tot + jnp.sum(val, axis=0)
+        if bl is not None:
+            val = blob_terms_bl(*bl, ss_[..., 0, :], ss_[..., 1, :])[0]
+            tot = tot + jnp.sum(val, axis=0)
+        return tot
 
+    has_obs = omaps is not None or bl is not None
     ss0, cost0 = _rollout_and_cost(s0, us0, cT, dt, sign, p, dtype, T)
-    if omaps is not None:
+    if has_obs:
         cost0 = cost0 + _obs_cost_knots(ss0)
 
     tol_grad = jnp.asarray(cfg.tol_grad, dtype)
@@ -435,7 +457,10 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     # "pallas" = the two-kernel (backward+forward) design; "xla" = pure XLA
     use_mega = kernels_ok and (
         cfg.backward == "mega" or (cfg.backward == "auto" and on_tpu))
-    use_pallas = (not use_mega) and kernels_ok and cfg.backward == "pallas"
+    # the two-kernel design predates parametric obstacles; only the
+    # megakernel and the XLA paths carry blob terms
+    use_pallas = (not use_mega) and kernels_ok and bl is None \
+        and cfg.backward == "pallas"
 
     if use_mega:
         from ..kernels.backward_fused_pallas import pack_params
@@ -443,7 +468,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
 
         pp = pack_params(p, B, dtype)
         ss_f, us_f, cost_f, conv_f, iters_f, gnorm_f, mu_f = solve_pallas(
-            zT, cT, pp, lb, ub, us0, cfg, dtype=dtype)
+            zT, cT, pp, lb, ub, us0, cfg, dtype=dtype, blobs=bl)
         return SolveResult(
             us=jnp.moveaxis(us_f, -1, 0),
             zs=jnp.moveaxis(ss_f[:, :6, :], -1, 0),
@@ -462,6 +487,14 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
 
             _, gxT, gyT = obstacle_cost_grad_bl(omaps, ss[-1, 0], ss[-1, 1])
             V_s = V_s.at[0].add(gxT).at[1].add(gyT)
+        if bl is not None:
+            from ..models.obstacles import blob_terms_bl
+
+            _, gxT, gyT, hxxT, hxyT, hyyT = blob_terms_bl(
+                *bl, ss[-1, 0], ss[-1, 1])
+            V_s = V_s.at[0].add(gxT).at[1].add(gyT)
+            V_ss = (V_ss.at[0, 0].add(hxxT).at[0, 1].add(hxyT)
+                    .at[1, 0].add(hxyT).at[1, 1].add(hyyT))
         if use_pallas:
             from ..kernels.backward_fused_pallas import (backward_fused_pallas,
                                                          pack_params)
@@ -471,7 +504,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                 ss, us, cT, pp, sign, V_s, V_ss, lb, ub, mu)
         else:
             ks, Ks, dV1, dV2, pg = _backward_bl(
-                ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu, omaps)
+                ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu, omaps, bl)
 
         pred_decrease = -(dV1 + dV2)
         tiny_model = pred_decrease <= tol_cost * (1.0 + jnp.abs(cost))
@@ -489,7 +522,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         else:
             ss_all, us_all, costs_all = _forward_multi_alpha_bl(
                 ss, us, ks, Ks, alphas, cT, dt, sign, lb, ub, p, dtype)
-            if omaps is not None:
+            if has_obs:
                 # ss_all (T+1, n_ls, 8, B): add per-candidate obstacle cost
                 costs_all = costs_all + jax.vmap(
                     _obs_cost_knots, in_axes=1, out_axes=0)(ss_all)

@@ -53,12 +53,14 @@ def _rollout_aug(z0, us, coeffs, dt, sign):
     return jnp.concatenate([s0[None], ss], axis=0)
 
 
-def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign, omap=None):
+def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign, omap=None,
+                          blobs=None):
     """Per-stage Jacobians and exact cost quadratics along a trajectory.
 
     With an ObstacleMap, the costmap penalty's analytic (x, y) gradient is
     folded into l_s (first-order; curvature is covered by the Levenberg
-    regularizer)."""
+    regularizer). With GaussianObstacles (leaves (K,)), the exact gradient
+    AND the PSD Gauss-Newton curvature enter l_s / l_ss."""
     T = us.shape[0]
     rate_on = jnp.concatenate(
         [jnp.zeros((1,), ss.dtype), jnp.ones((T - 1,), ss.dtype)]
@@ -72,10 +74,18 @@ def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign, omap=None):
     if omap is not None:
         g = obstacle_grad_xy(omap, ss[:-1, :2])              # (T, 2)
         l_s = l_s.at[:, 0:2].add(g)
+    if blobs is not None:
+        from ..models.obstacles import blob_terms_bl
+
+        _, gx, gy, hxx, hxy, hyy = blob_terms_bl(
+            blobs.cx, blobs.cy, blobs.gamma, blobs.w, ss[:-1, 0], ss[:-1, 1])
+        l_s = l_s.at[:, 0].add(gx).at[:, 1].add(gy)
+        l_ss = (l_ss.at[:, 0, 0].add(hxx).at[:, 0, 1].add(hxy)
+                .at[:, 1, 0].add(hxy).at[:, 1, 1].add(hyy))
     return A, B, l_s, l_u, l_ss, l_uu, l_us
 
 
-def _terminal_expansion(s_T, p: MPCParams, omap=None):
+def _terminal_expansion(s_T, p: MPCParams, omap=None, blobs=None):
     """Gradient/Hessian of the terminal tracking cost (exact, closed form;
     plus the terminal knot's obstacle gradient when an ObstacleMap is set).
     """
@@ -92,6 +102,14 @@ def _terminal_expansion(s_T, p: MPCParams, omap=None):
     V_ss = jnp.diag(2.0 * wz)
     if omap is not None:
         V_s = V_s.at[0:2].add(obstacle_grad_xy(omap, s_T[:2]))
+    if blobs is not None:
+        from ..models.obstacles import blob_terms_bl
+
+        _, gx, gy, hxx, hxy, hyy = blob_terms_bl(
+            blobs.cx, blobs.cy, blobs.gamma, blobs.w, s_T[0], s_T[1])
+        V_s = V_s.at[0].add(gx).at[1].add(gy)
+        V_ss = (V_ss.at[0, 0].add(hxx).at[0, 1].add(hxy)
+                .at[1, 0].add(hxy).at[1, 1].add(hyy))
     return V_s, V_ss
 
 
@@ -174,7 +192,8 @@ def backward_pass_parallel(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
 
 
 def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
-                             p: MPCParams, dt, lb, ub, sign, omap=None):
+                             p: MPCParams, dt, lb, ub, sign, omap=None,
+                             blobs=None):
     """Closed-loop rollouts for ALL candidate step sizes in ONE scan.
 
     A sequential backtracking line search costs up-to-`ls_iters` rollout
@@ -200,26 +219,31 @@ def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
     ss_new = jnp.concatenate([s0_all[None], ss_tail], axis=0)   # (T+1, K, 8)
     ss_new = jnp.swapaxes(ss_new, 0, 1)                          # (K, T+1, 8)
     us_new = jnp.swapaxes(us_new, 0, 1)                          # (K, T, 2)
-    costs = jax.vmap(lambda zs, us: _traj_cost(zs, us, p, omap))(
+    costs = jax.vmap(lambda zs, us: _traj_cost(zs, us, p, omap, blobs))(
         ss_new[:, :, : dd.STATE_DIM], us_new
     )
     return ss_new, us_new, costs
 
 
-def _traj_cost(zs, us, p: MPCParams, omap=None):
-    """FG_eval objective + (optional) costmap penalty over all knots."""
+def _traj_cost(zs, us, p: MPCParams, omap=None, blobs=None):
+    """FG_eval objective + (optional) obstacle penalties over all knots."""
     J = total_cost(zs, us, p)
     if omap is not None:
         J = J + obstacle_cost(omap, zs[:, :2])
+    if blobs is not None:
+        from ..models.obstacles import blob_cost
+
+        J = J + blob_cost(blobs, zs[:, :2])
     return J
 
 
 def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
           cfg: SolverConfig, u_init: Optional[jnp.ndarray] = None,
-          omap: Optional[ObstacleMap] = None) -> SolveResult:
+          omap: Optional[ObstacleMap] = None, blobs=None) -> SolveResult:
     """Solve one NMPC problem. z0: (6,), coeffs: (poly_order+1,).
 
-    `omap` adds a costmap obstacle penalty over the predicted horizon
+    `omap` adds a grid-costmap obstacle penalty over the predicted horizon;
+    `blobs` (GaussianObstacles, leaves (K,)) the parametric equivalent
     (absent from the reference NLP; see models/obstacles.py).
 
     Cold start (u_init=None) rolls the plant under zero controls — the
@@ -239,7 +263,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         us0 = jnp.clip(jnp.asarray(u_init, dtype), lb, ub)
     sign = cfg.cte_vsin_sign
     ss0 = _rollout_aug(z0, us0, coeffs, dt, sign)
-    cost0 = _traj_cost(ss0[:, : dd.STATE_DIM], us0, p, omap)
+    cost0 = _traj_cost(ss0[:, : dd.STATE_DIM], us0, p, omap, blobs)
 
     tol_grad = jnp.asarray(cfg.tol_grad, dtype)
     # relative cost tolerance can't be tighter than the dtype resolves
@@ -257,9 +281,9 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     def body(state):
         ss, us, cost, mu, it, done, gnorm, n_small, _ = state
         A, B, l_s, l_u, l_ss, l_uu, l_us = _linearize_and_expand(
-            ss, us, coeffs, p, dt, sign, omap
+            ss, us, coeffs, p, dt, sign, omap, blobs
         )
-        V_s, V_ss = _terminal_expansion(ss[-1], p, omap)
+        V_s, V_ss = _terminal_expansion(ss[-1], p, omap, blobs)
         bp = backward_pass_parallel if cfg.horizon_parallel else backward_pass
         ks, Ks, dV1, dV2, pg = bp(
             A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
@@ -276,7 +300,8 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # evaluated in one rollout scan).
         alphas = jnp.asarray(0.5, dtype) ** jnp.arange(cfg.ls_iters, dtype=dtype)
         ss_all, us_all, costs_all = forward_pass_multi_alpha(
-            ss, us, ks, Ks, alphas, z0, coeffs, p, dt, lb, ub, sign, omap
+            ss, us, ks, Ks, alphas, z0, coeffs, p, dt, lb, ub, sign, omap,
+            blobs
         )
         improved = costs_all < cost
         accepted = jnp.any(improved)

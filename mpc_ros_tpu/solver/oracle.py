@@ -41,7 +41,7 @@ class OracleResult:
 
 
 def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int,
-                 cte_vsin_sign: float = 1.0):
+                 cte_vsin_sign: float = 1.0, extra_cost=None):
     """Objective/constraints on the flat reference-layout vector (jax f64)."""
     import jax
     import jax.numpy as jnp
@@ -62,7 +62,10 @@ def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int,
 
     def objective(v):
         zs, us = unpack(v)
-        return total_cost(zs, us, p)
+        c = total_cost(zs, us, p)
+        if extra_cost is not None:
+            c = c + extra_cost(zs, us)
+        return c
 
     def constraints(v):
         zs, us = unpack(v)
@@ -84,8 +87,11 @@ def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int,
 def solve_oracle(z0: np.ndarray, coeffs: np.ndarray, p: MPCParams,
                  cfg: SolverConfig, method: str = "SLSQP",
                  u_init: Optional[np.ndarray] = None,
-                 maxiter: int = 500) -> OracleResult:
-    """Solve the full reference NLP in float64 on CPU."""
+                 maxiter: int = 500, extra_cost=None) -> OracleResult:
+    """Solve the full reference NLP in float64 on CPU.
+
+    `extra_cost(zs, us) -> scalar` (jax f64) is added to the objective —
+    used to verify obstacle-penalty solves against the same NLP."""
     from scipy import optimize
 
     N = cfg.n_steps
@@ -93,7 +99,7 @@ def solve_oracle(z0: np.ndarray, coeffs: np.ndarray, p: MPCParams,
     z0 = np.asarray(z0, np.float64)
 
     obj, grad, con, jac = _build_funcs(np.asarray(coeffs), p, N,
-                                       cfg.cte_vsin_sign)
+                                       cfg.cte_vsin_sign, extra_cost)
 
     # cold start: zeros + initial state write-in
     v0 = np.zeros(n_vars)

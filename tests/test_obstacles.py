@@ -135,6 +135,149 @@ def test_lane_obstacle_sampling_matches_single():
                 np.asarray(g_ref), rtol=1e-10, atol=1e-12)
 
 
+# ----------------------------- parametric (Gaussian-blob) obstacle path
+
+
+def _mk_blobs(B, dtype, cx=0.6, cy=0.05, sigma=0.25, w=100.0, K=2):
+    """B scenarios x K blobs; the second blob is far away (inert)."""
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+    cxs = jnp.stack([jnp.full((B,), cx, dtype),
+                     jnp.full((B,), 50.0, dtype)], axis=-1)[:, :K]
+    cys = jnp.stack([jnp.full((B,), cy, dtype),
+                     jnp.full((B,), 50.0, dtype)], axis=-1)[:, :K]
+    return GaussianObstacles.from_sigmas(
+        cxs, cys, jnp.full((B, K), sigma, dtype), jnp.full((B, K), w, dtype))
+
+
+def test_blob_terms_match_autodiff():
+    """blob_terms_bl value+gradient vs autodiff of the scalar blob cost."""
+    from mpc_ros_tpu.models.obstacles import (GaussianObstacles, blob_cost,
+                                              blob_terms_bl)
+
+    dtype = jnp.float64
+    rng = np.random.default_rng(1)
+    B, K = 3, 4
+    blobs = GaussianObstacles.from_sigmas(
+        jnp.asarray(rng.uniform(-1, 1, (B, K))),
+        jnp.asarray(rng.uniform(-1, 1, (B, K))),
+        jnp.asarray(rng.uniform(0.2, 0.6, (B, K))),
+        jnp.asarray(rng.uniform(1.0, 30.0, (B, K))))
+    pts = jnp.asarray(rng.uniform(-1.5, 1.5, (5, 2, B)))
+    val, gx, gy, hxx, hxy, hyy = blob_terms_bl(
+        *blobs.lane(), pts[:, 0], pts[:, 1])
+    for b in range(B):
+        single = jax.tree.map(lambda leaf: leaf[b], blobs)
+        for i in range(5):
+            xy = jnp.asarray([pts[i, 0, b], pts[i, 1, b]])
+            v_ref = blob_cost(single, xy[None])
+            g_ref = jax.grad(lambda q: blob_cost(single, q[None]))(xy)
+            np.testing.assert_allclose(float(val[i, b]), float(v_ref),
+                                       rtol=1e-12)
+            np.testing.assert_allclose(
+                [float(gx[i, b]), float(gy[i, b])], np.asarray(g_ref),
+                rtol=1e-12, atol=1e-14)
+    # GN curvature is the PSD part: h = 4 g^2 v d d^T => hxx*hyy >= hxy^2
+    assert bool(jnp.all(hxx * hyy >= hxy**2 - 1e-12))
+    assert bool(jnp.all(hxx >= 0)) and bool(jnp.all(hyy >= 0))
+
+
+def test_lane_blob_solver_steers_around_obstacle():
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    dtype = jnp.float64
+    B = 4
+    z0s = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.5, 0.0, 0.0], dtype), (B, 1))
+    coeffs = jnp.zeros((B, 4), dtype)
+    p = MPCParams(ref_vel=0.5, w_cte=50.0).astype(dtype)
+    cfg = SolverConfig(n_steps=20)
+    free = batch_solve_lane(z0s, coeffs, p, cfg)
+    blobs = _mk_blobs(B, dtype, w=200.0)
+    blocked = batch_solve_lane(z0s, coeffs, p, cfg, blobs=blobs)
+    assert float(jnp.max(jnp.abs(free.zs[:, :, 1]))) < 0.02
+    assert float(jnp.min(blocked.zs[:, :, 1])) < -0.03
+    assert bool(jnp.all(blocked.converged))
+
+
+def test_lane_blob_solver_matches_oracle():
+    """Blob-penalized lane solve vs the float64 scipy oracle on the SAME
+    penalized NLP (exact gradient; GN curvature only changes the path to
+    the optimum, not the optimum)."""
+    from mpc_ros_tpu.models.obstacles import blob_cost
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+    from mpc_ros_tpu.solver.oracle import solve_oracle
+
+    dtype = jnp.float64
+    z0 = np.array([0.0, 0.0, 0.0, 0.5, 0.0, 0.0])
+    coeffs = np.array([0.0, 0.1, 0.0, 0.0])
+    p = MPCParams(ref_vel=0.5, w_cte=50.0).astype(dtype)
+    cfg = SolverConfig(n_steps=10)
+    blobs = _mk_blobs(1, dtype, cx=0.5, cy=0.12, sigma=0.3, w=40.0)
+    single = jax.tree.map(lambda leaf: leaf[0], blobs)
+
+    def extra(zs, us):
+        return blob_cost(single, zs[:, :2])
+
+    orc = solve_oracle(z0, coeffs, p, cfg, extra_cost=extra)
+    assert orc.success
+    r = batch_solve_lane(jnp.asarray(z0, dtype)[None],
+                         jnp.asarray(coeffs, dtype)[None], p, cfg,
+                         blobs=blobs)
+    np.testing.assert_allclose(np.asarray(r.us[0]), orc.us, atol=5e-5)
+
+
+def test_megakernel_blobs_interpret_matches_xla_lane():
+    """Megakernel with blob terms (interpret mode) vs the XLA lane solver
+    with the same blobs: same controls / flags / iteration counts."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    dtype = jnp.float32
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B, dtype)
+    p = MPCParams().astype(dtype)
+    cfg = SolverConfig(n_steps=12, max_sqp_iters=8, tol_grad=1e-3,
+                       backward="xla")
+    blobs = _mk_blobs(B, dtype, cx=0.4, cy=0.1, sigma=0.3, w=30.0)
+    r_x = batch_solve_lane(z0s, coeffs, p, cfg, blobs=blobs)
+
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+    u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+    ss, us, cost, conv, iters, gnorm, mu = solve_pallas(
+        zT, cT, pp, lb, -lb, u0, cfg, interpret=True, blobs=blobs.lane())
+    du = float(jnp.max(jnp.abs(jnp.moveaxis(us, -1, 0) - r_x.us)))
+    assert du < 2e-3, du
+    np.testing.assert_allclose(np.asarray(conv),
+                               np.asarray(r_x.converged, dtype=np.float32))
+    np.testing.assert_allclose(
+        np.asarray(iters), np.asarray(r_x.n_iters, dtype=np.float32))
+
+
+def test_fit_gaussians_recovers_grid_blob():
+    """Greedy peak peeling on a one-blob grid recovers center/field."""
+    from mpc_ros_tpu.models.obstacles import (blob_cost, fit_gaussians_to_map,
+                                              obstacle_cost)
+
+    omap = gaussian_blob_map((0.5, -0.3), sigma=0.35, weight=20.0,
+                             dtype=jnp.float64)
+    fit = fit_gaussians_to_map(omap, n_blobs=2)
+    assert abs(float(fit.cx[0]) - 0.5) < 0.07
+    assert abs(float(fit.cy[0]) + 0.3) < 0.07
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.uniform(-1.0, 1.0, (64, 2)))
+    v_grid = np.asarray([float(obstacle_cost(omap, pts[i:i + 1]))
+                         for i in range(len(pts))])
+    v_blob = np.asarray([float(blob_cost(fit, pts[i:i + 1]))
+                         for i in range(len(pts))])
+    # field agreement within 10% of the peak penalty
+    assert np.max(np.abs(v_grid - v_blob)) < 0.1 * 20.0
+
+
 def test_planner_tracking_with_costmap_steers_away():
     """The live planner consumes a robot-frame costmap: with a blob ahead
     slightly left, the commanded angular velocity must steer right
@@ -163,3 +306,39 @@ def test_planner_tracking_with_costmap_steers_away():
     w_free = run(False)
     w_obs = run(True)
     assert w_obs < w_free - 1e-3, (w_free, w_obs)
+
+
+def test_planner_tracking_with_blobs_steers_away():
+    """Same as the costmap planner test but with the parametric obstacle
+    field set on the tracker; also checks warm-started cycles recompile
+    nothing (same jitted callable both cycles)."""
+    from mpc_ros_tpu.config import PlannerConfig
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+    from mpc_ros_tpu.planner import MPCPlanner
+
+    p = MPCParams(dt=0.1, ref_vel=0.5, w_cte=50.0)
+    plan = np.stack([np.linspace(0, 5, 100), np.zeros(100),
+                     np.zeros(100)], axis=1)
+
+    def run(with_blobs):
+        planner = MPCPlanner(params=p, solver_cfg=SolverConfig(n_steps=10),
+                             planner_cfg=PlannerConfig(local_plan_length=2.0,
+                                                       delay_mode=False))
+        planner.initialize()
+        planner.set_plan(plan, np.array([0.0, 0.0, 0.0]))
+        if with_blobs:
+            planner.tracker.obstacles = GaussianObstacles.from_sigmas(
+                jnp.asarray([0.6]), jnp.asarray([0.06]),
+                jnp.asarray([0.25]), jnp.asarray([300.0]))
+        ws = []
+        for _ in range(2):   # cold then warm-started cycle
+            ok, (v, w), info = planner.compute_velocity_commands(
+                np.array([0.0, 0.0, 0.0]), (0.5, 0.0))
+            assert ok
+            ws.append(w)
+        return ws
+
+    w_free = run(False)
+    w_obs = run(True)
+    assert w_obs[0] < w_free[0] - 1e-3, (w_free, w_obs)
+    assert w_obs[1] < w_free[1] - 1e-3, (w_free, w_obs)
