@@ -63,10 +63,11 @@ def main() -> None:
     from mpc_ros_tpu.config import MPCParams, SolverConfig
     from mpc_ros_tpu.engine import batch_solve, make_random_scenarios
 
-    # 16384 balances throughput and compile time; measured per-chip scaling
-    # at N=30 (v5e, Pallas kernels): 4k -> 101k/s, 8k -> 162k/s,
-    # 16k -> 234k/s, 32k -> 293k/s, 64k -> 330k/s solves/s
-    batch = args.batch or (256 if args.quick else 16384)
+    # measured per-chip scaling at N=30 (v5e, wide-tile megakernel):
+    # 16k -> 520k/s, 64k -> 1.27M/s, 128k -> 1.68M/s, 256k -> 1.94M/s.
+    # A fixed ~27 ms tunnel-RTT sync dominates small batches; 128k is the
+    # knee (78 ms/batch) before memory/latency outgrow the gain
+    batch = args.batch or (256 if args.quick else 131072)
     n_steps = args.n_steps
     # 12 iterations: >=99.8% of random scenarios converge; the vmapped
     # while_loop pays the max trip count over the batch, so the cap bounds
@@ -240,10 +241,17 @@ def main() -> None:
     print(json.dumps(out))
 
     if args.roofline:
-        from mpc_ros_tpu.kernels import solve_accounting, efficiency
+        from mpc_ros_tpu.kernels import (efficiency, megakernel_accounting,
+                                         solve_accounting)
 
-        acct = solve_accounting(batch, n_steps - 1, n_alpha=cfg.ls_iters,
-                                n_iters=mean_iters)
+        # the megakernel (the default TPU path) holds the solve in VMEM:
+        # compute-bound model; the lane-path model is HBM-streaming
+        on_tpu = jax.default_backend() == "tpu"
+        mega = (not args.obstacles_grid) and cfg.backward in ("auto", "mega") \
+            and (cfg.backward == "mega" or on_tpu)
+        make = megakernel_accounting if mega else solve_accounting
+        acct = make(batch, n_steps - 1, n_alpha=cfg.ls_iters,
+                    n_iters=mean_iters)
         acct["measured_ms"] = round(best * 1e3, 2)
         acct["speed_of_light_frac"] = round(efficiency(best, acct), 4)
         print(json.dumps(acct))

@@ -1,6 +1,6 @@
 from .roofline import (DeviceSpec, StageAccount, account_backward,
                        account_forward, account_linearize, account_rollout,
-                       efficiency, solve_accounting)
+                       efficiency, megakernel_accounting, solve_accounting)
 
 __all__ = [
     "DeviceSpec",
@@ -10,5 +10,6 @@ __all__ = [
     "account_linearize",
     "account_rollout",
     "efficiency",
+    "megakernel_accounting",
     "solve_accounting",
 ]

@@ -71,8 +71,9 @@ def _mv(X, v, r, k):
 
 
 def _boxqp_tile(Quu, Qu, lbd, ubd, Qus, dtype):
-    """Exact 2-dim box QP per lane. Quu (2,2,128), Qu (2,128),
-    lbd/ubd (2,128), Qus (2,8,128) -> k (2,128), K (2,8,128)."""
+    """Exact 2-dim box QP per lane. Quu (2,2,V), Qu (2,V), lbd/ubd (2,V),
+    Qus (2,8,V) -> k (2,V), K (2,8,V), where V is any per-lane tile shape
+    ((128,) for the two-kernel design, (sub, 128) for the megakernel)."""
     a, b = Quu[0, 0], Quu[0, 1]
     c, d = Quu[1, 0], Quu[1, 1]
 
@@ -127,7 +128,8 @@ def _boxqp_tile(Quu, Qu, lbd, ubd, Qus, dtype):
     picked = jnp.zeros_like(best_viol)
     k0 = jnp.zeros_like(best_viol)
     k1 = jnp.zeros_like(best_viol)
-    Krows = [jnp.zeros((_N, _LANES), dtype), jnp.zeros((_N, _LANES), dtype)]
+    Krows = [jnp.zeros((_N,) + best_viol.shape, dtype),
+             jnp.zeros((_N,) + best_viol.shape, dtype)]
     for idx, (c0c1) in enumerate(_COMBOS):
         is_best = jnp.logical_and(cand_viol[idx] <= best_viol, picked < 0.5)
         sel = is_best.astype(dtype)

@@ -127,6 +127,49 @@ def solve_accounting(B: int, T: int, n_alpha: int = 8,
     }
 
 
+def megakernel_accounting(B: int, T: int, n_alpha: int = 8,
+                          n_iters: float = 5.0,
+                          dev: DeviceSpec = DeviceSpec()) -> dict:
+    """Speed-of-light accounting for the whole-solve megakernel.
+
+    The megakernel (kernels/solve_pallas.py) holds the trajectory, gains
+    and loop state in VMEM for the entire solve: HBM traffic collapses to
+    problem inputs + final outputs, and the binding constraint flips from
+    HBM bandwidth (the XLA lane paths stream ~stage-quadratic arrays every
+    iteration) to VPU compute. FLOPs are unchanged — every iteration still
+    linearizes, scans and line-searches — so the compute side reuses the
+    per-iteration stage counts (linearization is inlined into the backward
+    scan; the winner re-roll adds one more alpha-like rollout).
+
+    `vpu_flops_f32` approximates the v5e vector unit: (8, 128) lanes x
+    4 ALUs x 2 flops (FMA) x ~0.94 GHz ~= 7.7e12. The megakernel is pure
+    VPU (no MXU use by design), so that is the relevant compute peak.
+    """
+    vpu_flops_f32 = 7.7e12
+    per_iter = (account_linearize(B, T).flops
+                + account_backward(B, T).flops
+                + account_forward(B, T, n_alpha + 1).flops)
+    flops = per_iter * n_iters + account_rollout(B, T).flops
+    in_bytes = B * (6 + 4 + 12 + 2 + 2 + 2 * T) * _F32
+    out_bytes = B * (_N * (T + 1) + _M * T + 5) * _F32
+    bytes_ = float(in_bytes + out_bytes)
+    t_compute = flops / vpu_flops_f32
+    t_hbm = bytes_ / dev.hbm_bytes_per_s
+    return {
+        "device": dev.name,
+        "kernel": "megakernel",
+        "B": B,
+        "T": T,
+        "n_iters": n_iters,
+        "solve_gflops": flops / 1e9,
+        "solve_mbytes": bytes_ / 1e6,
+        "intensity_flop_per_byte": round(flops / bytes_, 1),
+        "vpu_peak_tflops_f32": vpu_flops_f32 / 1e12,
+        "solve_roofline_ms": max(t_compute, t_hbm) * 1e3,
+        "bound": "compute" if t_compute > t_hbm else "memory",
+    }
+
+
 def efficiency(measured_s: float, accounting: dict) -> float:
     """Fraction of speed-of-light achieved by a measured batch-solve time."""
     return accounting["solve_roofline_ms"] / 1e3 / measured_s

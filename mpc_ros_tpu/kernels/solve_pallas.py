@@ -1,16 +1,22 @@
 """Pallas TPU megakernel: the ENTIRE batched SQP solve in one kernel.
 
-One program per 128-lane batch tile runs the complete control-limited SQP
-loop on-chip: initial rollout, per-iteration (inline-linearized Riccati
-backward scan -> per-stage box QPs -> multi-alpha line search -> masked
-accept) and per-lane convergence bookkeeping — with the trajectory held in
-double-buffered VMEM scratch for the whole solve. HBM traffic per solve is
-inputs + final outputs only.
+One program per (sub x 128)-scenario batch tile runs the complete
+control-limited SQP loop on-chip: initial rollout, per-iteration
+(inline-linearized Riccati backward scan -> per-stage box QPs ->
+multi-alpha line search -> masked accept) and per-lane convergence
+bookkeeping — with the trajectory held in double-buffered VMEM scratch for
+the whole solve. HBM traffic per solve is inputs + final outputs only.
 
-Beyond removing all inter-kernel traffic, the decisive win is PER-TILE
-adaptive iteration: each 128-lane tile's while-loop exits when ITS lanes
-are done, instead of the whole batch paying the globally slowest lane
-(global max ~12 iterations vs per-tile ~6-8 at the default tolerances).
+Every per-scenario value is a (sub, 128) tile; at the default sub=8 that
+is exactly one native f32 vreg (8 sublanes x 128 lanes), so each vector
+instruction advances 1024 scenarios — the (128,)-vector layout this
+replaced occupied 1 of 8 sublanes per vreg and left ~8x VPU throughput on
+the table.
+
+Beyond removing all inter-kernel traffic, the other decisive win is
+PER-TILE adaptive iteration: each batch tile's while-loop exits when ITS
+lanes are done, instead of the whole batch paying the globally slowest
+lane (global max ~12 iterations vs per-tile ~6-8 at default tolerances).
 
 The per-stage math is the same as kernels/backward_fused_pallas.py and
 kernels/forward_pallas.py (structured-sparsity Jacobian products, exact
@@ -40,7 +46,11 @@ _LANES = 128
 def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             tol_grad: float, tol_cost_eff: float, mu_min: float,
             mu_max: float, mu_factor: float, dtype, n_blobs: int,
-            *refs):
+            sub: int, *refs):
+    # Per-lane values are (sub, 128) tiles. With sub=8 each value fills a
+    # native f32 vreg (8 sublanes x 128 lanes): one vector op processes
+    # 1024 scenarios. sub=1 wastes 7/8 of the VPU rows — it exists only as
+    # the fallback for batches not divisible by 1024.
     (z0_ref, c_ref, par_ref, lb_ref, ub_ref, u0_ref) = refs[:6]
     i = 6
     if n_blobs:
@@ -54,7 +64,8 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
     ub = ub_ref[...]
     c0, c1, c2, c3 = c_ref[0], c_ref[1], c_ref[2], c_ref[3]
     dt = par[P_DT]
-    zeros = jnp.zeros((_LANES,), dtype)
+    vshape = (sub, _LANES)
+    zeros = jnp.zeros(vshape, dtype)
     alphas = [0.5 ** j for j in range(n_alpha)]
     if n_blobs:
         bx = bx_ref[...]
@@ -133,7 +144,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
     # ---------------- initial rollout into buffer 0 ----------------------
 
     s0 = jnp.concatenate(
-        [z0_ref[...], jnp.zeros((2, _LANES), dtype)], axis=0)
+        [z0_ref[...], jnp.zeros((2,) + vshape, dtype)], axis=0)
     traj_s[0, 0] = s0
 
     def init_body(t, acc):
@@ -151,14 +162,14 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
     # ---------------- SQP loop -------------------------------------------
 
-    # Per-lane loop state packed as rows of ONE (8, 128) register tile:
+    # Per-lane loop state packed as rows of ONE (8, sub, 128) tile stack:
     # Mosaic rejects 1-D and mishandles (1, 128) while-loop carries.
     R_COST, R_MU, R_NSMALL, R_DONE, R_CONV, R_GNORM, R_ITERS, R_PAD = range(8)
 
     def cond(carry):
         it, cur, regs = carry
         return jnp.logical_and(it < max_iters,
-                               jnp.sum(regs[R_DONE]) < _LANES - 0.5)
+                               jnp.sum(regs[R_DONE]) < sub * _LANES - 0.5)
 
     def body(carry):
         it, cur, regs = carry
@@ -188,7 +199,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
         def vss0_entry(i, j):
             if i == j:
-                return jnp.broadcast_to(diagT[i], (_LANES,))
+                return jnp.broadcast_to(diagT[i], vshape)
             if n_blobs and {i, j} == {0, 1}:
                 return ohxyT
             return zeros
@@ -279,7 +290,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             def qss_entry(i, j):
                 e = AtVA[i, j]
                 if i == j:
-                    e = e + jnp.broadcast_to(lss_diag[i], (_LANES,))
+                    e = e + jnp.broadcast_to(lss_diag[i], vshape)
                 if n_blobs:
                     if i == 0 and j == 0:
                         e = e + ohxx
@@ -322,7 +333,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             KtQuu = _mtm(K, Quu, _N, _M, _M)
             Vss_n = (Qss + _mm(KtQuu, K, _N, _M, _N)
                      + _mtm(K, Qus, _N, _M, _N) + _mtm(Qus, K, _N, _M, _N))
-            Vss_n = 0.5 * (Vss_n + Vss_n.transpose(1, 0, 2))
+            Vss_n = 0.5 * (Vss_n + jnp.swapaxes(Vss_n, 0, 1))
 
             ks_ref[t] = k
             Ks_ref[t] = K
@@ -435,8 +446,8 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         return (it + 1, nxt, regs2)
 
     regs0 = jnp.stack([
-        cost0, jnp.full((_LANES,), mu_min, dtype), zeros, zeros, zeros,
-        jnp.full((_LANES,), jnp.inf, dtype), zeros, zeros])
+        cost0, jnp.full(vshape, mu_min, dtype), zeros, zeros, zeros,
+        jnp.full(vshape, jnp.inf, dtype), zeros, zeros])
     (_, cur_f, regs_f) = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                      regs0))
@@ -481,24 +492,31 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
     T = cfg.n_controls
     B = zT.shape[-1]
     assert B % _LANES == 0
-    grid = (B // _LANES,)
     tol_cost_eff = max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps))
     n_blobs = 0 if blobs is None else blobs[0].shape[0]
+    sub = _pick_sub(B, T, cfg.ls_iters)
+    nt = B // _LANES                 # 128-lane tile rows in the batch
+    grid = (nt // sub,)
+
+    def rsh(a):
+        """(..., B) -> (..., B/128, 128): the batch-tile layout the kernel
+        blocks over (sub tile-rows per program)."""
+        a = jnp.asarray(a, dtype)
+        return a.reshape(a.shape[:-1] + (nt, _LANES))
 
     def lane_spec(*dims):
         ndim = len(dims)
         return pl.BlockSpec(
-            dims + (_LANES,),
-            lambda i, nd=ndim: (0,) * nd + (i,),
+            dims + (sub, _LANES),
+            lambda i, nd=ndim: (0,) * nd + (i, 0),
             memory_space=pltpu.VMEM,
         )
 
     kernel = functools.partial(
         _kernel, T, cfg.ls_iters, cfg.max_sqp_iters, float(cfg.cte_vsin_sign),
         float(cfg.tol_grad), float(tol_cost_eff), float(cfg.mu_init),
-        float(cfg.mu_max), float(cfg.mu_factor), dtype, n_blobs)
-    blob_inputs = [] if n_blobs == 0 else [
-        jnp.asarray(a, dtype) for a in blobs]
+        float(cfg.mu_max), float(cfg.mu_factor), dtype, n_blobs, sub)
+    blob_inputs = [] if n_blobs == 0 else [rsh(a) for a in blobs]
     blob_specs = [] if n_blobs == 0 else [lane_spec(n_blobs)] * 4
     out = pl.pallas_call(
         kernel,
@@ -521,22 +539,38 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
             lane_spec(1),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T + 1, _N, B), dtype),
-            jax.ShapeDtypeStruct((T, _M, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((T + 1, _N, nt, _LANES), dtype),
+            jax.ShapeDtypeStruct((T, _M, nt, _LANES), dtype),
+            jax.ShapeDtypeStruct((1, nt, _LANES), dtype),
+            jax.ShapeDtypeStruct((1, nt, _LANES), dtype),
+            jax.ShapeDtypeStruct((1, nt, _LANES), dtype),
+            jax.ShapeDtypeStruct((1, nt, _LANES), dtype),
+            jax.ShapeDtypeStruct((1, nt, _LANES), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, T + 1, _N, _LANES), dtype),    # traj_s
-            pltpu.VMEM((2, T, _M, _LANES), dtype),        # traj_u
-            pltpu.VMEM((T, _M, _LANES), dtype),           # ks
-            pltpu.VMEM((T, _M, _N, _LANES), dtype),       # Ks
-            pltpu.VMEM((cfg.ls_iters * _N, _LANES), dtype),
+            pltpu.VMEM((2, T + 1, _N, sub, _LANES), dtype),   # traj_s
+            pltpu.VMEM((2, T, _M, sub, _LANES), dtype),       # traj_u
+            pltpu.VMEM((T, _M, sub, _LANES), dtype),          # ks
+            pltpu.VMEM((T, _M, _N, sub, _LANES), dtype),      # Ks
+            pltpu.VMEM((cfg.ls_iters * _N, sub, _LANES), dtype),
         ],
         interpret=interpret,
-    )(zT, cT, params_pack, lb, ub, u0, *blob_inputs)
-    ss, us, cost, conv, iters, gnorm, mu = out
+    )(rsh(zT), rsh(cT), rsh(params_pack), rsh(lb), rsh(ub), rsh(u0),
+      *blob_inputs)
+    ss, us, cost, conv, iters, gnorm, mu = [
+        a.reshape(a.shape[:-2] + (B,)) for a in out]
     return ss, us, cost[0], conv[0], iters[0], gnorm[0], mu[0]
+
+
+def _pick_sub(B: int, T: int, ls_iters: int) -> int:
+    """Largest sublane tiling (scenarios per program = sub * 128) that
+    divides the batch and keeps the per-program VMEM scratch under budget.
+    sub=8 fills f32 vregs exactly; smaller subs only when forced."""
+    per_lane_floats = (2 * (T + 1) * _N + 2 * T * _M + T * _M
+                       + T * _M * _N + ls_iters * _N)
+    for sub in (8, 4, 2, 1):
+        if B % (sub * _LANES):
+            continue
+        if per_lane_floats * _LANES * sub * 4 <= 10 * 2**20:
+            return sub
+    return 1

@@ -167,3 +167,34 @@ def test_megakernel_interpret_matches_lane_solver():
                                np.asarray(r_x.converged, dtype=np.float32))
     np.testing.assert_allclose(
         np.asarray(iters), np.asarray(r_x.n_iters, dtype=np.float32))
+
+
+def test_megakernel_wide_tile_interpret_matches_lane_solver():
+    """sub=8 tiling ((8, 128)-vreg per value, 1024 scenarios per program)
+    must agree with the XLA lane solver exactly like sub=1 does."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import _pick_sub, solve_pallas
+
+    dtype = jnp.float32
+    B = 1024
+    assert _pick_sub(B, 11, 8) == 8
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(2), B, dtype)
+    p = MPCParams().astype(dtype)
+    cfg = SolverConfig(n_steps=12, max_sqp_iters=6, tol_grad=1e-3,
+                       backward="xla")
+    r_x = bl.batch_solve_lane(z0s, coeffs, p, cfg)
+
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+    u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+    ss, us, cost, conv, iters, gnorm, mu = solve_pallas(
+        zT, cT, pp, lb, -lb, u0, cfg, interpret=True)
+    du = float(jnp.max(jnp.abs(jnp.moveaxis(us, -1, 0) - r_x.us)))
+    assert du < 2e-3, du
+    np.testing.assert_allclose(np.asarray(conv),
+                               np.asarray(r_x.converged, dtype=np.float32))
+    np.testing.assert_allclose(
+        np.asarray(iters), np.asarray(r_x.n_iters, dtype=np.float32))

@@ -35,3 +35,17 @@ def test_efficiency_fraction():
 def test_linearize_dominated_by_output_bytes():
     s = account_linearize(4096, 29)
     assert s.intensity < 1.0
+
+
+def test_megakernel_accounting_compute_bound():
+    """VMEM-resident megakernel: tiny HBM traffic, compute-bound roofline,
+    and a strictly lower HBM byte count than the streaming lane path."""
+    from mpc_ros_tpu.kernels import megakernel_accounting, solve_accounting
+
+    B, T = 16384, 29
+    mk = megakernel_accounting(B, T, n_alpha=8, n_iters=6.0)
+    ln = solve_accounting(B, T, n_alpha=8, n_iters=6.0)
+    assert mk["bound"] == "compute"
+    assert mk["solve_mbytes"] < 0.05 * ln["solve_mbytes"]
+    # FLOPs are the same order (every iteration still does the work)
+    assert 0.5 < mk["solve_gflops"] / ln["solve_gflops"] < 2.5
