@@ -36,6 +36,25 @@ def single_solve():
           f"cost={float(res.cost):.3f} iters={int(res.n_iters)}")
 
 
+def solve_around_obstacle():
+    # straight reference with a Gaussian obstacle sitting just off-path:
+    # the optimal trajectory bends around it (parametric obstacles run
+    # inside the Pallas megakernel — see models/obstacles.py)
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+    from mpc_ros_tpu.solver.ilqr import solve
+
+    z0 = jnp.asarray([0, 0, 0, 0.5, 0, 0], jnp.float32)
+    coeffs = jnp.zeros((4,), jnp.float32)
+    p = MPCParams(ref_vel=0.5, w_cte=50.0).astype(jnp.float32)
+    blobs = GaussianObstacles.from_sigmas(
+        jnp.asarray([0.6]), jnp.asarray([0.05]),
+        jnp.asarray([0.25]), jnp.asarray([200.0]))
+    res = solve(z0, coeffs, p, SolverConfig(n_steps=20), blobs=blobs)
+    ys = np.asarray(res.zs[:, 1])
+    print(f"obstacle solve: max lateral deviation {ys.min():.3f} m "
+          f"(steers around the blob at (0.6, 0.05))")
+
+
 def closed_loop():
     p = MPCParams(dt=0.1, ref_vel=0.5, max_angvel=1.5, w_cte=300.0,
                   w_angvel_d=10.0, w_accel_d=10.0)
@@ -48,4 +67,5 @@ def closed_loop():
 
 if __name__ == "__main__":
     single_solve()
+    solve_around_obstacle()
     closed_loop()

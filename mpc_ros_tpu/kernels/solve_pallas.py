@@ -495,20 +495,22 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
     tol_cost_eff = max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps))
     n_blobs = 0 if blobs is None else blobs[0].shape[0]
     sub = _pick_sub(B, T, cfg.ls_iters)
-    nt = B // _LANES                 # 128-lane tile rows in the batch
-    grid = (nt // sub,)
+    n_prog = B // (sub * _LANES)
+    grid = (n_prog,)
 
     def rsh(a):
-        """(..., B) -> (..., B/128, 128): the batch-tile layout the kernel
-        blocks over (sub tile-rows per program)."""
+        """(..., B) -> (..., n_prog, sub, 128): one (sub, 128) batch tile
+        per program. The block's trailing dims (sub, 128) EQUAL the array
+        dims, satisfying Mosaic's tiling rule for any sub (a plain
+        (..., sub*i : sub*(i+1), :) window would need sub % 8 == 0)."""
         a = jnp.asarray(a, dtype)
-        return a.reshape(a.shape[:-1] + (nt, _LANES))
+        return a.reshape(a.shape[:-1] + (n_prog, sub, _LANES))
 
     def lane_spec(*dims):
         ndim = len(dims)
         return pl.BlockSpec(
-            dims + (sub, _LANES),
-            lambda i, nd=ndim: (0,) * nd + (i, 0),
+            dims + (None, sub, _LANES),     # None squeezes the grid dim
+            lambda i, nd=ndim: (0,) * nd + (i, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -539,13 +541,13 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
             lane_spec(1),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T + 1, _N, nt, _LANES), dtype),
-            jax.ShapeDtypeStruct((T, _M, nt, _LANES), dtype),
-            jax.ShapeDtypeStruct((1, nt, _LANES), dtype),
-            jax.ShapeDtypeStruct((1, nt, _LANES), dtype),
-            jax.ShapeDtypeStruct((1, nt, _LANES), dtype),
-            jax.ShapeDtypeStruct((1, nt, _LANES), dtype),
-            jax.ShapeDtypeStruct((1, nt, _LANES), dtype),
+            jax.ShapeDtypeStruct((T + 1, _N, n_prog, sub, _LANES), dtype),
+            jax.ShapeDtypeStruct((T, _M, n_prog, sub, _LANES), dtype),
+            jax.ShapeDtypeStruct((1, n_prog, sub, _LANES), dtype),
+            jax.ShapeDtypeStruct((1, n_prog, sub, _LANES), dtype),
+            jax.ShapeDtypeStruct((1, n_prog, sub, _LANES), dtype),
+            jax.ShapeDtypeStruct((1, n_prog, sub, _LANES), dtype),
+            jax.ShapeDtypeStruct((1, n_prog, sub, _LANES), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, T + 1, _N, sub, _LANES), dtype),   # traj_s
@@ -558,7 +560,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
     )(rsh(zT), rsh(cT), rsh(params_pack), rsh(lb), rsh(ub), rsh(u0),
       *blob_inputs)
     ss, us, cost, conv, iters, gnorm, mu = [
-        a.reshape(a.shape[:-2] + (B,)) for a in out]
+        a.reshape(a.shape[:-3] + (B,)) for a in out]
     return ss, us, cost[0], conv[0], iters[0], gnorm[0], mu[0]
 
 
