@@ -198,3 +198,34 @@ def test_megakernel_wide_tile_interpret_matches_lane_solver():
                                np.asarray(r_x.converged, dtype=np.float32))
     np.testing.assert_allclose(
         np.asarray(iters), np.asarray(r_x.n_iters, dtype=np.float32))
+
+
+def test_megakernel_per_scenario_params_interpret():
+    """Per-scenario MPCParams leaves (B,) must flow through the packed
+    parameter tile: two different w_cte values in one batch produce the
+    same controls as two separate uniform-param solves."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+
+    dtype = jnp.float32
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(3), B, dtype)
+    cfg = SolverConfig(n_steps=8, max_sqp_iters=5, tol_grad=1e-3,
+                       backward="xla")
+    w = jnp.where(jnp.arange(B) < B // 2, 40.0, 400.0).astype(dtype)
+    p_swept = MPCParams(w_cte=w).astype(dtype)
+
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+    u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+    _, us, *_ = solve_pallas(zT, cT, pack_params(p_swept, B, dtype),
+                             lb, -lb, u0, cfg, interpret=True)
+
+    for half, wv in ((slice(0, B // 2), 40.0), (slice(B // 2, B), 400.0)):
+        p_u = MPCParams(w_cte=wv).astype(dtype)
+        r = bl.batch_solve_lane(z0s[half], coeffs[half], p_u, cfg)
+        du = float(jnp.max(jnp.abs(
+            jnp.moveaxis(us[..., half], -1, 0) - r.us)))
+        assert du < 2e-3, (wv, du)
