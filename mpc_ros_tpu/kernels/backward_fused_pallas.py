@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .backward_pallas import _mm, _mtm, _mtv, _mv, _boxqp_tile
+from .backward_pallas import (_boxqp_tile, _mm, _mtm, _mtv, _mv,
+                              _polyder_tile)
 
 _N = 8
 _M = 2
@@ -51,7 +52,7 @@ def _kernel(T: int, sign: float, dtype, ss_ref, us_ref, c_ref, par_ref,
     ub = ub_ref[...]
     mu = mu_ref[...]
     par = par_ref[...]              # (12, 128)
-    c1, c2, c3 = c_ref[1], c_ref[2], c_ref[3]
+    cf = c_ref[...]
     dt = par[P_DT]
     wv2 = 2.0 * par[P_WVEL]
     wc2 = 2.0 * par[P_WCTE]
@@ -81,7 +82,7 @@ def _kernel(T: int, sign: float, dtype, ss_ref, us_ref, c_ref, par_ref,
         pu1 = s_t[7]
         ct, st = jnp.cos(th), jnp.sin(th)
         ce, se = jnp.cos(eth), jnp.sin(eth)
-        fp = c1 + x * (2.0 * c2 + x * (3.0 * c3))
+        fp = _polyder_tile(cf, x)
         # Jacobian structure (models/diff_drive.step_jacobians): A has only
         # 15/64 nonzeros, B 5/16 — all A/B products below are hand-expanded
         # against that sparsity (~2x fewer VPU ops than generic matmuls).

@@ -1,37 +1,51 @@
-"""Pallas TPU kernel: fused control-limited Riccati backward scan.
+"""Shared Pallas tile helpers for the NMPC kernels.
 
-The XLA lane-major backward pass (solver/batch_lane.py) is memory-bound in
-principle (~3 flop/byte) but measured ~1% of the HBM roofline: a T-step
-`lax.scan` pays per-step scheduling overhead that dwarfs the 3 MB/step of
-useful traffic. This kernel fuses the WHOLE scan: one program per 128-lane
-batch tile holds the value-function carry (Vs (8,128), Vss (8,8,128)) in
-VMEM/registers and walks all T stages in an on-chip `fori_loop` — per-stage
-quadratics stream through VMEM blocks once, no inter-step barriers.
+Per-lane small-matrix arithmetic on (r, c, V)-shaped values (V = the
+per-lane tile shape: (128,) historically, (sub, 128) in the wide-tile
+megakernel), Horner polynomial evaluation of the reference path, and the
+exact 9-combo 2-dim box QP. Consumed by kernels/backward_fused_pallas.py,
+kernels/forward_pallas.py and kernels/solve_pallas.py; the standalone
+(non-fused) backward kernel that originally lived here was superseded by
+the fused designs and removed.
 
-Layout: batch on the 128 vector lanes (minor axis), small state/control
-dims unrolled as (8, 128)-tile row arithmetic — every 8x8-per-lane matmul
-is 64 broadcast-FMAs on (8, 128) tiles (pure VPU; there is nothing for the
-MXU here since each lane owns a different matrix).
-
-Same math as `_backward_bl` (tested equal): per-stage exact 2-dim box QP by
-active-set enumeration, masked feedback rows, expected-improvement terms
-and projected gradient.
+Layout rationale: batch on the 128 vector lanes (minor axis), small
+state/control dims unrolled as tile-row arithmetic — every 8x8-per-lane
+matmul is 64 broadcast-FMAs on lane tiles (pure VPU; there is nothing for
+the MXU here since each lane owns a different matrix).
 """
 
 from __future__ import annotations
 
-import functools
 import itertools
 
-import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _N = 8
 _M = 2
 _LANES = 128
 _COMBOS = list(itertools.product(range(3), repeat=2))
+
+
+def _polyval_tile(c, x):
+    """Horner evaluation of f(x) = sum_i c[i] x^i on per-lane tiles.
+    c: (P, V...) coefficient rows, x: (V...) — any polynomial order
+    (the reference's cubic is just P=4)."""
+    P = c.shape[0]
+    acc = c[P - 1]
+    for i in range(P - 2, -1, -1):
+        acc = c[i] + x * acc
+    return jnp.broadcast_to(acc, x.shape)
+
+
+def _polyder_tile(c, x):
+    """f'(x) for the same representation (zero for constant polys)."""
+    P = c.shape[0]
+    if P == 1:
+        return jnp.zeros_like(x)
+    acc = (P - 1.0) * c[P - 1]
+    for i in range(P - 2, 0, -1):
+        acc = float(i) * c[i] + x * acc
+    return jnp.broadcast_to(acc, x.shape)
 
 
 # ---- per-lane small-matrix helpers: X, Y are (r, c, 128) jnp values ------
@@ -146,146 +160,3 @@ def _boxqp_tile(Quu, Qu, lbd, ubd, Qus, dtype):
     k = jnp.stack([k0, k1])
     K = jnp.stack(Krows)
     return k, K
-
-
-def _backward_kernel(T: int, dtype, A_ref, B_ref, ls_ref, lu_ref, lss_ref,
-                     luu_ref, lus_ref, us_ref, Vs0_ref, Vss0_ref, lb_ref,
-                     ub_ref, mu_ref, ks_ref, Ks_ref, dv1_ref, dv2_ref,
-                     pg_ref):
-    lb = lb_ref[...]            # (2, 128)
-    ub = ub_ref[...]
-    mu = mu_ref[...]            # (1, 128)
-
-    Vs0 = Vs0_ref[...]
-    Vss0 = Vss0_ref[...]
-    zero = jnp.zeros((1, _LANES), dtype)
-
-    def body(i, carry):
-        Vs, Vss, dv1, dv2, pg = carry
-        t = jnp.asarray(T - 1, jnp.int32) - i
-        A_t = A_ref[t]          # (8, 8, 128)
-        B_t = B_ref[t]          # (8, 2, 128)
-        ls = ls_ref[t]          # (8, 128)
-        lu = lu_ref[t]          # (2, 128)
-        lss = lss_ref[t]        # (8, 8, 128)
-        luu = luu_ref[t]        # (2, 2, 128)
-        lus = lus_ref[t]        # (2, 8, 128)
-        u_t = us_ref[t]         # (2, 128)
-
-        Qs = ls + _mtv(A_t, Vs, _N, _N)
-        Qu = lu + _mtv(B_t, Vs, _M, _N)
-        VA = _mm(Vss, A_t, _N, _N, _N)
-        Qss = lss + _mtm(A_t, VA, _N, _N, _N)
-        Qus = lus + _mtm(B_t, VA, _M, _N, _N)
-        VB = _mm(Vss, B_t, _N, _N, _M)
-        Quu = luu + _mtm(B_t, VB, _M, _N, _M)
-        # symmetrize; QP uses the regularized matrix, value updates the raw
-        # one (matches solver/batch_lane._backward_bl exactly)
-        offd = 0.5 * (Quu[0, 1] + Quu[1, 0])
-        Quu = jnp.stack([
-            jnp.stack([Quu[0, 0], offd]),
-            jnp.stack([offd, Quu[1, 1]]),
-        ])
-        Quu_reg = jnp.stack([
-            jnp.stack([Quu[0, 0] + mu[0], Quu[0, 1]]),
-            jnp.stack([Quu[1, 0], Quu[1, 1] + mu[0]]),
-        ])
-
-        lbd = lb - u_t
-        ubd = ub - u_t
-        k, K = _boxqp_tile(Quu_reg, Qu, lbd, ubd, Qus, dtype)
-
-        Quu_k = _mv(Quu, k, _M, _M)
-        KtQuuk = _mtv(K, Quu_k, _N, _M)
-        KtQu = _mtv(K, Qu, _N, _M)
-        Qust_k = _mtv(Qus, k, _N, _M)
-        Vs_n = Qs + KtQuuk + KtQu + Qust_k
-
-        # K (2,8,128): KtQuu[i,j] = sum_m K[m,i] Quu[m,j]
-        KtQuu = _mtm(K, Quu, _N, _M, _M)
-        KtQuuK = _mm(KtQuu, K, _N, _M, _N)     # (8,8,128)
-        KtQus = _mtm(K, Qus, _N, _M, _N)
-        QustK = _mtm(Qus, K, _N, _M, _N)
-        Vss_n = Qss + KtQuuK + KtQus + QustK
-        # symmetrize
-        Vss_n = 0.5 * (Vss_n + Vss_n.transpose(1, 0, 2))
-
-        # write gains
-        ks_ref[t] = k
-        Ks_ref[t] = K
-
-        dv1 = dv1 + (k[0] * Qu[0] + k[1] * Qu[1])[None]
-        dv2 = dv2 + 0.5 * (k[0] * Quu_k[0] + k[1] * Quu_k[1])[None]
-        pg_t = jnp.maximum(
-            jnp.abs(u_t[0] - jnp.clip(u_t[0] - Qu[0], lb[0], ub[0])),
-            jnp.abs(u_t[1] - jnp.clip(u_t[1] - Qu[1], lb[1], ub[1])))
-        pg = jnp.maximum(pg, pg_t[None])
-        return (Vs_n, Vss_n, dv1, dv2, pg)
-
-    Vs_f, Vss_f, dv1, dv2, pg = jax.lax.fori_loop(
-        0, T, body, (Vs0, Vss0, zero, zero, zero))
-    dv1_ref[...] = dv1
-    dv2_ref[...] = dv2
-    pg_ref[...] = pg
-
-
-def backward_pallas(A, Bm, l_s, l_u, l_ss, l_uu, l_us, us, V_s, V_ss,
-                    lb, ub, mu, *, interpret: bool = False):
-    """Fused backward pass. Batch-last inputs:
-    A (T,8,8,B), Bm (T,8,2,B), l_s (T,8,B), l_u (T,2,B), l_ss (T,8,8,B),
-    l_uu (T,2,2,B), l_us (T,2,8,B), us (T,2,B), V_s (8,B), V_ss (8,8,B),
-    lb/ub (2,B), mu (B,). B must be a multiple of 128.
-
-    Returns ks (T,2,B), Ks (T,2,8,B), dV1 (B,), dV2 (B,), pg (B,).
-    """
-    T = us.shape[0]
-    B = us.shape[-1]
-    assert B % _LANES == 0, f"batch {B} must be a multiple of {_LANES}"
-    dtype = A.dtype
-    grid = (B // _LANES,)
-
-    def lane_spec(*dims):
-        ndim = len(dims)
-        return pl.BlockSpec(
-            dims + (_LANES,),
-            lambda i, nd=ndim: (0,) * nd + (i,),
-            memory_space=pltpu.VMEM,
-        )
-
-    kernel = functools.partial(_backward_kernel, T, dtype)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            lane_spec(T, _N, _N),    # A
-            lane_spec(T, _N, _M),    # B
-            lane_spec(T, _N),        # l_s
-            lane_spec(T, _M),        # l_u
-            lane_spec(T, _N, _N),    # l_ss
-            lane_spec(T, _M, _M),    # l_uu
-            lane_spec(T, _M, _N),    # l_us
-            lane_spec(T, _M),        # us
-            lane_spec(_N),           # V_s
-            lane_spec(_N, _N),       # V_ss
-            lane_spec(_M),           # lb
-            lane_spec(_M),           # ub
-            lane_spec(1),            # mu (1, B)
-        ],
-        out_specs=[
-            lane_spec(T, _M),        # ks
-            lane_spec(T, _M, _N),    # Ks
-            lane_spec(1),            # dV1
-            lane_spec(1),            # dV2
-            lane_spec(1),            # pg
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, _M, B), dtype),
-            jax.ShapeDtypeStruct((T, _M, _N, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-        ],
-        interpret=interpret,
-    )(A, Bm, l_s, l_u, l_ss, l_uu, l_us, us, V_s, V_ss, lb, ub, mu[None])
-    ks, Ks, dv1, dv2, pg = out
-    return ks, Ks, dv1[0], dv2[0], pg[0]

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .backward_pallas import _polyval_tile
 from .backward_fused_pallas import (N_PAR, P_DT, P_RCTE, P_RETH, P_RVEL,
                                     P_WACC, P_WANG, P_WCTE, P_WDACC,
                                     P_WDANG, P_WETH, P_WVEL)
@@ -41,7 +42,7 @@ def _kernel(T: int, n_alpha: int, sign: float, dtype,
     par = par_ref[...]
     lb = lb_ref[...]
     ub = ub_ref[...]
-    c0, c1, c2, c3 = c_ref[0], c_ref[1], c_ref[2], c_ref[3]
+    cf = c_ref[...]
     dt = par[P_DT]
     cost_prev = cost_ref[0]
     act = act_ref[0]
@@ -89,7 +90,7 @@ def _kernel(T: int, n_alpha: int, sign: float, dtype,
             new_accs.append(accs[a] + stage_cost(s_a, (u0, u1), rate))
             # dynamics step
             x, y, th, v, cte, eth = (s_a[i] for i in range(6))
-            f0 = c0 + x * (c1 + x * (c2 + x * c3))
+            f0 = _polyval_tile(cf, x)
             s_n = jnp.stack([
                 x + v * jnp.cos(th) * dt,
                 y + v * jnp.sin(th) * dt,
@@ -140,7 +141,7 @@ def _kernel(T: int, n_alpha: int, sign: float, dtype,
         u0 = jnp.clip(u0, lb[0], ub[0])
         u1 = jnp.clip(u1, lb[1], ub[1])
         x, y, th, v, cte, eth = (s_a[i] for i in range(6))
-        f0 = c0 + x * (c1 + x * (c2 + x * c3))
+        f0 = _polyval_tile(cf, x)
         s_n = jnp.stack([
             x + v * jnp.cos(th) * dt,
             y + v * jnp.sin(th) * dt,

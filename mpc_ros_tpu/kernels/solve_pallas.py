@@ -27,6 +27,7 @@ asserted in tests.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .backward_fused_pallas import (N_PAR, P_DT, P_RCTE, P_RETH, P_RVEL,
                                     P_WACC, P_WANG, P_WCTE, P_WDACC,
                                     P_WDANG, P_WETH, P_WVEL)
-from .backward_pallas import _boxqp_tile, _mm, _mtm, _mtv, _mv
+from .backward_pallas import (_boxqp_tile, _mm, _mtm, _mtv, _mv,
+                              _polyder_tile, _polyval_tile)
 
 _N = 8
 _M = 2
@@ -46,7 +48,7 @@ _LANES = 128
 def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             tol_grad: float, tol_cost_eff: float, mu_min: float,
             mu_max: float, mu_factor: float, dtype, n_blobs: int,
-            sub: int, *refs):
+            sub: int, n_done_needed: int, *refs):
     # Per-lane values are (sub, 128) tiles. With sub=8 each value fills a
     # native f32 vreg (8 sublanes x 128 lanes): one vector op processes
     # 1024 scenarios. sub=1 wastes 7/8 of the VPU rows — it exists only as
@@ -62,7 +64,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
     par = par_ref[...]
     lb = lb_ref[...]
     ub = ub_ref[...]
-    c0, c1, c2, c3 = c_ref[0], c_ref[1], c_ref[2], c_ref[3]
+    cf = c_ref[...]                 # (P, sub, 128): any poly order
     dt = par[P_DT]
     vshape = (sub, _LANES)
     zeros = jnp.zeros(vshape, dtype)
@@ -109,7 +111,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
     def dyn_step(s_a, u0, u1):
         x, y, th, v, cte, eth = (s_a[i] for i in range(6))
-        f0 = c0 + x * (c1 + x * (c2 + x * c3))
+        f0 = _polyval_tile(cf, x)
         return jnp.stack([
             x + v * jnp.cos(th) * dt,
             y + v * jnp.sin(th) * dt,
@@ -167,9 +169,11 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
     R_COST, R_MU, R_NSMALL, R_DONE, R_CONV, R_GNORM, R_ITERS, R_PAD = range(8)
 
     def cond(carry):
+        # SolverConfig.done_frac applies PER TILE here (each program sees
+        # only its sub*128 lanes); stragglers keep their current iterate
         it, cur, regs = carry
         return jnp.logical_and(it < max_iters,
-                               jnp.sum(regs[R_DONE]) < sub * _LANES - 0.5)
+                               jnp.sum(regs[R_DONE]) < n_done_needed - 0.5)
 
     def body(carry):
         it, cur, regs = carry
@@ -222,7 +226,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             eth = s_t[5]
             ct, st = jnp.cos(th), jnp.sin(th)
             ce, se = jnp.cos(eth), jnp.sin(eth)
-            fp = c1 + x * (2.0 * c2 + x * (3.0 * c3))
+            fp = _polyder_tile(cf, x)
             a02 = -v * st * dt
             a03 = ct * dt
             a12 = v * ct * dt
@@ -514,10 +518,14 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
             memory_space=pltpu.VMEM,
         )
 
+    tile = sub * _LANES
+    n_done_needed = (tile if cfg.done_frac >= 1.0
+                     else min(tile, int(math.ceil(cfg.done_frac * tile))))
     kernel = functools.partial(
         _kernel, T, cfg.ls_iters, cfg.max_sqp_iters, float(cfg.cte_vsin_sign),
         float(cfg.tol_grad), float(tol_cost_eff), float(cfg.mu_init),
-        float(cfg.mu_max), float(cfg.mu_factor), dtype, n_blobs, sub)
+        float(cfg.mu_max), float(cfg.mu_factor), dtype, n_blobs, sub,
+        n_done_needed)
     blob_inputs = [] if n_blobs == 0 else [rsh(a) for a in blobs]
     blob_specs = [] if n_blobs == 0 else [lane_spec(n_blobs)] * 4
     out = pl.pallas_call(

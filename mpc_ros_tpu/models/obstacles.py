@@ -98,6 +98,13 @@ def obstacle_grad_xy(omap: ObstacleMap, xy: jnp.ndarray) -> jnp.ndarray:
     g11 = grid[y0 + 1, x0 + 1]
     dx = ((1 - ty) * (g01 - g00) + ty * (g11 - g10)) / res
     dy = ((1 - tx) * (g10 - g00) + tx * (g11 - g01)) / res
+    # outside the map the sampled value is clamped flat per axis, so the
+    # gradient must be zero there too — otherwise nonzero border cells
+    # leak a phantom slope the line search can never realize
+    in_x = jnp.logical_and(fx >= 0.0, fx <= W - 1.0).astype(dx.dtype)
+    in_y = jnp.logical_and(fy >= 0.0, fy <= H - 1.0).astype(dy.dtype)
+    dx = dx * in_x
+    dy = dy * in_y
     return omap.weight * jnp.stack([dx, dy], axis=-1)
 
 
@@ -136,6 +143,9 @@ def obstacle_cost_grad_bl(omaps: "ObstacleMap", x: jnp.ndarray,
            + ty * ((1 - tx) * g10 + tx * g11))
     dx = ((1 - ty) * (g01 - g00) + ty * (g11 - g10)) / res
     dy = ((1 - tx) * (g10 - g00) + tx * (g11 - g01)) / res
+    # zero the clamped-axis gradient outside the map (see obstacle_grad_xy)
+    dx = dx * jnp.logical_and(fx >= 0.0, fx <= W - 1.0).astype(dx.dtype)
+    dy = dy * jnp.logical_and(fy >= 0.0, fy <= H - 1.0).astype(dy.dtype)
     return wgt * val, wgt * dx, wgt * dy
 
 

@@ -51,14 +51,34 @@ def _pl(p: MPCParams, name, dtype):
 # ---------------------------------------------------------------- dynamics
 
 
+def _polyval_bl(coeffs, x):
+    """Horner evaluation of sum_i coeffs[i] x^i, batch-last.
+    coeffs (P, B), x (..., B) -> (..., B); any polynomial order."""
+    P = coeffs.shape[0]
+    acc = jnp.broadcast_to(coeffs[P - 1], x.shape)
+    for i in range(P - 2, -1, -1):
+        acc = coeffs[i] + x * acc
+    return acc
+
+
+def _polyder_bl(coeffs, x):
+    """f'(x) for the same representation (zero for constant polys)."""
+    P = coeffs.shape[0]
+    if P == 1:
+        return jnp.zeros_like(x)
+    acc = jnp.broadcast_to((P - 1.0) * coeffs[P - 1], x.shape)
+    for i in range(P - 2, 0, -1):
+        acc = float(i) * coeffs[i] + x * acc
+    return acc
+
+
 def _step_bl(s, u, coeffs, dt, sign):
     """Augmented step, batch-last. s: (..., 8, B), u: (..., 2, B),
-    coeffs: (4, B). Leading dims broadcast (used for the alpha axis)."""
+    coeffs: (P, B). Leading dims broadcast (used for the alpha axis)."""
     x, y, th, v, cte, eth = (s[..., i, :] for i in range(6))
     w = u[..., 0, :]
     a = u[..., 1, :]
-    c0, c1, c2, c3 = coeffs[0], coeffs[1], coeffs[2], coeffs[3]
-    f0 = c0 + x * (c1 + x * (c2 + x * c3))
+    f0 = _polyval_bl(coeffs, x)
     rows = [
         x + v * jnp.cos(th) * dt,
         y + v * jnp.sin(th) * dt,
@@ -211,8 +231,7 @@ def _stage_linexp_bl(s, u, coeffs, dt, sign, rate_on, p, dtype):
     pu = s[6:8]
     ct, st = jnp.cos(th), jnp.sin(th)
     ce, se = jnp.cos(eth), jnp.sin(eth)
-    c1, c2, c3 = coeffs[1], coeffs[2], coeffs[3]
-    fp = c1 + x * (2.0 * c2 + x * (3.0 * c3))
+    fp = _polyder_bl(coeffs, x)
     zero = jnp.zeros_like(x)
     one = jnp.ones_like(x)
     dt_ = jnp.asarray(dt, dtype)
@@ -430,6 +449,36 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             tot = tot + jnp.sum(val, axis=0)
         return tot
 
+    kernels_ok = (omaps is None and B % 128 == 0 and dtype == jnp.float32)
+    on_tpu = jax.default_backend() == "tpu"
+    # "auto" -> whole-solve megakernel on TPU; "mega" forces it;
+    # "pallas" = the two-kernel (backward+forward) design; "xla" = pure XLA
+    use_mega = kernels_ok and (
+        cfg.backward == "mega" or (cfg.backward == "auto" and on_tpu))
+    # the two-kernel design predates parametric obstacles; only the
+    # megakernel and the XLA paths carry blob terms
+    use_pallas = (not use_mega) and kernels_ok and bl is None \
+        and cfg.backward == "pallas"
+
+    if use_mega:
+        # the megakernel does its own VMEM-resident rollout; return before
+        # tracing the XLA rollout below (it would be dead code)
+        from ..kernels.backward_fused_pallas import pack_params
+        from ..kernels.solve_pallas import solve_pallas
+
+        pp = pack_params(p, B, dtype)
+        ss_f, us_f, cost_f, conv_f, iters_f, gnorm_f, mu_f = solve_pallas(
+            zT, cT, pp, lb, ub, us0, cfg, dtype=dtype, blobs=bl)
+        return SolveResult(
+            us=jnp.moveaxis(us_f, -1, 0),
+            zs=jnp.moveaxis(ss_f[:, :6, :], -1, 0),
+            cost=cost_f,
+            converged=conv_f > 0.5,
+            n_iters=iters_f.astype(jnp.int32),
+            grad_norm=gnorm_f,
+            reg=mu_f,
+        )
+
     has_obs = omaps is not None or bl is not None
     ss0, cost0 = _rollout_and_cost(s0, us0, cT, dt, sign, p, dtype, T)
     if has_obs:
@@ -451,33 +500,6 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             keep_going = jnp.mean(done.astype(dtype)) < cfg.done_frac
         return jnp.logical_and(it < cfg.max_sqp_iters, keep_going)
 
-    kernels_ok = (omaps is None and B % 128 == 0 and dtype == jnp.float32)
-    on_tpu = jax.default_backend() == "tpu"
-    # "auto" -> whole-solve megakernel on TPU; "mega" forces it;
-    # "pallas" = the two-kernel (backward+forward) design; "xla" = pure XLA
-    use_mega = kernels_ok and (
-        cfg.backward == "mega" or (cfg.backward == "auto" and on_tpu))
-    # the two-kernel design predates parametric obstacles; only the
-    # megakernel and the XLA paths carry blob terms
-    use_pallas = (not use_mega) and kernels_ok and bl is None \
-        and cfg.backward == "pallas"
-
-    if use_mega:
-        from ..kernels.backward_fused_pallas import pack_params
-        from ..kernels.solve_pallas import solve_pallas
-
-        pp = pack_params(p, B, dtype)
-        ss_f, us_f, cost_f, conv_f, iters_f, gnorm_f, mu_f = solve_pallas(
-            zT, cT, pp, lb, ub, us0, cfg, dtype=dtype, blobs=bl)
-        return SolveResult(
-            us=jnp.moveaxis(us_f, -1, 0),
-            zs=jnp.moveaxis(ss_f[:, :6, :], -1, 0),
-            cost=cost_f,
-            converged=conv_f > 0.5,
-            n_iters=iters_f.astype(jnp.int32),
-            grad_norm=gnorm_f,
-            reg=mu_f,
-        )
 
     def body(st):
         ss, us, cost, mu, it, done, gnorm, n_small, conv, iters = st

@@ -160,10 +160,15 @@ def backward_pass_parallel(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
     (solver/riccati.py) for the value functions, then every stage's box-QP
     solved simultaneously under `vmap`.
 
-    Exactly equivalent to the sequential pass while the box bounds are
-    inactive; under saturation the value functions ignore the clamping
-    (the sequential pass folds it in), so the default stays sequential and
-    this path is opt-in for long horizons (SolverConfig.horizon_parallel).
+    Equivalent to the sequential pass while the box bounds are inactive AND
+    mu is small: here mu is folded into l_uu for the WHOLE value recursion
+    (the associative elements need an invertible control Hessian up front),
+    whereas the sequential pass regularizes only each stage's QP — so with
+    a ramped mu (after rejected steps) gains and the expected-improvement
+    terms differ by O(mu). Under saturation the value functions also ignore
+    the clamping (the sequential pass folds it in). Both are why the
+    default stays sequential and this path is opt-in for long horizons
+    (SolverConfig.horizon_parallel).
     """
     from .riccati import parallel_value_functions
 

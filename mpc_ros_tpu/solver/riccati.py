@@ -76,15 +76,22 @@ def combine(e2: LQRElement, e1: LQRElement) -> LQRElement:
     return LQRElement(A=A, b=b, C=C, eta=eta, J=J)
 
 
-def make_elements(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss) -> LQRElement:
+def make_elements(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
+                  ridge: float = 1e-9) -> LQRElement:
     """Build per-stage elements (T+1 of them; the last is the terminal).
 
     Shapes: A (T,n,n), B (T,n,m), l_ss (T,n,n), l_uu (T,m,m), l_us (T,m,n),
     l_s (T,n), l_u (T,m); V_s (n,), V_ss (n,n) terminal expansion.
+
+    l_uu must be SPD; `ridge` keeps the closed-form 2x2 inverse finite when
+    a caller hands in a singular control Hessian (e.g. a zero control
+    weight with no regularization), instead of silently flooding every
+    downstream value function with NaNs.
     """
     T, n, m = B.shape
     assert m == 2, "inv2 fast path expects control dim 2"
-    Rinv = inv2(l_uu)                                  # (T, m, m)
+    eye_m = jnp.eye(m, dtype=l_uu.dtype)
+    Rinv = inv2(l_uu + ridge * eye_m)                  # (T, m, m)
     BRinv = B @ Rinv                                   # (T, n, m)
     A_hat = A - BRinv @ l_us
     b_hat = -jnp.einsum("tnm,tm->tn", BRinv, l_u)
@@ -127,7 +134,8 @@ def parallel_gains(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss):
     Q_u = l_u + jnp.einsum("tmn,tn->tm", Bt, p_next)
     Q_uu = l_uu + Bt @ P_next @ B
     Q_us = l_us + Bt @ P_next @ A
-    Quu_inv = inv2(0.5 * (Q_uu + jnp.swapaxes(Q_uu, -1, -2)))
+    Quu_inv = inv2(0.5 * (Q_uu + jnp.swapaxes(Q_uu, -1, -2))
+                   + 1e-9 * jnp.eye(2, dtype=Q_uu.dtype))
     ks = -jnp.einsum("tmk,tk->tm", Quu_inv, Q_u)
     Ks = -(Quu_inv @ Q_us)
     return ks, Ks, Ps, ps

@@ -7,7 +7,6 @@ import pytest
 
 from mpc_ros_tpu.config import MPCParams, SolverConfig
 from mpc_ros_tpu.solver import batch_lane as bl
-from mpc_ros_tpu.kernels.backward_pallas import backward_pallas
 from mpc_ros_tpu.kernels.backward_fused_pallas import (backward_fused_pallas,
                                                        pack_params)
 from mpc_ros_tpu.kernels.forward_pallas import forward_pallas
@@ -50,27 +49,6 @@ def test_backward_fused_matches_xla(problem):
                                atol=2e-6)   # Ks
     np.testing.assert_allclose(np.asarray(r_pls[4]), np.asarray(r_ref[4]),
                                atol=1e-6)   # pg
-
-
-def test_backward_arrays_kernel_matches_xla(problem):
-    pr = problem
-    dtype = pr["dtype"]
-    rate = jnp.concatenate([jnp.zeros((1,), dtype),
-                            jnp.ones((pr["T"] - 1,), dtype)])
-    A, Bm, l_s, l_u, l_ss, l_uu, l_us = jax.vmap(
-        lambda s_t, u_t, r_t: bl._stage_linexp_bl(
-            s_t, u_t, pr["cT"], 0.1, 1.0, r_t, pr["p"], dtype)
-    )(pr["ss"][:-1], pr["us"], rate)
-    r_ref = bl._backward_bl(pr["ss"], pr["us"], pr["cT"], 0.1, 1.0, pr["p"],
-                            pr["V_s"], pr["V_ss"], pr["lb"], pr["ub"],
-                            pr["mu"])
-    r_pls = backward_pallas(A, Bm, l_s, l_u, l_ss, l_uu, l_us, pr["us"],
-                            pr["V_s"], pr["V_ss"], pr["lb"], pr["ub"],
-                            pr["mu"], interpret=True)
-    np.testing.assert_allclose(np.asarray(r_pls[0]), np.asarray(r_ref[0]),
-                               atol=2e-6)
-    np.testing.assert_allclose(np.asarray(r_pls[1]), np.asarray(r_ref[1]),
-                               atol=2e-6)
 
 
 def test_forward_kernel_matches_xla_selection(problem):
@@ -229,3 +207,34 @@ def test_megakernel_per_scenario_params_interpret():
         du = float(jnp.max(jnp.abs(
             jnp.moveaxis(us[..., half], -1, 0) - r.us)))
         assert du < 2e-3, (wv, du)
+
+
+def test_megakernel_done_frac_early_exit():
+    """done_frac < 1 must reach the megakernel's per-tile exit: with a
+    loose fraction the tile stops earlier (never later) than a full run
+    and still returns finite, usable iterates."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+
+    dtype = jnp.float32
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(5), B, dtype)
+    p = MPCParams().astype(dtype)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+    u0 = jnp.zeros((11, 2, B), dtype)
+
+    def run(frac):
+        cfg = SolverConfig(n_steps=12, max_sqp_iters=20, tol_grad=1e-5,
+                           done_frac=frac)
+        out = solve_pallas(zT, cT, pp, lb, -lb, u0, cfg, interpret=True)
+        return out[1], out[4]          # us, iters
+
+    us_full, it_full = run(1.0)
+    us_part, it_part = run(0.5)
+    assert float(jnp.max(it_part)) <= float(jnp.max(it_full))
+    assert float(jnp.max(it_part)) < 20.0  # actually exited early
+    assert bool(jnp.all(jnp.isfinite(us_part)))

@@ -206,3 +206,26 @@ def test_lane_solver_n100():
     res = batch_solve_lane(jnp.asarray(z0s), jnp.asarray(coeffs), p, cfg)
     assert bool(jnp.all(jnp.isfinite(res.cost)))
     assert float(jnp.mean(res.converged.astype(jnp.float64))) > 0.9
+
+
+def test_lane_solver_noncubic_reference_matches_vmapped():
+    """poly_order != 3 must flow through the lane solver and kernels' Horner
+    evaluation, matching the per-scenario solver (which uses ops.poly) —
+    regression for the silent cubic truncation."""
+    import jax
+
+    from mpc_ros_tpu.solver import ilqr
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    dtype = jnp.float64
+    B = 4
+    for order in (2, 4):
+        cfg = SolverConfig(n_steps=10, poly_order=order)
+        rng = np.random.default_rng(order)
+        z0s = jnp.asarray(rng.normal(0, 0.3, (B, 6)))
+        coeffs = jnp.asarray(rng.normal(0, 0.1, (B, order + 1)))
+        p = MPCParams().astype(dtype)
+        r_vm = jax.vmap(lambda z, c: ilqr.solve(z, c, p, cfg))(z0s, coeffs)
+        r_ln = batch_solve_lane(z0s, coeffs, p, cfg)
+        np.testing.assert_allclose(np.asarray(r_ln.us), np.asarray(r_vm.us),
+                                   atol=1e-6)
