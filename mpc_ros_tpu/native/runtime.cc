@@ -18,6 +18,8 @@
 // ctypes from runtime.py.
 
 #include <atomic>
+#include <cmath>
+#include <vector>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -205,3 +207,90 @@ int csv_close(CsvLogger* l, int64_t sec, int64_t nsec) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- plan fit
+// Native per-cycle path-fit core — the numeric hot path of the reference's
+// Tracking::findBestPath (/root/reference/mpc_ros/src/driving_state.cpp:
+// 196-235) and its Eigen-QR polyfit (:273-300): world->robot transform,
+// Householder-QR polynomial fit, cte at x=0, and the 30%-lookahead path
+// direction. The branchy plan pruning stays in Python (planner/plan_utils);
+// this replaces the numpy lstsq in the real-time single-robot loop.
+
+extern "C" int plan_fit(const double* xs, const double* ys, int n,
+                        double px, double py, double theta, int order,
+                        double lookahead_frac,
+                        double* coeffs_out /* order+1 */,
+                        double* cte_out, double* heading_out,
+                        int* heading_valid) {
+  if (n < 2 || order < 1 || order > 8 || order > n - 1) return -1;
+  const int m = order + 1;
+  const double ct = std::cos(theta), st = std::sin(theta);
+
+  // Vandermonde in robot frame: A[i][j] = xv_i^j, b[i] = yv_i
+  std::vector<double> A(static_cast<size_t>(n) * m), b(n);
+  for (int i = 0; i < n; ++i) {
+    const double dx = xs[i] - px, dy = ys[i] - py;
+    const double xv = dx * ct + dy * st;
+    const double yv = dy * ct - dx * st;
+    double p = 1.0;
+    for (int j = 0; j < m; ++j) {
+      A[static_cast<size_t>(i) * m + j] = p;
+      p *= xv;
+    }
+    b[i] = yv;
+  }
+
+  // Householder QR: reduce A in place, apply reflectors to b.
+  for (int k = 0; k < m; ++k) {
+    double norm = 0.0;
+    for (int i = k; i < n; ++i) {
+      const double v = A[static_cast<size_t>(i) * m + k];
+      norm += v * v;
+    }
+    norm = std::sqrt(norm);
+    if (norm == 0.0) return -2;  // rank deficient
+    double akk = A[static_cast<size_t>(k) * m + k];
+    const double alpha = (akk > 0.0) ? -norm : norm;
+    // v = a_k - alpha e_k (stored in column k below the diagonal + vk)
+    std::vector<double> v(n - k);
+    v[0] = akk - alpha;
+    for (int i = k + 1; i < n; ++i)
+      v[i - k] = A[static_cast<size_t>(i) * m + k];
+    double vtv = 0.0;
+    for (double q : v) vtv += q * q;
+    if (vtv == 0.0) return -2;
+    A[static_cast<size_t>(k) * m + k] = alpha;
+    for (int i = k + 1; i < n; ++i) A[static_cast<size_t>(i) * m + k] = 0.0;
+    for (int j = k + 1; j < m; ++j) {
+      double dot = 0.0;
+      for (int i = k; i < n; ++i)
+        dot += v[i - k] * A[static_cast<size_t>(i) * m + j];
+      const double s = 2.0 * dot / vtv;
+      for (int i = k; i < n; ++i)
+        A[static_cast<size_t>(i) * m + j] -= s * v[i - k];
+    }
+    double dotb = 0.0;
+    for (int i = k; i < n; ++i) dotb += v[i - k] * b[i];
+    const double sb = 2.0 * dotb / vtv;
+    for (int i = k; i < n; ++i) b[i] -= sb * v[i - k];
+  }
+  // back-substitute R x = b[0..m)
+  for (int j = m - 1; j >= 0; --j) {
+    double acc = b[j];
+    for (int k2 = j + 1; k2 < m; ++k2)
+      acc -= A[static_cast<size_t>(j) * m + k2] * coeffs_out[k2];
+    coeffs_out[j] = acc / A[static_cast<size_t>(j) * m + j];
+  }
+  *cte_out = coeffs_out[0];
+
+  // 30%-lookahead world-frame path direction (driving_state.cpp:215-221)
+  const int n_sample = static_cast<int>(n * lookahead_frac);
+  double gx = 0.0, gy = 0.0;
+  for (int i = 1; i < n_sample; ++i) {
+    gx += xs[i] - xs[i - 1];
+    gy += ys[i] - ys[i - 1];
+  }
+  *heading_valid = (gx != 0.0 && gy != 0.0) ? 1 : 0;
+  *heading_out = std::atan2(gy, gx);
+  return 0;
+}

@@ -69,8 +69,46 @@ def get_lib() -> ctypes.CDLL:
         lib.csv_close.restype = ctypes.c_int
         lib.csv_close.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                   ctypes.c_int64]
+        # plan fit
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.plan_fit.restype = ctypes.c_int
+        lib.plan_fit.argtypes = [dp, dp, ctypes.c_int,
+                                 ctypes.c_double, ctypes.c_double,
+                                 ctypes.c_double, ctypes.c_int,
+                                 ctypes.c_double, dp, dp, dp,
+                                 ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return lib
+
+
+def plan_fit(plan_xy, pose, order: int, lookahead_frac: float = 0.3):
+    """Native per-cycle path fit (see runtime.cc plan_fit): world->robot
+    transform + Householder-QR polyfit + cte + 30%-lookahead heading.
+
+    plan_xy: (M, >=2) world waypoints; pose: (x, y, theta).
+    Returns (coeffs (order+1,), cte, heading, heading_valid) or None when
+    the fit is degenerate (caller falls back to the numpy path).
+    """
+    import numpy as np
+
+    lib = get_lib()
+    plan = np.ascontiguousarray(plan_xy, dtype=np.float64)
+    xs = np.ascontiguousarray(plan[:, 0])
+    ys = np.ascontiguousarray(plan[:, 1])
+    n = len(xs)
+    coeffs = np.zeros(order + 1, np.float64)
+    cte = ctypes.c_double()
+    heading = ctypes.c_double()
+    valid = ctypes.c_int()
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.plan_fit(
+        xs.ctypes.data_as(dp), ys.ctypes.data_as(dp), n,
+        float(pose[0]), float(pose[1]), float(pose[2]), order,
+        lookahead_frac, coeffs.ctypes.data_as(dp),
+        ctypes.byref(cte), ctypes.byref(heading), ctypes.byref(valid))
+    if rc != 0:
+        return None
+    return coeffs, float(cte.value), float(heading.value), bool(valid.value)
 
 
 class Topic:

@@ -97,6 +97,9 @@ class TrackingController:
         # leaves (K,)) — the TPU-fast smooth representation; use
         # fit_gaussians_to_map to derive from a costmap snapshot
         self.obstacles = None
+        # native (C++) per-cycle path fit; flips off permanently on any
+        # build/ABI failure and the numpy path takes over
+        self._native_prep = True
 
     def reset(self) -> None:
         self.w = 0.0
@@ -142,26 +145,38 @@ class TrackingController:
 
         ref_vel_eff = self.scheduled_ref_vel(pose, goal, v)
 
-        # world -> robot frame (driving_state.cpp:196-207)
-        ct, st = np.cos(theta), np.sin(theta)
-        dx = ref_plan[:, 0] - px
-        dy = ref_plan[:, 1] - py
-        x_veh = dx * ct + dy * st
-        y_veh = dy * ct - dx * st
-
-        # cubic fit; guard the reference's `order <= n-1` assert by degree
-        # reduction on very short plans
+        # per-cycle path fit: native C++ core when available (transform +
+        # Householder-QR polyfit + lookahead heading — runtime.cc plan_fit,
+        # like the reference's Eigen path), numpy otherwise. The `order <=
+        # n-1` guard of the reference becomes degree reduction.
         order = min(self.solver_cfg.poly_order, len(ref_plan) - 1)
-        c = np.polyfit(x_veh, y_veh, order)[::-1]
-        coeffs = np.zeros(self.solver_cfg.n_coeffs)
-        coeffs[: len(c)] = c
+        fit = None
+        if self._native_prep:
+            try:
+                from ..native.runtime import plan_fit
 
-        cte = float(np.polyval(coeffs[::-1], 0.0))
-        etheta = float(np.arctan(coeffs[1]))
-
-        # 30%-lookahead path direction + continuity shim
-        # (driving_state.cpp:214-235)
-        traj_deg, valid = lookahead_heading(ref_plan)
+                fit = plan_fit(ref_plan[:, :2], (px, py, theta), order)
+            except Exception:
+                self._native_prep = False   # build/ABI failure: numpy fallback
+        if fit is not None:
+            c, cte, traj_deg, valid = fit
+            coeffs = np.zeros(self.solver_cfg.n_coeffs)
+            coeffs[: len(c)] = c
+            etheta = float(np.arctan(coeffs[1]))
+        else:
+            # world -> robot frame (driving_state.cpp:196-207)
+            ct, st = np.cos(theta), np.sin(theta)
+            dx = ref_plan[:, 0] - px
+            dy = ref_plan[:, 1] - py
+            x_veh = dx * ct + dy * st
+            y_veh = dy * ct - dx * st
+            c = np.polyfit(x_veh, y_veh, order)[::-1]
+            coeffs = np.zeros(self.solver_cfg.n_coeffs)
+            coeffs[: len(c)] = c
+            cte = float(np.polyval(coeffs[::-1], 0.0))
+            etheta = float(np.arctan(coeffs[1]))
+            # 30%-lookahead path direction (driving_state.cpp:214-235)
+            traj_deg, valid = lookahead_heading(ref_plan)
         temp_theta = theta
         if temp_theta <= -np.pi + traj_deg:
             temp_theta += 2.0 * np.pi

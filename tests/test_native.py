@@ -114,3 +114,44 @@ def test_realtime_closed_loop_meets_deadlines():
     # after jit warmup the 2ms solve fits the 50ms budget easily; allow the
     # first-compile cycle to overrun
     assert res.rate_stats["overruns"] <= 2, res.rate_stats
+
+
+def test_native_plan_fit_matches_numpy():
+    """plan_fit (C++ Householder QR) must reproduce the numpy pipeline:
+    world->robot transform + polyfit + cte + 30%-lookahead heading."""
+    from mpc_ros_tpu.native.runtime import plan_fit
+    from mpc_ros_tpu.planner.plan_utils import lookahead_heading
+
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        n = int(rng.integers(4, 40))
+        t = np.linspace(0, 2.0, n)
+        plan = np.stack([t + 0.05 * rng.normal(size=n),
+                         0.3 * np.sin(t) + 0.05 * rng.normal(size=n)], axis=1)
+        pose = rng.normal(0, 0.5, 3)
+        order = min(3, n - 1)
+        out = plan_fit(plan, pose, order)
+        assert out is not None
+        c_nat, cte_nat, head_nat, valid_nat = out
+
+        ct, st = np.cos(pose[2]), np.sin(pose[2])
+        dx = plan[:, 0] - pose[0]
+        dy = plan[:, 1] - pose[1]
+        xv = dx * ct + dy * st
+        yv = dy * ct - dx * st
+        c_np = np.polyfit(xv, yv, order)[::-1]
+        head_np, valid_np = lookahead_heading(plan)
+
+        np.testing.assert_allclose(c_nat, c_np, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(cte_nat, c_np[0], rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(head_nat, head_np, rtol=1e-12)
+        assert valid_nat == valid_np
+
+
+def test_native_plan_fit_degenerate_returns_none():
+    from mpc_ros_tpu.native.runtime import plan_fit
+
+    # single point: order > n-1
+    assert plan_fit(np.zeros((1, 2)), (0.0, 0.0, 0.0), 1) is None
+    # rank-deficient: all waypoints identical
+    assert plan_fit(np.zeros((5, 2)), (0.0, 0.0, 0.0), 3) is None
