@@ -128,10 +128,21 @@ def main() -> None:
     if args.serving:
         from mpc_ros_tpu.engine.receding import receding_horizon_rollout
 
+        sblobs = None
+        if args.obstacles:
+            from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+            centers = jax.random.uniform(jax.random.PRNGKey(1), (batch, 2),
+                                         dtype, 0.3, 1.2)
+            sblobs = GaussianObstacles.from_sigmas(
+                centers[:, :1], centers[:, 1:],
+                jnp.full((batch, 1), 0.3, dtype),
+                jnp.full((batch, 1), 100.0, dtype))
+
         n_cycles = 10
         def solve_fn():
             return receding_horizon_rollout(z0s, coeffs, p, cfg,
-                                            n_cycles=n_cycles)
+                                            n_cycles=n_cycles, blobs=sblobs)
 
         t0 = time.time()
         tr = solve_fn()
@@ -146,7 +157,8 @@ def main() -> None:
         best = min(times)
         cycles_per_s = batch * n_cycles / best
         print(json.dumps({
-            "metric": f"mpc_serving_cycles_per_s_per_chip_n{n_steps}",
+            "metric": (f"mpc_serving_cycles_per_s_per_chip_n{n_steps}"
+                       + ("_obstacles" if sblobs is not None else "")),
             "value": round(cycles_per_s, 1),
             "unit": "control cycles/s",
             "vs_baseline": round(cycles_per_s / (10000.0 / 8.0), 3),

@@ -41,12 +41,15 @@ class RecedingTrace:
 @functools.partial(jax.jit, static_argnames=("cfg", "n_cycles"))
 def receding_horizon_rollout(z0s: jnp.ndarray, coeffs: jnp.ndarray,
                              p: MPCParams, cfg: SolverConfig,
-                             n_cycles: int = 20) -> RecedingTrace:
+                             n_cycles: int = 20,
+                             blobs=None) -> RecedingTrace:
     """Run `n_cycles` closed-loop control cycles for B robots.
 
     z0s (B, 6): initial error states; coeffs (B, P): each robot's reference
     polynomial (robot-frame, fixed over the run — the on-device analog of
     the per-cycle refit pipeline, which is host-side in planner/).
+    `blobs` (GaussianObstacles, leaves (B, K)): per-robot parametric
+    obstacle fields, solved inside the megakernel every cycle.
     """
     B = z0s.shape[0]
     T = cfg.n_controls
@@ -56,7 +59,7 @@ def receding_horizon_rollout(z0s: jnp.ndarray, coeffs: jnp.ndarray,
 
     def cycle(carry, _):
         zs, warm = carry
-        res = batch_solve_lane(zs, coeffs, p, cfg, u_init=warm)
+        res = batch_solve_lane(zs, coeffs, p, cfg, u_init=warm, blobs=blobs)
         u0 = res.us[:, 0, :]                       # (B, 2)
         # plant step with the applied control
         zs_next = jax.vmap(lambda z, u, c: dd.step(z, u, c, dt, sign))(

@@ -55,3 +55,34 @@ def test_warm_start_reduces_iterations_over_cycles():
     early = float(jnp.mean(tr.iters[0].astype(jnp.float64)))
     late = float(jnp.mean(tr.iters[5:].astype(jnp.float64)))
     assert late < early, (early, late)
+
+
+def test_receding_with_obstacle_field_avoids_blob():
+    """Per-robot parametric obstacles flow through the serving loop: the
+    closed-loop fleet must not drive through the blob (with these weights
+    the optimal response is braking short of it, not swerving — lateral
+    deviation is punished by w_cte)."""
+    import jax
+
+    from mpc_ros_tpu.engine.receding import receding_horizon_rollout
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+    dtype = jnp.float32
+    B = 8
+    z0s = jnp.tile(jnp.asarray([0, 0, 0, 0.5, 0, 0], dtype), (B, 1))
+    coeffs = jnp.zeros((B, 4), dtype)
+    p = MPCParams(ref_vel=0.5, w_cte=50.0).astype(dtype)
+    cfg = SolverConfig(n_steps=10, max_sqp_iters=8, tol_grad=1e-3)
+    blobs = GaussianObstacles.from_sigmas(
+        jnp.full((B, 1), 0.6, dtype), jnp.full((B, 1), 0.05, dtype),
+        jnp.full((B, 1), 0.25, dtype), jnp.full((B, 1), 200.0, dtype))
+    # 20 cycles x dt=0.1 at ~0.5 m/s: unobstructed fleet passes x=0.6
+    tr_free = receding_horizon_rollout(z0s, coeffs, p, cfg, n_cycles=20)
+    tr_obs = receding_horizon_rollout(z0s, coeffs, p, cfg, n_cycles=20,
+                                      blobs=blobs)
+    assert float(jnp.max(tr_free.zs[..., 0])) > 0.8
+    # obstructed fleet keeps clear of the blob center the whole run
+    d = jnp.sqrt((tr_obs.zs[..., 0] - 0.6) ** 2
+                 + (tr_obs.zs[..., 1] - 0.05) ** 2)
+    assert float(jnp.min(d)) > 0.3, float(jnp.min(d))
+    assert bool(jnp.all(jnp.isfinite(tr_obs.us)))
