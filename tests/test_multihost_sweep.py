@@ -55,3 +55,39 @@ def test_tuning_sweep_picks_sane_candidate():
     assert best.w_cte.shape == ()
     # the winner must be among the most-converged candidates
     assert float(res.converged_frac[res.best_index]) >= 0.99
+
+
+def test_two_process_dcn_sweep():
+    """REAL multi-process run of the DCN path: two OS processes, each with
+    2 virtual CPU devices, form one 4-device global mesh and execute
+    init_multihost -> host_local_scenarios -> sharded_sweep; the psum
+    reductions cross the inter-process transport (Gloo, standing in for
+    DCN). Both processes must report identical global statistics."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
+    repo = os.path.dirname(os.path.dirname(worker))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        cwd=os.path.dirname(os.path.dirname(worker)))
+        for i in range(2)]
+    outs = []
+    for pr in procs:
+        out, err = pr.communicate(timeout=300)
+        assert pr.returncode == 0, err.decode()[-2000:]
+        line = [l for l in out.decode().splitlines() if l.startswith("{")][-1]
+        outs.append(json.loads(line))
+    assert outs[0]["mean_cost"] == outs[1]["mean_cost"]
+    assert outs[0]["converged_frac"] == outs[1]["converged_frac"]
+    assert outs[0]["converged_frac"] > 0.9
