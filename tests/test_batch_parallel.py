@@ -101,3 +101,43 @@ def test_lane_solver_warm_start():
     assert int(jnp.max(warm.n_iters)) <= int(jnp.max(cold.n_iters))
     np.testing.assert_allclose(np.asarray(warm.cost), np.asarray(cold.cost),
                                rtol=1e-6)
+
+
+def test_extreme_param_regimes_no_nans():
+    """Property: the lane solver never emits NaN/Inf controls across
+    extreme-but-legal parameter regimes (huge/tiny weights, tiny dt, tight
+    actuator bounds, aggressive references). Lanes may fail to converge;
+    they must fail SAFE (finite iterates, converged=False)."""
+    import numpy as np
+
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    dtype = jnp.float64
+    rng = np.random.default_rng(11)
+    B = 16
+    regimes = dict(
+        w_cte=10.0 ** rng.uniform(-3, 5, B),
+        w_etheta=10.0 ** rng.uniform(-3, 5, B),
+        w_vel=10.0 ** rng.uniform(-3, 5, B),
+        w_angvel=10.0 ** rng.uniform(-3, 4, B),
+        w_accel=10.0 ** rng.uniform(-3, 4, B),
+        w_angvel_d=10.0 ** rng.uniform(-3, 4, B),
+        w_accel_d=10.0 ** rng.uniform(-3, 4, B),
+        dt=10.0 ** rng.uniform(-3, 0, B),
+        ref_vel=rng.uniform(0.01, 3.0, B),
+        max_angvel=rng.uniform(0.05, 3.0, B),
+        max_throttle=rng.uniform(0.05, 3.0, B),
+    )
+    p = MPCParams(**{k: jnp.asarray(v) for k, v in regimes.items()}
+                  ).astype(dtype)
+    z0s = jnp.asarray(rng.normal(0, 1.0, (B, 6)))
+    coeffs = jnp.asarray(rng.normal(0, 0.5, (B, 4)))
+    cfg = SolverConfig(n_steps=15, max_sqp_iters=15, tol_grad=1e-5)
+    res = batch_solve_lane(z0s, coeffs, p, cfg)
+    assert bool(jnp.all(jnp.isfinite(res.us))), "non-finite controls"
+    assert bool(jnp.all(jnp.isfinite(res.cost))), "non-finite cost"
+    # controls respect per-scenario actuator bounds
+    lb0 = jnp.asarray(regimes["max_angvel"])[:, None]
+    lb1 = jnp.asarray(regimes["max_throttle"])[:, None]
+    assert bool(jnp.all(jnp.abs(res.us[:, :, 0]) <= lb0 + 1e-9))
+    assert bool(jnp.all(jnp.abs(res.us[:, :, 1]) <= lb1 + 1e-9))
