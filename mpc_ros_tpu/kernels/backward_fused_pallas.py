@@ -192,10 +192,11 @@ def _kernel(T: int, sign: float, dtype, ss_ref, us_ref, c_ref, par_ref,
                 + _mtv(Qus, k, _N, _M))
         KtQuu = _mtm(K, Quu, _N, _M, _M)
         KtQuuK = _mm(KtQuu, K, _N, _M, _N)
+        # Qus'K is the transpose of K'Qus (same products, same add order
+        # -> bitwise identical entries): mirror instead of recomputing
         KtQus = _mtm(K, Qus, _N, _M, _N)
-        QustK = _mtm(Qus, K, _N, _M, _N)
-        Vss_n = Qss + KtQuuK + KtQus + QustK
-        Vss_n = 0.5 * (Vss_n + Vss_n.transpose(1, 0, 2))
+        Vss_n = Qss + KtQuuK + KtQus + jnp.swapaxes(KtQus, 0, 1)
+        Vss_n = 0.5 * (Vss_n + jnp.swapaxes(Vss_n, 0, 1))
 
         ks_ref[t] = k
         Ks_ref[t] = K

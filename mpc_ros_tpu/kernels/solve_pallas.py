@@ -335,8 +335,10 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             Vs_n = (Qs + _mtv(K, Quu_k, _N, _M) + _mtv(K, Qu, _N, _M)
                     + _mtv(Qus, k, _N, _M))
             KtQuu = _mtm(K, Quu, _N, _M, _M)
+            # Qus'K == (K'Qus)' bitwise (same products/add order): mirror
+            KtQus = _mtm(K, Qus, _N, _M, _N)
             Vss_n = (Qss + _mm(KtQuu, K, _N, _M, _N)
-                     + _mtm(K, Qus, _N, _M, _N) + _mtm(Qus, K, _N, _M, _N))
+                     + KtQus + jnp.swapaxes(KtQus, 0, 1))
             Vss_n = 0.5 * (Vss_n + jnp.swapaxes(Vss_n, 0, 1))
 
             ks_ref[t] = k

@@ -347,9 +347,9 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
         Vs_n = (Qs + jnp.einsum("ikb,kb->ib", KtQuu, k)
                 + jnp.einsum("mib,mb->ib", K, Qu)
                 + jnp.einsum("mib,mb->ib", Qus, k))
+        KtQus = jnp.einsum("mib,mjb->ijb", K, Qus)
         Vss_n = (Qss + jnp.einsum("ikb,kjb->ijb", KtQuu, K)
-                 + jnp.einsum("mib,mjb->ijb", K, Qus)
-                 + jnp.einsum("mib,mjb->ijb", Qus, K))
+                 + KtQus + jnp.swapaxes(KtQus, 0, 1))
         Vss_n = 0.5 * (Vss_n + jnp.swapaxes(Vss_n, 0, 1))
 
         dV1 = jnp.einsum("mb,mb->b", k, Qu)

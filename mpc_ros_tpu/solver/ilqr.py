@@ -139,7 +139,8 @@ def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
         K = Minv @ (-(free[:, None] * Q_us))
 
         Vs_new = Q_s + K.T @ Q_uu @ k + K.T @ Q_u + Q_us.T @ k
-        Vss_new = Q_ss + K.T @ Q_uu @ K + K.T @ Q_us + Q_us.T @ K
+        KtQus = K.T @ Q_us
+        Vss_new = Q_ss + K.T @ Q_uu @ K + KtQus + KtQus.T
         Vss_new = 0.5 * (Vss_new + Vss_new.T)
 
         dV1 = k @ Q_u
