@@ -48,7 +48,7 @@ _LANES = 128
 def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             tol_grad: float, tol_cost_eff: float, mu_min: float,
             mu_max: float, mu_factor: float, dtype, n_blobs: int,
-            sub: int, n_done_needed: int, *refs):
+            sub: int, n_done_needed: int, unroll_bwd: bool, *refs):
     # Per-lane values are (sub, 128) tiles. With sub=8 each value fills a
     # native f32 vreg (8 sublanes x 128 lanes): one vector op processes
     # 1024 scenarios. sub=1 wastes 7/8 of the VPU rows — it exists only as
@@ -350,8 +350,15 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                 jnp.abs(u_t[1] - jnp.clip(u_t[1] - Qu[1], lb[1], ub[1])))
             return (Vs_n, Vss_n, dv1, dv2, jnp.maximum(pg, pg_t))
 
+        # fully unrolled: Mosaic supports only unroll=1 or full unroll;
+        # unrolling the backward scan lets the scheduler overlap stages and
+        # removes per-step loop overhead (~40% kernel-time win at T=29;
+        # unrolling the forward rollouts measured no further gain). Long
+        # horizons keep the rolled loop — full unroll at T=99 would blow
+        # compile time for a pass that is no longer the bottleneck there
         _, _, dv1, dv2, pg = jax.lax.fori_loop(
-            0, T, bwd_body, (Vs0, Vss0, zeros, zeros, zeros))
+            0, T, bwd_body, (Vs0, Vss0, zeros, zeros, zeros),
+            unroll=unroll_bwd)
 
         pred_decrease = -(dv1 + dv2)
         tiny_model = (pred_decrease
@@ -527,7 +534,10 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         _kernel, T, cfg.ls_iters, cfg.max_sqp_iters, float(cfg.cte_vsin_sign),
         float(cfg.tol_grad), float(tol_cost_eff), float(cfg.mu_init),
         float(cfg.mu_max), float(cfg.mu_factor), dtype, n_blobs, sub,
-        n_done_needed)
+        # full unroll wins ~40% kernel time at T<=48 on hardware; in
+        # interpret mode (tests) and at long horizons it only bloats
+        # trace/compile time
+        n_done_needed, bool(T <= 48 and not interpret))
     blob_inputs = [] if n_blobs == 0 else [rsh(a) for a in blobs]
     blob_specs = [] if n_blobs == 0 else [lane_spec(n_blobs)] * 4
     out = pl.pallas_call(
