@@ -31,23 +31,33 @@ extern "C" {
 // ---------------------------------------------------------------- topics --
 
 // Seqlock-protected latest-value slot for POD payloads (<= capacity bytes).
+// The payload is stored as relaxed-atomic 64-bit words (not a plain buffer):
+// a classic memcpy seqlock reads data racing with the writer, which the C++
+// memory model calls UB and ThreadSanitizer rightly flags even though the
+// s1==s2 check discards torn values. Relaxed word copies keep the wait-free
+// property, are a single MOV each on x86/ARM, and make the structure
+// formally race-free — verified under -fsanitize=thread in tests.
 struct TopicSlot {
   std::atomic<uint64_t> seq;       // even = stable, odd = write in progress
-  uint32_t capacity;
-  uint32_t size;                   // bytes of last publish
-  uint64_t publish_count;
-  unsigned char data[];            // payload buffer (flexible tail)
+  uint32_t capacity;               // payload capacity in bytes
+  uint32_t n_words;                // payload storage in 64-bit words
+  std::atomic<uint32_t> size;      // bytes of last publish
+  std::atomic<uint64_t> publish_count;
+  std::atomic<uint64_t> data[];    // payload words (flexible tail)
 };
 
 TopicSlot* topic_create(uint32_t capacity) {
-  void* mem = ::operator new(sizeof(TopicSlot) + capacity, std::nothrow);
+  const uint32_t n_words = (capacity + 7) / 8;
+  void* mem = ::operator new(sizeof(TopicSlot) + n_words * 8, std::nothrow);
   if (!mem) return nullptr;
   auto* t = new (mem) TopicSlot();
   t->seq.store(0, std::memory_order_relaxed);
   t->capacity = capacity;
-  t->size = 0;
-  t->publish_count = 0;
-  std::memset(t->data, 0, capacity);
+  t->n_words = n_words;
+  t->size.store(0, std::memory_order_relaxed);
+  t->publish_count.store(0, std::memory_order_relaxed);
+  for (uint32_t i = 0; i < n_words; ++i)
+    t->data[i].store(0, std::memory_order_relaxed);
   return t;
 }
 
@@ -58,15 +68,26 @@ void topic_destroy(TopicSlot* t) {
   }
 }
 
-// Single-writer publish: bump to odd, copy, bump to even.
+// Single-writer publish: bump to odd, word-copy, bump to even.
 int topic_publish(TopicSlot* t, const void* payload, uint32_t size) {
   if (!t || size > t->capacity) return -1;
   uint64_t s = t->seq.load(std::memory_order_relaxed);
   t->seq.store(s + 1, std::memory_order_release);
   std::atomic_thread_fence(std::memory_order_release);
-  std::memcpy(t->data, payload, size);
-  t->size = size;
-  t->publish_count++;
+  const uint32_t full = size / 8;
+  uint64_t w;
+  for (uint32_t i = 0; i < full; ++i) {
+    std::memcpy(&w, static_cast<const unsigned char*>(payload) + i * 8, 8);
+    t->data[i].store(w, std::memory_order_relaxed);
+  }
+  if (size % 8) {
+    w = 0;
+    std::memcpy(&w, static_cast<const unsigned char*>(payload) + full * 8,
+                size % 8);
+    t->data[full].store(w, std::memory_order_relaxed);
+  }
+  t->size.store(size, std::memory_order_relaxed);
+  t->publish_count.fetch_add(1, std::memory_order_relaxed);
   std::atomic_thread_fence(std::memory_order_release);
   t->seq.store(s + 2, std::memory_order_release);
   return 0;
@@ -80,10 +101,19 @@ int topic_read(TopicSlot* t, void* out, uint32_t out_capacity) {
     uint64_t s1 = t->seq.load(std::memory_order_acquire);
     if (s1 & 1) continue;  // write in progress
     if (s1 == 0) return 0;
-    uint32_t size = t->size;
+    uint32_t size = t->size.load(std::memory_order_relaxed);
     if (size > out_capacity) return -1;
     std::atomic_thread_fence(std::memory_order_acquire);
-    std::memcpy(out, t->data, size);
+    const uint32_t full = size / 8;
+    uint64_t w;
+    for (uint32_t i = 0; i < full; ++i) {
+      w = t->data[i].load(std::memory_order_relaxed);
+      std::memcpy(static_cast<unsigned char*>(out) + i * 8, &w, 8);
+    }
+    if (size % 8) {
+      w = t->data[full].load(std::memory_order_relaxed);
+      std::memcpy(static_cast<unsigned char*>(out) + full * 8, &w, size % 8);
+    }
     std::atomic_thread_fence(std::memory_order_acquire);
     uint64_t s2 = t->seq.load(std::memory_order_acquire);
     if (s1 == s2) return (int)size;
@@ -91,7 +121,7 @@ int topic_read(TopicSlot* t, void* out, uint32_t out_capacity) {
 }
 
 uint64_t topic_publish_count(TopicSlot* t) {
-  return t ? t->publish_count : 0;
+  return t ? t->publish_count.load(std::memory_order_relaxed) : 0;
 }
 
 // ------------------------------------------------------------- rate loop --
