@@ -87,6 +87,11 @@ def tuning_sweep(key, candidates: MPCParams, n_scenarios: int,
     conv_frac = jnp.mean(conv.astype(dtype), axis=1)
     score = score_cte_weight * mean_cte + jnp.where(conv_frac < 0.99,
                                                    jnp.inf, 0.0)
+    if not bool(jnp.any(jnp.isfinite(score))):
+        # no candidate reached the convergence bar: argmin over +inf would
+        # silently crown index 0 — fall back to the most-converged
+        # candidate so best_params is at least the least-bad choice
+        score = -conv_frac
     best = int(jnp.argmin(score))
     return SweepResult(
         weights=candidates, mean_cost=mean_cost, mean_terminal_cte=mean_cte,

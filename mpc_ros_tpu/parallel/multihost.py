@@ -58,6 +58,10 @@ def host_local_scenarios(key, global_batch: int, dtype=jnp.float32):
     (per-host independent keys), then assembles the global sharded arrays —
     the data-loading pattern for DCN-scale sweeps."""
     n_proc = jax.process_count()
+    if global_batch % n_proc:
+        raise ValueError(
+            f"global_batch={global_batch} must divide evenly over "
+            f"{n_proc} processes (local shards must tile the global shape)")
     per_host = global_batch // n_proc
     host_key = jax.random.fold_in(key, jax.process_index())
     z0s_local, coeffs_local = make_random_scenarios(host_key, per_host, dtype)

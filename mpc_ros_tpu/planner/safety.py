@@ -25,6 +25,10 @@ class SafetyConfig:
     # solve wall-time budget as a fraction of the control period; the
     # reference's implicit budget was 5-10 periods (0.5 s cap vs 0.05/0.1 s)
     cycle_budget_frac: float = 1.0
+    # an overrun this large counts as a FAILED cycle (stale command), not
+    # just a statistic — persistent deadline blowouts must trip the
+    # watchdog, which is exactly the gap the reference tolerated
+    overrun_failure_frac: float = 3.0
     decel_limit: float = 1.0      # [m/s^2] used for the controlled stop
 
 
@@ -70,6 +74,10 @@ class SafetyMonitor:
         if info is not None and info.solve_time_s > (
                 self.cfg.cycle_budget_frac * self.period_s):
             self.status.overruns += 1
+            if not reason and info.solve_time_s > (
+                    self.cfg.overrun_failure_frac * self.period_s):
+                # the command being applied is already several periods old
+                reason = "solve-time budget blown"
 
         st = self.status
         if reason:

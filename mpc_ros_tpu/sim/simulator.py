@@ -97,11 +97,12 @@ def run_closed_loop(planner: MPCPlanner, plan: np.ndarray,
     states = []
     reached = False
     t_start = time.perf_counter()
-    cycle = 0
+    n_cycles = 0
     for cycle in range(1, max_cycles + 1):
         if planner.is_goal_reached(plant.pose, plant.feedback_vel):
             reached = True
             break
+        n_cycles = cycle
         ok, (v_cmd, w_cmd), info = planner.compute_velocity_commands(
             plant.pose, plant.feedback_vel)
         if not ok:
@@ -133,9 +134,12 @@ def run_closed_loop(planner: MPCPlanner, plan: np.ndarray,
         poses=np.asarray(poses) if poses else np.zeros((0, 3)),
         states=states,
         reached=reached,
-        n_cycles=cycle,
+        # count only iterations that EXECUTED a command: the goal-reached
+        # iteration breaks before stepping the plant, and the reference's
+        # CSV footer is the A/B metric — a +dt bias would skew it
+        n_cycles=n_cycles,
         wall_time_s=wall,
-        course_time_s=cycle * dt,
+        course_time_s=n_cycles * dt,
         rate_stats=rate_stats,
     )
     if log_path is not None:
