@@ -1,6 +1,8 @@
 from .fsm import DrivingState, check_transition, seed_state, rotate_command
 from .planner import MPCPlanner, CycleInfo
 from .tracking import TrackingController, TrackingDebug
+from .baselines import (DWAConfig, DWAPlanner, PurePursuitConfig,
+                        PurePursuitPlanner)
 from .safety import SafetyMonitor, SafetyConfig, SafetyStatus
 from . import plan_utils
 
@@ -17,4 +19,8 @@ __all__ = [
     "SafetyConfig",
     "SafetyStatus",
     "plan_utils",
+    "PurePursuitPlanner",
+    "PurePursuitConfig",
+    "DWAPlanner",
+    "DWAConfig",
 ]

@@ -68,13 +68,36 @@ class MPCPlanner:
         /root/reference/mpc_ros/src/mpc_planner_ros.cpp:38-92): seeds the
         FSM in ReachedAndIdle and builds the tracking controller."""
         self.state = DrivingState.REACHED_AND_IDLE
-        self.tracker = TrackingController(self.params, self.solver_cfg,
-                                          self.planner_cfg, self.dtype)
+        self.tracker = self._make_tracker()
         self.global_plan: Optional[np.ndarray] = None
         self.latch_xy = False
         self.latch_yaw = False
         self.set_new_goal = False
         self._initialized = True
+
+    def _make_tracker(self):
+        """Build the Tracking-state controller. Baseline planners
+        (planner.baselines) override this together with `_tracking_command`
+        to reuse the whole lifecycle (FSM, latching, plan pipeline) with a
+        different inner control law — the same substitution the reference's
+        A/B benchmark did by swapping the move_base local planner plugin."""
+        return TrackingController(self.params, self.solver_cfg,
+                                  self.planner_cfg, self.dtype)
+
+    def _tracking_command(self, pose: np.ndarray,
+                          feedback_vel: tuple[float, float],
+                          cut: np.ndarray):
+        """Inner control law of the TRACKING state. Returns
+        (cmd, ref_plan, predicted_traj_or_None, TrackingDebug_or_None)."""
+        ref_plan = plan_utils.downsample_plan(
+            cut, self.planner_cfg.downsample_segments)
+        (v_cmd, w_cmd), tracking_dbg = self.tracker.compute(
+            pose, self.goal, feedback_vel[0], ref_plan)
+        mpc_traj = None
+        if tracking_dbg.solve is not None:
+            zs = np.asarray(tracking_dbg.solve.zs)
+            mpc_traj = zs[:, :3]  # x, y, theta in robot base frame
+        return (v_cmd, w_cmd), ref_plan, mpc_traj, tracking_dbg
 
     def reconfigure(self, params: MPCParams = None,
                     planner_cfg: PlannerConfig = None) -> None:
@@ -228,17 +251,11 @@ class MPCPlanner:
             cmd = rotate_command(pose[2], plan_utils.path_heading(cut),
                                  self.planner_cfg.rotate_p_gain)
         else:  # TRACKING
-            ref_plan = plan_utils.downsample_plan(
-                cut, self.planner_cfg.downsample_segments)
-            (v_cmd, w_cmd), tracking_dbg = self.tracker.compute(
-                pose, self.goal, feedback_vel[0], ref_plan)
-            cmd = (v_cmd, w_cmd)
-            if tracking_dbg.solve is not None:
-                zs = np.asarray(tracking_dbg.solve.zs)
-                mpc_traj = zs[:, :3]  # x, y, theta in robot base frame
+            cmd, ref_plan, mpc_traj, tracking_dbg = self._tracking_command(
+                pose, feedback_vel, cut)
 
         info = CycleInfo(
-            state=self.state, cmd=cmd, local_plan=cut, ref_plan=ref_plan,
+            state=self.state, cmd=tuple(cmd), local_plan=cut, ref_plan=ref_plan,
             mpc_trajectory=mpc_traj, tracking=tracking_dbg,
             solve_time_s=time.perf_counter() - t0,
         )

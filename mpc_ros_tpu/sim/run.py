@@ -20,6 +20,11 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--shape", choices=["infinity", "epitrochoid", "square"],
                     default="infinity")
+    ap.add_argument("--controller", choices=["mpc", "pure_pursuit", "dwa"],
+                    default="mpc",
+                    help="control law for the A/B comparison (the reference "
+                         "benchmarked NMPC vs DWA vs Pure Pursuit, "
+                         "assets/*.csv)")
     ap.add_argument("--n-steps", type=int, default=20, help="MPC horizon N")
     ap.add_argument("--dt", type=float, default=0.1)
     ap.add_argument("--ref-vel", type=float, default=0.5)
@@ -53,9 +58,19 @@ def main() -> None:
     plan = get_shape(args.shape)
     p = MPCParams(dt=args.dt, ref_vel=args.ref_vel, max_angvel=1.5,
                   w_cte=args.w_cte, w_angvel_d=10.0, w_accel_d=10.0)
-    planner = MPCPlanner(params=p,
-                         solver_cfg=SolverConfig(n_steps=args.n_steps),
-                         planner_cfg=PlannerConfig(local_plan_length=2.5))
+    pcfg = PlannerConfig(local_plan_length=2.5)
+    if args.controller == "mpc":
+        planner = MPCPlanner(params=p,
+                             solver_cfg=SolverConfig(n_steps=args.n_steps),
+                             planner_cfg=pcfg)
+    elif args.controller == "pure_pursuit":
+        from ..planner import PurePursuitPlanner
+
+        planner = PurePursuitPlanner(params=p, planner_cfg=pcfg)
+    else:
+        from ..planner import DWAPlanner
+
+        planner = DWAPlanner(params=p, planner_cfg=pcfg)
     stats = RunStats()
     planner.on_cycle = stats.record_cycle
     res = run_closed_loop(planner, plan, max_cycles=args.max_cycles,
@@ -65,6 +80,7 @@ def main() -> None:
                   for q in res.poses]) if len(res.poses) else np.zeros(1)
     out = {
         "shape": args.shape,
+        "controller": args.controller,
         "reached": res.reached,
         "cycles": res.n_cycles,
         "course_time_s": res.course_time_s,
