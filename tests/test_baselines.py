@@ -62,6 +62,20 @@ def test_baseline_csv_schema(tmp_path):
     assert abs(course_time - res.course_time_s) < 1e-6
 
 
+def test_compare_harness_runs_one(tmp_path):
+    """sim.compare's per-controller runner produces the summary row and the
+    reference-schema CSV."""
+    from mpc_ros_tpu.sim.compare import run_one
+
+    log = str(tmp_path / "pure_pursuit.csv")
+    row = run_one("pure_pursuit", "infinity", n_steps=20, dt=0.1,
+                  ref_vel=0.5, max_cycles=1500, log_path=log)
+    assert row["reached"]
+    assert row["mean_abs_cte"] < 0.1
+    rec, course_time = read_tracking_csv(log)
+    assert abs(course_time - row["course_time_s"]) < 0.05
+
+
 def test_pure_pursuit_curvature_geometry():
     """On a circular path of radius R, the commanded curvature w/v must
     approximate 1/R (the defining pure-pursuit property)."""
