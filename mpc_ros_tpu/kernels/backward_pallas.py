@@ -87,76 +87,92 @@ def _mv(X, v, r, k):
 def _boxqp_tile(Quu, Qu, lbd, ubd, Qus, dtype):
     """Exact 2-dim box QP per lane. Quu (2,2,V), Qu (2,V), lbd/ubd (2,V),
     Qus (2,8,V) -> k (2,V), K (2,8,V), where V is any per-lane tile shape
-    ((128,) for the two-kernel design, (sub, 128) for the megakernel)."""
+    ((128,) for the two-kernel design, (sub, 128) for the megakernel).
+
+    Active-set enumeration over the 9 clamp combos, specialized per combo:
+    a clamped dimension collapses the masked 2x2 solve to a 1-D (or 0-D)
+    closed form, so the whole enumeration needs 3 reciprocals (1/a, 1/d,
+    1/det) instead of 4 divisions in each combo, and the feedback matrix
+    K = Minv @ (-(f*Qus)) is assembled ONCE from the selected inverse
+    entries — masked-accumulating full K rows over all 9 combos was ~60%
+    of the QP's vector ops (divisions + that accumulation dominated the
+    backward-pass kernel time)."""
     a, b = Quu[0, 0], Quu[0, 1]
     c, d = Quu[1, 0], Quu[1, 1]
+    det = a * d - b * c
+    rdet = 1.0 / det
+    ra = 1.0 / a
+    rd = 1.0 / d
+    # both-free inverse entries
+    i00, i01 = d * rdet, -b * rdet
+    i10, i11 = -c * rdet, a * rdet
+    targ0 = {1: lbd[0], 2: ubd[0]}
+    targ1 = {1: lbd[1], 2: ubd[1]}
+
+    def lam_viol(lam, side):
+        return jnp.maximum(-lam if side == 1 else lam, 0.0)
 
     cand_d = []
     cand_viol = []
-    cand_inv = []
-    cand_free = []
     for c0, c1 in _COMBOS:
-        f0 = 1.0 if c0 == 0 else 0.0
-        f1 = 1.0 if c1 == 0 else 0.0
-        # clamp targets
-        d0c = jnp.zeros_like(Qu[0]) if c0 == 0 else (lbd[0] if c0 == 1 else ubd[0])
-        d1c = jnp.zeros_like(Qu[1]) if c1 == 0 else (lbd[1] if c1 == 1 else ubd[1])
-        # masked system M = Q*ff + diag(1-f); closed-form 2x2 inverse
-        m00 = a * f0 * f0 + (1.0 - f0)
-        m01 = b * f0 * f1
-        m10 = c * f1 * f0
-        m11 = d * f1 * f1 + (1.0 - f1)
-        det = m00 * m11 - m01 * m10
-        i00, i01 = m11 / det, -m01 / det
-        i10, i11 = -m10 / det, m00 / det
-        # rhs = f * (-(q + Q d_c)) + (1-f) d_c
-        qd0 = a * d0c + b * d1c
-        qd1 = c * d0c + d * d1c
-        r0 = f0 * (-(Qu[0] + qd0)) + (1.0 - f0) * d0c
-        r1 = f1 * (-(Qu[1] + qd1)) + (1.0 - f1) * d1c
-        d0 = i00 * r0 + i01 * r1
-        d1 = i10 * r0 + i11 * r1
-        lam0 = Qu[0] + a * d0 + b * d1
-        lam1 = Qu[1] + c * d0 + d * d1
-        viol = (f0 * (jnp.maximum(lbd[0] - d0, 0.0) + jnp.maximum(d0 - ubd[0], 0.0))
-                + f1 * (jnp.maximum(lbd[1] - d1, 0.0) + jnp.maximum(d1 - ubd[1], 0.0)))
-        if c0 == 1:
-            viol = viol + jnp.maximum(-lam0, 0.0)
-        elif c0 == 2:
-            viol = viol + jnp.maximum(lam0, 0.0)
-        if c1 == 1:
-            viol = viol + jnp.maximum(-lam1, 0.0)
-        elif c1 == 2:
-            viol = viol + jnp.maximum(lam1, 0.0)
-        viol = viol + (2.0 - f0 - f1) * 1e-12
+        if c0 == 0 and c1 == 0:
+            d0 = -(i00 * Qu[0] + i01 * Qu[1])
+            d1 = -(i10 * Qu[0] + i11 * Qu[1])
+            viol = (jnp.maximum(lbd[0] - d0, 0.0)
+                    + jnp.maximum(d0 - ubd[0], 0.0)
+                    + jnp.maximum(lbd[1] - d1, 0.0)
+                    + jnp.maximum(d1 - ubd[1], 0.0))
+        elif c0 == 0:                      # u1 clamped, u0 free
+            d1 = targ1[c1]
+            d0 = -(Qu[0] + b * d1) * ra
+            lam1 = Qu[1] + c * d0 + d * d1
+            viol = (jnp.maximum(lbd[0] - d0, 0.0)
+                    + jnp.maximum(d0 - ubd[0], 0.0)
+                    + lam_viol(lam1, c1) + 1e-12)
+        elif c1 == 0:                      # u0 clamped, u1 free
+            d0 = targ0[c0]
+            d1 = -(Qu[1] + c * d0) * rd
+            lam0 = Qu[0] + a * d0 + b * d1
+            viol = (jnp.maximum(lbd[1] - d1, 0.0)
+                    + jnp.maximum(d1 - ubd[1], 0.0)
+                    + lam_viol(lam0, c0) + 1e-12)
+        else:                              # both clamped
+            d0 = targ0[c0]
+            d1 = targ1[c1]
+            lam0 = Qu[0] + a * d0 + b * d1
+            lam1 = Qu[1] + c * d0 + d * d1
+            viol = lam_viol(lam0, c0) + lam_viol(lam1, c1) + 2e-12
         cand_d.append((d0, d1))
         cand_viol.append(viol)
-        cand_inv.append((i00, i01, i10, i11, f0, f1))
-        cand_free.append((f0, f1))
 
     best_viol = cand_viol[0]
     for v in cand_viol[1:]:
         best_viol = jnp.minimum(best_viol, v)
 
-    # winner-take-first select via masks (ties broken by combo order)
-    picked = jnp.zeros_like(best_viol)
-    k0 = jnp.zeros_like(best_viol)
-    k1 = jnp.zeros_like(best_viol)
-    Krows = [jnp.zeros((_N,) + best_viol.shape, dtype),
-             jnp.zeros((_N,) + best_viol.shape, dtype)]
-    for idx, (c0c1) in enumerate(_COMBOS):
+    # winner-take-first select via masks (ties broken by combo order);
+    # select scalars (step + inverse entries), not K rows
+    zeros = jnp.zeros_like(best_viol)
+    picked, k0, k1 = zeros, zeros, zeros
+    j00, j01, j10, j11 = zeros, zeros, zeros, zeros
+    for idx, (c0, c1) in enumerate(_COMBOS):
         is_best = jnp.logical_and(cand_viol[idx] <= best_viol, picked < 0.5)
         sel = is_best.astype(dtype)
         picked = picked + sel
         d0, d1 = cand_d[idx]
         k0 = k0 + sel * d0
         k1 = k1 + sel * d1
-        i00, i01, i10, i11, f0, f1 = cand_inv[idx]
-        # K = Minv @ (-(f * Qus)): rows for clamped dims are zero
-        r0 = -(i00[None] * f0 * Qus[0] + i01[None] * f1 * Qus[1])
-        r1 = -(i10[None] * f0 * Qus[0] + i11[None] * f1 * Qus[1])
-        Krows[0] = Krows[0] + sel[None] * r0
-        Krows[1] = Krows[1] + sel[None] * r1
+        if c0 == 0 and c1 == 0:
+            j00 = j00 + sel * i00
+            j01 = j01 + sel * i01
+            j10 = j10 + sel * i10
+            j11 = j11 + sel * i11
+        elif c0 == 0:                      # only u0 free: row0 = -Qus[0]/a
+            j00 = j00 + sel * ra
+        elif c1 == 0:                      # only u1 free: row1 = -Qus[1]/d
+            j11 = j11 + sel * rd
     k = jnp.stack([k0, k1])
-    K = jnp.stack(Krows)
+    K = jnp.stack([
+        -(j00[None] * Qus[0] + j01[None] * Qus[1]),
+        -(j10[None] * Qus[0] + j11[None] * Qus[1]),
+    ])
     return k, K
