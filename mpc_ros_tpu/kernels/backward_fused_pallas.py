@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .backward_pallas import (_boxqp_tile, _mm, _mtm, _mtv, _mv,
+from .backward_pallas import (_boxqp_tile, _mtm, _mtv, _mv,
                               _polyder_tile)
 
 _N = 8
@@ -188,15 +188,25 @@ def _kernel(T: int, sign: float, dtype, ss_ref, us_ref, c_ref, par_ref,
         k, K = _boxqp_tile(Quu_reg, Qu, lbd, ubd, Qus, dtype)
 
         Quu_k = _mv(Quu, k, _M, _M)
-        Vs_n = (Qs + _mtv(K, Quu_k, _N, _M) + _mtv(K, Qu, _N, _M)
-                + _mtv(Qus, k, _N, _M))
+        # Vs_n = Qs + K'(Quu k + Qu) + Qus' k (one folded matvec)
+        ku = jnp.stack([Quu_k[0] + Qu[0], Quu_k[1] + Qu[1]])
+        Vs_n = Qs + _mtv(K, ku, _N, _M) + _mtv(Qus, k, _N, _M)
         KtQuu = _mtm(K, Quu, _N, _M, _M)
-        KtQuuK = _mm(KtQuu, K, _N, _M, _N)
-        # Qus'K is the transpose of K'Qus (same products, same add order
-        # -> bitwise identical entries): mirror instead of recomputing
-        KtQus = _mtm(K, Qus, _N, _M, _N)
-        Vss_n = Qss + KtQuuK + KtQus + jnp.swapaxes(KtQus, 0, 1)
-        Vss_n = 0.5 * (Vss_n + jnp.swapaxes(Vss_n, 0, 1))
+        # Vss_n = Qss + K'Quu K + K'Qus + (K'Qus)' is symmetric by
+        # construction (Quu is); build only the upper triangle and mirror —
+        # half the entry math and no 0.5*(V+V') pass (same rewrite as the
+        # megakernel, kernels/solve_pallas.py)
+        vrows = [[None] * _N for _ in range(_N)]
+        for i2 in range(_N):
+            for j2 in range(i2, _N):
+                e = (Qss[i2, j2]
+                     + KtQuu[i2, 0] * K[0, j2] + KtQuu[i2, 1] * K[1, j2]
+                     + K[0, i2] * Qus[0, j2] + K[1, i2] * Qus[1, j2]
+                     + K[0, j2] * Qus[0, i2] + K[1, j2] * Qus[1, i2])
+                vrows[i2][j2] = e
+                if j2 != i2:
+                    vrows[j2][i2] = e
+        Vss_n = jnp.stack([jnp.stack(r) for r in vrows])
 
         ks_ref[t] = k
         Ks_ref[t] = K

@@ -50,17 +50,6 @@ def _polyder_tile(c, x):
 
 # ---- per-lane small-matrix helpers: X, Y are (r, c, 128) jnp values ------
 
-def _mm(X, Y, r, k, c):
-    """Z[i,j] = sum_m X[i,m] Y[m,j]; X (r,k,128), Y (k,c,128) -> (r,c,128)."""
-    rows = []
-    for i in range(r):
-        acc = X[i, 0][None, :] * Y[0]
-        for m in range(1, k):
-            acc = acc + X[i, m][None, :] * Y[m]
-        rows.append(acc)
-    return jnp.stack(rows)
-
-
 def _mtm(X, Y, r, k, c):
     """Z[i,j] = sum_m X[m,i] Y[m,j]; X (k,r,128), Y (k,c,128) -> (r,c,128)."""
     rows = []
