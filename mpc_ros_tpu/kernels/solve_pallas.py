@@ -274,41 +274,82 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                 ww2 * u_t[0] + wdw2 * du0,
                 wa2 * u_t[1] + wda2 * du1,
             ])
-            lss_diag = [zeros, zeros, zeros, wv2, wc2, we2, wdw2, wda2]
+            lss_diag = [None, None, None, wv2, wc2, we2, wdw2, wda2]
 
             Qs = ls + At_vec(Vs)
             Qu = lu + Bt_vec(Vs)
-            VA = jnp.stack([
-                Vss[:, 0] + a40 * Vss[:, 4],
-                Vss[:, 1] - Vss[:, 4],
-                a02 * Vss[:, 0] + a12 * Vss[:, 1] + Vss[:, 2],
-                a03 * Vss[:, 0] + a13 * Vss[:, 1] + Vss[:, 3]
-                + a43 * Vss[:, 4],
-                jnp.zeros_like(Vss[:, 0]),
-                a45 * Vss[:, 4] + Vss[:, 5],
-                jnp.zeros_like(Vss[:, 0]),
-                jnp.zeros_like(Vss[:, 0]),
-            ], axis=1)
-            AtVA = At_vec(VA)
+
+            # Structured VA = Vss @ A, per entry. Column 4 of A is zero
+            # (nothing depends on cte_t — the cte defect uses f(x)-y, not
+            # cte, quirk Q10), so Vss row/col 4 is invariantly diag(wc2)
+            # and K/Qus column 4 is exactly zero at every stage; None
+            # marks structural zeros and drops their ops entirely.
+            def zadd(*terms):
+                terms = [t for t in terms if t is not None]
+                if not terms:
+                    return None
+                acc = terms[0]
+                for t in terms[1:]:
+                    acc = acc + t
+                return acc
+
+            va0 = [Vss[i, 0] for i in range(_N)]
+            va0[4] = a40 * wc2
+            va1 = [Vss[i, 1] for i in range(_N)]
+            va1[4] = -wc2
+            va2 = [a02 * Vss[i, 0] + a12 * Vss[i, 1] + Vss[i, 2]
+                   for i in range(_N)]
+            va2[4] = None
+            va3 = [a03 * Vss[i, 0] + a13 * Vss[i, 1] + Vss[i, 3]
+                   for i in range(_N)]
+            va3[4] = a43 * wc2
+            va5 = [Vss[i, 5] for i in range(_N)]
+            va5[4] = a45 * wc2
+            va = {0: va0, 1: va1, 2: va2, 3: va3, 5: va5}
+            _LIVE = (0, 1, 2, 3, 5)
+
+            def atva(i, j):
+                """(A' Vss A)[i, j] for live i, j; rows/cols 4, 6, 7 zero."""
+                y = va[j]
+                y4 = y[4]
+                if i == 0:
+                    return zadd(y[0], None if y4 is None else a40 * y4)
+                if i == 1:
+                    return zadd(y[1], None if y4 is None else -y4)
+                if i == 2:
+                    return zadd(a02 * y[0], a12 * y[1], y[2])
+                if i == 3:
+                    return zadd(a03 * y[0], a13 * y[1], y[3],
+                                None if y4 is None else a43 * y4)
+                return zadd(None if y4 is None else a45 * y4,
+                            y[5])                      # i == 5
 
             def qss_entry(i, j):
-                e = AtVA[i, j]
-                if i == j:
-                    e = e + jnp.broadcast_to(lss_diag[i], vshape)
+                e = (atva(i, j)
+                     if (i in _LIVE and j in _LIVE) else None)
+                if i == j and lss_diag[i] is not None:
+                    e = zadd(e, lss_diag[i])
                 if n_blobs:
                     if i == 0 and j == 0:
-                        e = e + ohxx
+                        e = zadd(e, ohxx)
                     elif i == 1 and j == 1:
-                        e = e + ohyy
+                        e = zadd(e, ohyy)
                     elif {i, j} == {0, 1}:
-                        e = e + ohxy
+                        e = zadd(e, ohxy)
                 return e
 
-            BtVA = Bt_vec(VA)
+            # Qus = B' Vss A + l_us per entry (col 4 zero; cols 6/7 are the
+            # rate-coupling constants)
+            qus0 = {j: zadd(dt * zadd(va[j][2], va[j][5]), va[j][6])
+                    for j in _LIVE}
+            qus1 = {j: zadd(dt * va[j][3], va[j][7]) for j in _LIVE}
+            qus0[4] = qus1[4] = None
+            qus0[6], qus1[6] = -wdw2, None
+            qus0[7], qus1[7] = None, -wda2
             Qus = jnp.stack([
-                jnp.stack([BtVA[0, j] + (-wdw2 if j == 6 else zeros)
+                jnp.stack([qus0[j] if qus0[j] is not None else zeros
                            for j in range(_N)]),
-                jnp.stack([BtVA[1, j] + (-wda2 if j == 7 else zeros)
+                jnp.stack([qus1[j] if qus1[j] is not None else zeros
                            for j in range(_N)]),
             ])
             VB0 = dt * (Vss[:, 2] + Vss[:, 5]) + Vss[:, 6]
@@ -332,20 +373,34 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             ku = jnp.stack([Quu_k[0] + Qu[0], Quu_k[1] + Qu[1]])
             Vs_n = Qs + _mtv(K, ku, _N, _M) + _mtv(Qus, k, _N, _M)
             KtQuu = _mtm(K, Quu, _N, _M, _M)
+
+            def cross(i, j):
+                """(K' Qus)[i, j] with structural-zero Qus columns dropped."""
+                return zadd(
+                    None if qus0[j] is None else K[0, i] * qus0[j],
+                    None if qus1[j] is None else K[1, i] * qus1[j])
+
             # Vss_n = Qss + K'Quu K + K'Qus + (K'Qus)' is symmetric by
             # construction (Quu is); build only the upper triangle and
-            # mirror — half the entry math and no 0.5*(V+V') pass
+            # mirror — half the entry math and no 0.5*(V+V') pass. Row/col
+            # 4 is structural: K/Qus col 4 and A col 4 are zero, so the
+            # entry is exactly diag(wc2).
             vrows = [[None] * _N for _ in range(_N)]
             for i2 in range(_N):
                 for j2 in range(i2, _N):
-                    e = (qss_entry(i2, j2)
-                         + KtQuu[i2, 0] * K[0, j2] + KtQuu[i2, 1] * K[1, j2]
-                         + K[0, i2] * Qus[0, j2] + K[1, i2] * Qus[1, j2]
-                         + K[0, j2] * Qus[0, i2] + K[1, j2] * Qus[1, i2])
+                    if i2 == 4 or j2 == 4:
+                        e = wc2 if i2 == j2 else None
+                    else:
+                        e = zadd(qss_entry(i2, j2),
+                                 KtQuu[i2, 0] * K[0, j2]
+                                 + KtQuu[i2, 1] * K[1, j2],
+                                 cross(i2, j2), cross(j2, i2))
                     vrows[i2][j2] = e
                     if j2 != i2:
                         vrows[j2][i2] = e
-            Vss_n = jnp.stack([jnp.stack(r) for r in vrows])
+            Vss_n = jnp.stack([
+                jnp.stack([x if x is not None else zeros for x in r])
+                for r in vrows])
 
             ks_ref[t] = k
             Ks_ref[t] = K
@@ -385,10 +440,11 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             for a in range(n_alpha):
                 s_a = s_scr[pl.ds(a * _N, _N)]
                 ds = s_a - s_b
+                # K col 4 is structurally zero (cte never feeds forward)
                 u0 = u_b[0] + alphas[a] * k[0] + sum(
-                    K[0, j] * ds[j] for j in range(_N))
+                    K[0, j] * ds[j] for j in range(_N) if j != 4)
                 u1 = u_b[1] + alphas[a] * k[1] + sum(
-                    K[1, j] * ds[j] for j in range(_N))
+                    K[1, j] * ds[j] for j in range(_N) if j != 4)
                 u0 = jnp.clip(u0, lb[0], ub[0])
                 u1 = jnp.clip(u1, lb[1], ub[1])
                 new_accs.append(accs[a] + stage_cost(s_a, u0, u1, rate))
@@ -425,9 +481,9 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             s_a = s_scr[pl.ds(0, _N)]
             ds = s_a - s_b
             u0 = u_b[0] + alpha_sel * k[0] + sum(
-                K[0, j] * ds[j] for j in range(_N))
+                K[0, j] * ds[j] for j in range(_N) if j != 4)
             u1 = u_b[1] + alpha_sel * k[1] + sum(
-                K[1, j] * ds[j] for j in range(_N))
+                K[1, j] * ds[j] for j in range(_N) if j != 4)
             u0 = jnp.clip(u0, lb[0], ub[0])
             u1 = jnp.clip(u1, lb[1], ub[1])
             s_n = dyn_step(s_a, u0, u1)
