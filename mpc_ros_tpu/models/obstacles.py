@@ -185,6 +185,19 @@ class GaussianObstacles:
     def n_blobs(self) -> int:
         return self.cx.shape[-1]
 
+    def to_frame(self, pose) -> "GaussianObstacles":
+        """World-frame blobs -> the frame of `pose` (x, y, yaw): rotate and
+        translate the centers (isotropic gamma and w are frame-invariant).
+        Same convention as the plan transform in the tracking controller
+        (x_veh = dx ct + dy st, y_veh = dy ct - dx st)."""
+        px, py, yaw = (jnp.asarray(pose[i], self.cx.dtype) for i in range(3))
+        ct, st = jnp.cos(yaw), jnp.sin(yaw)
+        dx = self.cx - px
+        dy = self.cy - py
+        return GaussianObstacles(cx=dx * ct + dy * st,
+                                 cy=dy * ct - dx * st,
+                                 gamma=self.gamma, w=self.w)
+
     def lane(self):
         """Lane-major views: four (K, B) arrays (cx, cy, gamma, w)."""
         t = lambda a: jnp.swapaxes(jnp.atleast_2d(a), 0, 1)

@@ -149,7 +149,14 @@ class DWAConfig:
     w_path: float = 4.0         # path-proximity score weight
     w_goal: float = 1.5         # end-distance-to-local-goal weight (progress)
     w_vel: float = 0.5          # speed-tracking weight
-    w_clear: float = 2.0        # obstacle-clearance weight (if obstacles set)
+    # obstacle handling mirrors ROS dwa_local_planner's costmap scoring:
+    # rollouts whose peak obstacle cost exceeds `veto_cost` are treated as
+    # colliding (hard veto), plus a small graded clearance bias. A purely
+    # graded penalty measurably deadlocks: the repulsive gradient beats the
+    # goal-progress term several sigma out and the robot stalls
+    w_clear: float = 0.1        # graded clearance weight (if obstacles set)
+    veto_cost: float = 25.0     # obstacle cost treated as collision
+    w_turn: float = 0.02        # angular-effort tiebreak (prevents idle spin)
 
 
 @functools.lru_cache(maxsize=None)
@@ -204,21 +211,28 @@ def _dwa_eval_jit(cfg: DWAConfig, with_omap: bool, with_blobs: bool):
         vel_pen = jnp.abs(v - ref_v)
 
         score = -(cfg.w_path * path_pen + cfg.w_goal * goal_pen
-                  + cfg.w_vel * vel_pen)
+                  + cfg.w_vel * vel_pen + cfg.w_turn * jnp.abs(w))
+        def apply_clearance(oc, score):
+            """oc (C, S) obstacle cost along each rollout: hard-veto
+            colliding candidates, bias the rest by mean clearance."""
+            colliding = jnp.max(oc, axis=1) > cfg.veto_cost
+            return (score - cfg.w_clear * jnp.mean(oc, axis=1)
+                    - jnp.where(colliding, 1e6, 0.0))
+
         if with_omap:
             from ..models.obstacles import bilinear_sample
 
             oc = omap.weight * bilinear_sample(
                 omap.grid, omap.origin, omap.resolution,
                 jnp.stack([x, y], -1))                   # (C, S)
-            score = score - cfg.w_clear * jnp.mean(oc, axis=1)
+            score = apply_clearance(oc, score)
         if with_blobs:
             # per-point blob penalty, summed over blobs only
             bdx = x[:, :, None] - blobs.cx
             bdy = y[:, :, None] - blobs.cy
             bc = jnp.sum(blobs.w * jnp.exp(
                 -(bdx * bdx + bdy * bdy) * blobs.gamma), axis=-1)
-            score = score - cfg.w_clear * jnp.mean(bc, axis=1)
+            score = apply_clearance(bc, score)
         best = jnp.argmax(score)
         return v[best], w[best]
 
@@ -276,6 +290,8 @@ class DWAPlanner(MPCPlanner):
                 [pts, np.repeat(pts[-1:], cfg.plan_points - len(pts), 0)])
         goal_xy = pts[-1]
 
+        if self.world_obstacles is not None:
+            self.tracker.obstacles = self.world_obstacles.to_frame(pose)
         omap = self.tracker.obstacle_map
         blobs = self.tracker.obstacles
         f = _dwa_eval_jit(cfg, omap is not None, blobs is not None)

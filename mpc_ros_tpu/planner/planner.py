@@ -73,7 +73,18 @@ class MPCPlanner:
         self.latch_xy = False
         self.latch_yaw = False
         self.set_new_goal = False
+        # survives re-initialization, like the reference's costmap wiring
+        self.world_obstacles = getattr(self, "world_obstacles", None)
         self._initialized = True
+
+    def set_obstacles(self, blobs) -> None:
+        """Install WORLD-frame parametric obstacles
+        (models.obstacles.GaussianObstacles, leaves (K,)). Each Tracking
+        cycle transforms them into the robot frame and feeds them to the
+        solver (and to DWA clearance scoring in the baseline planner) —
+        the obstacle awareness the reference wired to its costmap but never
+        used in the NLP. Pass None to clear."""
+        self.world_obstacles = blobs
 
     def _make_tracker(self):
         """Build the Tracking-state controller. Baseline planners
@@ -91,6 +102,8 @@ class MPCPlanner:
         (cmd, ref_plan, predicted_traj_or_None, TrackingDebug_or_None)."""
         ref_plan = plan_utils.downsample_plan(
             cut, self.planner_cfg.downsample_segments)
+        if self.world_obstacles is not None:
+            self.tracker.obstacles = self.world_obstacles.to_frame(pose)
         (v_cmd, w_cmd), tracking_dbg = self.tracker.compute(
             pose, self.goal, feedback_vel[0], ref_plan)
         mpc_traj = None
