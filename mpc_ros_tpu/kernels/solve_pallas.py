@@ -60,7 +60,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         i = 10
     (ss_out, us_out, cost_out, conv_out, iters_out, gnorm_out,
      mu_out) = refs[i:i + 7]
-    traj_s, traj_u, ks_ref, Ks_ref, s_scr = refs[i + 7:]
+    traj_s, traj_u, traj_g, ks_ref, Ks_ref, s_scr = refs[i + 7:]
     par = par_ref[...]
     lb = lb_ref[...]
     ub = ub_ref[...]
@@ -109,15 +109,21 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
     # ---------------- shared per-stage math (values in, values out) ------
 
-    def dyn_step(s_a, u0, u1):
+    def trig3(s_a):
+        """cos/sin of yaw + sin of the heading error for one stage state —
+        the transcendentals every rollout step needs."""
+        return jnp.cos(s_a[2]), jnp.sin(s_a[2]), jnp.sin(s_a[5])
+
+    def dyn_step(s_a, u0, u1, tg=None):
         x, y, th, v, cte, eth = (s_a[i] for i in range(6))
+        ct_, st_, se_ = trig3(s_a) if tg is None else tg
         f0 = _polyval_tile(cf, x)
         return jnp.stack([
-            x + v * jnp.cos(th) * dt,
-            y + v * jnp.sin(th) * dt,
+            x + v * ct_ * dt,
+            y + v * st_ * dt,
             th + u0 * dt,
             v + u1 * dt,
-            (f0 - y) + sign * v * jnp.sin(eth) * dt,
+            (f0 - y) + sign * v * se_ * dt,
             eth + u0 * dt,
             u0,
             u1,
@@ -156,7 +162,11 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         traj_u[0, t] = jnp.stack([u0, u1])
         rate = jnp.where(t >= 1, 1.0, 0.0).astype(dtype)
         acc = acc + stage_cost(s_a, u0, u1, rate)
-        traj_s[0, t + 1] = dyn_step(s_a, u0, u1)
+        # cache the stage trig for the backward pass (cos eth only the
+        # backward needs — one extra transcendental here saves four there)
+        tg = trig3(s_a)
+        traj_g[0, t] = jnp.stack([tg[0], tg[1], tg[2], jnp.cos(s_a[5])])
+        traj_s[0, t + 1] = dyn_step(s_a, u0, u1, tg)
         return acc
 
     cost0 = jax.lax.fori_loop(0, T, init_body, zeros)
@@ -221,11 +231,10 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             rate = jnp.where(t >= 1, 1.0, 0.0).astype(dtype)
 
             x = s_t[0]
-            th = s_t[2]
             v = s_t[3]
             eth = s_t[5]
-            ct, st = jnp.cos(th), jnp.sin(th)
-            ce, se = jnp.cos(eth), jnp.sin(eth)
+            g_t = traj_g[cur, t]       # cached by the accepting rollout
+            ct, st, se, ce = g_t[0], g_t[1], g_t[2], g_t[3]
             fp = _polyder_tile(cf, x)
             a02 = -v * st * dt
             a03 = ct * dt
@@ -449,7 +458,8 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                 u1 = jnp.clip(u1, lb[1], ub[1])
                 new_accs.append(accs[a] + stage_cost(s_a, u0, u1, rate))
                 s_scr[pl.ds(a * _N, _N)] = dyn_step(s_a, u0, u1)
-            return tuple(new_accs)
+            return tuple(new_accs)  # candidates don't cache trig — only
+                                    # the accepted trajectory is reused
 
         accs = jax.lax.fori_loop(0, T, roll_body,
                                  tuple(zeros for _ in range(n_alpha)))
@@ -486,7 +496,13 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                 K[1, j] * ds[j] for j in range(_N) if j != 4)
             u0 = jnp.clip(u0, lb[0], ub[0])
             u1 = jnp.clip(u1, lb[1], ub[1])
-            s_n = dyn_step(s_a, u0, u1)
+            tg = trig3(s_a)
+            g_n = jnp.stack([tg[0], tg[1], tg[2], jnp.cos(s_a[5])])
+            # the trig cache blends exactly like the states it describes
+            # (upd is a 0/1 mask, so blend(trig) == trig(blend))
+            traj_g[nxt, t] = (upd[None, :] * g_n
+                              + (1.0 - upd)[None, :] * traj_g[cur, t])
+            s_n = dyn_step(s_a, u0, u1, tg)
             s_scr[pl.ds(0, _N)] = s_n
             traj_u[nxt, t] = (upd[None, :] * jnp.stack([u0, u1])
                               + (1.0 - upd)[None, :] * u_b)
@@ -634,6 +650,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         scratch_shapes=[
             pltpu.VMEM((2, T + 1, _N, sub, _LANES), dtype),   # traj_s
             pltpu.VMEM((2, T, _M, sub, _LANES), dtype),       # traj_u
+            pltpu.VMEM((2, T, 4, sub, _LANES), dtype),        # traj_g (trig)
             pltpu.VMEM((T, _M, sub, _LANES), dtype),          # ks
             pltpu.VMEM((T, _M, _N, sub, _LANES), dtype),      # Ks
             pltpu.VMEM((cfg.ls_iters * _N, sub, _LANES), dtype),
@@ -650,7 +667,7 @@ def _pick_sub(B: int, T: int, ls_iters: int) -> int:
     """Largest sublane tiling (scenarios per program = sub * 128) that
     divides the batch and keeps the per-program VMEM scratch under budget.
     sub=8 fills f32 vregs exactly; smaller subs only when forced."""
-    per_lane_floats = (2 * (T + 1) * _N + 2 * T * _M + T * _M
+    per_lane_floats = (2 * (T + 1) * _N + 2 * T * _M + 2 * T * 4 + T * _M
                        + T * _M * _N + ls_iters * _N)
     for sub in (8, 4, 2, 1):
         if B % (sub * _LANES):

@@ -69,6 +69,11 @@ def main() -> None:
     ap.add_argument("--max-cycles", type=int, default=3000)
     ap.add_argument("--out-dir", type=str, default=None,
                     help="write {mpc,dwa,pure_pursuit}.csv here")
+    ap.add_argument("--reference-assets", type=str, default=None,
+                    help="directory with the reference's benchmark CSVs "
+                         "(e.g. /root/reference/assets) — appends their "
+                         "stats rows for side-by-side context; note the "
+                         "reference course differs from the built-in ones")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -89,6 +94,32 @@ def main() -> None:
         rows.append(run_one(kind, args.shape, n_steps=args.n_steps,
                             dt=args.dt, ref_vel=args.ref_vel,
                             max_cycles=args.max_cycles, log_path=log))
+
+    if args.reference_assets:
+        import numpy as np
+
+        from .logger import read_tracking_csv
+
+        for kind in ("mpc", "dwa", "pure_pursuit"):
+            path = os.path.join(args.reference_assets, f"{kind}.csv")
+            if not os.path.exists(path):
+                continue
+            rec, course_time = read_tracking_csv(path)
+            if not len(rec):
+                continue
+            rows.append({
+                "controller": f"ref:{kind}",
+                "reached": True,
+                "cycles": len(rec),
+                "course_time_s": (round(course_time, 2)
+                                  if course_time == course_time else None),
+                "mean_abs_cte": round(float(np.mean(np.abs(rec[:, 1]))), 4),
+                "max_abs_cte": round(float(np.max(np.abs(rec[:, 1]))), 4),
+                "geo_err_mean_m": None,   # reference logged cte only
+                "geo_err_max_m": None,
+                "mean_speed": round(float(np.mean(rec[:, 3])), 3),
+                "max_speed": round(float(np.max(rec[:, 3])), 3),
+            })
 
     cols = ["controller", "reached", "cycles", "course_time_s",
             "mean_abs_cte", "max_abs_cte", "geo_err_mean_m", "geo_err_max_m",
