@@ -39,6 +39,14 @@ def main() -> None:
     ap.add_argument("--ls-iters", type=int, default=5,
                     help="parallel line-search candidate count")
     ap.add_argument("--repeats", type=int, default=5)
+    # a fixed ~27 ms tunnel-RTT sync dominates a single timed batch (half of
+    # the 54 ms batch wall time at B=128k); steady-state throughput enqueues
+    # several independent batches back-to-back and syncs once — exactly how a
+    # production sweep runs, and how the chip actually executes (in-order,
+    # no idle gaps between batches)
+    ap.add_argument("--pipeline", type=int, default=None,
+                    help="batches in flight for the steady-state throughput "
+                         "measurement (default 16 on TPU, 2 with --quick)")
     ap.add_argument("--obstacles", action="store_true",
                     help="add per-scenario parametric (Gaussian-blob) "
                          "obstacle penalties — runs inside the megakernel")
@@ -223,7 +231,24 @@ def main() -> None:
         sync(res)
         times.append(time.time() - t0)
     best = min(times)
-    solves_per_s = batch / best
+
+    # steady-state throughput: n_pipe batches enqueued back-to-back, one
+    # scalar fetch at the end (each batch's sum is chained into the
+    # accumulator, so completion of the fetch proves completion of every
+    # batch). This amortizes the fixed tunnel-RTT sync across the pipeline
+    # instead of paying it per batch.
+    n_pipe = args.pipeline or (2 if args.quick else 16)
+    pipe_times = []
+    for _ in range(max(2, args.repeats - 2)):
+        t0 = time.time()
+        acc = None
+        for _ in range(n_pipe):
+            s = jnp.sum(solve_fn().us)
+            acc = s if acc is None else acc + s
+        float(acc)
+        pipe_times.append(time.time() - t0)
+    best_pipe = min(pipe_times)
+    solves_per_s = batch * n_pipe / best_pipe
 
     conv = float(jnp.mean(res.converged.astype(jnp.float32)))
     mean_iters = float(jnp.mean(res.n_iters.astype(jnp.float32)))
@@ -251,6 +276,8 @@ def main() -> None:
         "device": str(dev),
         "compile_s": round(compile_s, 2),
         "best_batch_s": round(best, 4),
+        "pipeline": n_pipe,
+        "steady_ms_per_batch": round(best_pipe / n_pipe * 1e3, 2),
         "converged_frac": round(conv, 4),
         "mean_sqp_iters": round(mean_iters, 2),
         "p50_single_solve_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
@@ -270,8 +297,9 @@ def main() -> None:
         make = megakernel_accounting if mega else solve_accounting
         acct = make(batch, n_steps - 1, n_alpha=cfg.ls_iters,
                     n_iters=mean_iters)
-        acct["measured_ms"] = round(best * 1e3, 2)
-        acct["speed_of_light_frac"] = round(efficiency(best, acct), 4)
+        per_batch = best_pipe / n_pipe   # steady-state: RTT amortized away
+        acct["measured_ms"] = round(per_batch * 1e3, 2)
+        acct["speed_of_light_frac"] = round(efficiency(per_batch, acct), 4)
         print(json.dumps(acct))
 
 

@@ -101,6 +101,23 @@ class SolverConfig:
     # (reference quirk Q11 — see models/diff_drive.py docstring; closed-loop
     # quality is weight-dominated, so parity wins the default)
     cte_vsin_sign: float = 1.0
+    # megakernel iteration schedule. The kernel's per-tile adaptive loop
+    # pays the MAX iteration count over each (sub x 128)-scenario tile; on
+    # random ensembles the per-tile max is ~12 while the per-scenario mean
+    # is ~5 (one slow lane stalls 1023 others). "sorted" runs a two-pass
+    # schedule: presolve_iters iterations for everyone, sort lanes by
+    # convergence state (done first, then by projected-gradient norm), and
+    # continue warm-started — converged tiles exit before their first
+    # iteration, and slow lanes cluster into few tiles. MEASURED ON v5e it
+    # LOSES ~2x end-to-end (B=128k steady-state: 33 ms single vs 61-68 ms
+    # sorted; obstacles@20-iter cap: 57 vs 91 ms): the batch axis is the
+    # minor (lane) axis, so the sort's gathers/scatters move every operand
+    # across lanes, and pass 2 re-pays the initial rollout + full output
+    # writeback — more than the saved iterations. Kept as an opt-in for
+    # ensembles with far heavier per-lane heterogeneity than ours.
+    # "auto" = best known schedule for the config (currently: single pass).
+    schedule: str = "auto"
+    presolve_iters: int = 3
 
     @property
     def n_controls(self) -> int:

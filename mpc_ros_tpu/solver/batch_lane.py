@@ -464,10 +464,11 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # the megakernel does its own VMEM-resident rollout; return before
         # tracing the XLA rollout below (it would be dead code)
         from ..kernels.backward_fused_pallas import pack_params
-        from ..kernels.solve_pallas import solve_pallas
+        from ..kernels.solve_pallas import solve_pallas_scheduled
 
         pp = pack_params(p, B, dtype)
-        ss_f, us_f, cost_f, conv_f, iters_f, gnorm_f, mu_f = solve_pallas(
+        (ss_f, us_f, cost_f, conv_f, iters_f, gnorm_f, mu_f,
+         _done_f) = solve_pallas_scheduled(
             zT, cT, pp, lb, ub, us0, cfg, dtype=dtype, blobs=bl)
         return SolveResult(
             us=jnp.moveaxis(us_f, -1, 0),

@@ -248,7 +248,7 @@ def test_megakernel_blobs_interpret_matches_xla_lane():
     pp = pack_params(p, B, dtype)
     lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
     u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
-    ss, us, cost, conv, iters, gnorm, mu = solve_pallas(
+    ss, us, cost, conv, iters, gnorm, mu, _done = solve_pallas(
         zT, cT, pp, lb, -lb, u0, cfg, interpret=True, blobs=blobs.lane())
     du = float(jnp.max(jnp.abs(jnp.moveaxis(us, -1, 0) - r_x.us)))
     assert du < 2e-3, du

@@ -137,7 +137,7 @@ def test_megakernel_interpret_matches_lane_solver():
     pp = pack_params(p, B, dtype)
     lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
     u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
-    ss, us, cost, conv, iters, gnorm, mu = solve_pallas(
+    ss, us, cost, conv, iters, gnorm, mu, _done = solve_pallas(
         zT, cT, pp, lb, -lb, u0, cfg, interpret=True)
     du = float(jnp.max(jnp.abs(jnp.moveaxis(us, -1, 0) - r_x.us)))
     assert du < 2e-3, du
@@ -168,7 +168,7 @@ def test_megakernel_wide_tile_interpret_matches_lane_solver():
     pp = pack_params(p, B, dtype)
     lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
     u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
-    ss, us, cost, conv, iters, gnorm, mu = solve_pallas(
+    ss, us, cost, conv, iters, gnorm, mu, _done = solve_pallas(
         zT, cT, pp, lb, -lb, u0, cfg, interpret=True)
     du = float(jnp.max(jnp.abs(jnp.moveaxis(us, -1, 0) - r_x.us)))
     assert du < 2e-3, du
@@ -238,3 +238,77 @@ def test_megakernel_done_frac_early_exit():
     assert float(jnp.max(it_part)) <= float(jnp.max(it_full))
     assert float(jnp.max(it_part)) < 20.0  # actually exited early
     assert bool(jnp.all(jnp.isfinite(us_part)))
+
+
+def test_megakernel_sorted_schedule_interpret():
+    """Sorted two-pass schedule vs one long pass: same convergence quality,
+    matching controls on converged lanes, per-lane iteration totals within
+    the budget, and lane order restored after the sort/unsort."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas_scheduled
+
+    dtype = jnp.float32
+    B = 256
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(7), B, dtype)
+    p = MPCParams().astype(dtype)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+
+    def run(schedule):
+        cfg = SolverConfig(n_steps=12, max_sqp_iters=10, tol_grad=1e-3,
+                           schedule=schedule, presolve_iters=3)
+        u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+        return solve_pallas_scheduled(zT, cT, pp, lb, -lb, u0, cfg,
+                                      interpret=True)
+
+    ss1, us1, cost1, conv1, it1, gn1, mu1, done1 = run("single")
+    ss2, us2, cost2, conv2, it2, gn2, mu2, done2 = run("sorted")
+
+    # convergence quality preserved (mu/small-step state restarts at the
+    # pass boundary, so per-lane flags may shift by a hair, not in bulk)
+    f1 = float(jnp.mean(conv1))
+    f2 = float(jnp.mean(conv2))
+    assert f2 >= f1 - 0.05, (f1, f2)
+    # lanes converged under BOTH schedules reached the same optimum
+    both = (conv1 > 0.5) & (conv2 > 0.5)
+    assert float(jnp.sum(both)) > 0.8 * B
+    du = float(jnp.max(jnp.where(both[None, None, :],
+                                 jnp.abs(us1 - us2), 0.0)))
+    assert du < 2e-3, du
+    # iteration totals: presolve + continuation never exceeds the budget
+    assert float(jnp.max(it2)) <= 10.0 + 1e-6
+    assert bool(jnp.all(jnp.isfinite(us2)))
+    # costs line up lane-by-lane on converged lanes (order restored)
+    dc = jnp.where(both, jnp.abs(cost1 - cost2)
+                   / jnp.maximum(1.0, jnp.abs(cost1)), 0.0)
+    assert float(jnp.max(dc)) < 1e-2
+
+
+def test_megakernel_auto_schedule_small_batch_is_single_pass():
+    """schedule='auto' below the batch threshold must be bit-identical to
+    'single' (the scheduled driver falls through to one kernel call)."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas_scheduled
+
+    dtype = jnp.float32
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(9), B, dtype)
+    p = MPCParams().astype(dtype)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+    u0 = jnp.zeros((11, 2, B), dtype)
+
+    outs = {}
+    for schedule in ("auto", "single"):
+        cfg = SolverConfig(n_steps=12, max_sqp_iters=8, tol_grad=1e-3,
+                           schedule=schedule)
+        outs[schedule] = solve_pallas_scheduled(
+            zT, cT, pp, lb, -lb, u0, cfg, interpret=True)
+    for a, b in zip(outs["auto"], outs["single"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
