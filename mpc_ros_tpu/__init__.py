@@ -8,6 +8,8 @@ lifecycle planner API replace dynamic_reconfigure and nav_core plumbing.
 """
 
 from .config import MPCParams, SolverConfig, PlannerConfig, PlannerLimits
+from .config_io import (config_from_dict, config_to_dict, load_config,
+                        save_config)
 
 __version__ = "0.1.0"
 
@@ -16,4 +18,8 @@ __all__ = [
     "SolverConfig",
     "PlannerConfig",
     "PlannerLimits",
+    "config_from_dict",
+    "config_to_dict",
+    "load_config",
+    "save_config",
 ]
