@@ -118,6 +118,19 @@ class SolverConfig:
     # "auto" = best known schedule for the config (currently: single pass).
     schedule: str = "auto"
     presolve_iters: int = 3
+    # megakernel rollout trigonometry:
+    #   "fast"  -> transcendental-free rollouts. Exploits two identities:
+    #              (1) theta and etheta advance by the SAME u0*dt each step
+    #              (FG_eval rows 3/6), so etheta_t = theta_t + phi with phi
+    #              fixed per solve — sin/cos(etheta) are two FMAs off
+    #              sin/cos(theta); (2) cos/sin(theta) evolve by rotation
+    #              composition, with the per-step increment's sin/cos from
+    #              a 9th/8th-order Taylor + one Newton renormalization.
+    #              Exactness domain: |omega * dt| <= 1 rad/step (any
+    #              diff-drive operating point; error < 3e-7 per step,
+    #              ~1e-6 per rollout — below f32 solve noise).
+    #   "exact" -> jnp.sin/cos per stage (bit-matches the XLA lane path).
+    trig: str = "fast"
 
     @property
     def n_controls(self) -> int:

@@ -50,7 +50,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             tol_grad: float, tol_cost_eff: float, mu_min: float,
             mu_max: float, mu_factor: float, dtype, n_blobs: int,
             sub: int, n_done_needed: int, unroll_bwd: bool,
-            has_resume: bool, *refs):
+            has_resume: bool, fast_trig: bool, *refs):
     # Per-lane values are (sub, 128) tiles. With sub=8 each value fills a
     # native f32 vreg (8 sublanes x 128 lanes): one vector op processes
     # 1024 scenarios. sub=1 wastes 7/8 of the VPU rows — it exists only as
@@ -114,14 +114,9 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
     # ---------------- shared per-stage math (values in, values out) ------
 
-    def trig3(s_a):
-        """cos/sin of yaw + sin of the heading error for one stage state —
-        the transcendentals every rollout step needs."""
-        return jnp.cos(s_a[2]), jnp.sin(s_a[2]), jnp.sin(s_a[5])
-
-    def dyn_step(s_a, u0, u1, tg=None):
+    def dyn_step(s_a, u0, u1, tg):
         x, y, th, v, cte, eth = (s_a[i] for i in range(6))
-        ct_, st_, se_ = trig3(s_a) if tg is None else tg
+        ct_, st_, se_ = tg
         f0 = _polyval_tile(cf, x)
         return jnp.stack([
             x + v * ct_ * dt,
@@ -154,27 +149,77 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             c = c + obs_val(s_rows[0], s_rows[1])
         return c
 
-    # ---------------- initial rollout into buffer 0 ----------------------
+    # ---------------- rollout trigonometry -------------------------------
+    # Every rollout (initial, the n_alpha line-search candidates, the
+    # winner re-roll) starts from the SAME pinned state s0, and theta and
+    # etheta advance by the identical u0*dt every step (FG_eval dynamics
+    # rows, /root/reference/mpc_ros/src/mpc_planner.cpp:210,214). Hence:
+    #   * etheta_t = theta_t + phi with phi = etheta_0 - theta_0 constant
+    #     for the WHOLE solve -> sin/cos(etheta) are two FMAs off
+    #     sin/cos(theta) (exact identity, both modes could use it);
+    #   * in fast mode, cos/sin(theta) are carried through the rollout by
+    #     rotation composition, the per-step increment's sin/cos coming
+    #     from a 9th/8th-order Taylor (|u0*dt| <= 1: error < 3e-7) plus
+    #     one Newton renormalization step.
+    # This removes ALL per-stage transcendentals from the solve: 4 sin/cos
+    # per solve instead of (n_alpha+2) rollouts x T x 3-4 per iteration.
 
     s0 = jnp.concatenate(
         [z0_ref[...], jnp.zeros((2,) + vshape, dtype)], axis=0)
     traj_s[0, 0] = s0
+    ct00 = jnp.cos(s0[2])
+    st00 = jnp.sin(s0[2])
+    if fast_trig:
+        phi = s0[5] - s0[2]
+        cphi = jnp.cos(phi)
+        sphi = jnp.sin(phi)
 
-    def init_body(t, acc):
+        def se_of(ct, st, s_a):
+            return st * cphi + ct * sphi
+
+        def ce_of(ct, st, s_a):
+            return ct * cphi - st * sphi
+
+        def step_trig(ct, st, u0, s_next):
+            d = u0 * dt
+            z = d * d
+            sd = d * (1.0 + z * (-1.0 / 6.0 + z * (1.0 / 120.0
+                      + z * (-1.0 / 5040.0 + z * (1.0 / 362880.0)))))
+            cd = 1.0 + z * (-0.5 + z * (1.0 / 24.0
+                      + z * (-1.0 / 720.0 + z * (1.0 / 40320.0))))
+            c2 = ct * cd - st * sd
+            s2 = st * cd + ct * sd
+            f = 1.5 - 0.5 * (c2 * c2 + s2 * s2)
+            return c2 * f, s2 * f
+    else:
+        def se_of(ct, st, s_a):
+            return jnp.sin(s_a[5])
+
+        def ce_of(ct, st, s_a):
+            return jnp.cos(s_a[5])
+
+        def step_trig(ct, st, u0, s_next):
+            return jnp.cos(s_next[2]), jnp.sin(s_next[2])
+
+    # ---------------- initial rollout into buffer 0 ----------------------
+
+    def init_body(t, carry):
+        acc, ct, st = carry
         s_a = traj_s[0, t]
         u0 = u0_ref[t, 0]
         u1 = u0_ref[t, 1]
         traj_u[0, t] = jnp.stack([u0, u1])
         rate = jnp.where(t >= 1, 1.0, 0.0).astype(dtype)
         acc = acc + stage_cost(s_a, u0, u1, rate)
-        # cache the stage trig for the backward pass (cos eth only the
-        # backward needs — one extra transcendental here saves four there)
-        tg = trig3(s_a)
-        traj_g[0, t] = jnp.stack([tg[0], tg[1], tg[2], jnp.cos(s_a[5])])
-        traj_s[0, t + 1] = dyn_step(s_a, u0, u1, tg)
-        return acc
+        # cache the stage trig for the backward pass
+        se = se_of(ct, st, s_a)
+        traj_g[0, t] = jnp.stack([ct, st, se, ce_of(ct, st, s_a)])
+        s_n = dyn_step(s_a, u0, u1, (ct, st, se))
+        traj_s[0, t + 1] = s_n
+        ct, st = step_trig(ct, st, u0, s_n)
+        return (acc, ct, st)
 
-    cost0 = jax.lax.fori_loop(0, T, init_body, zeros)
+    cost0, _, _ = jax.lax.fori_loop(0, T, init_body, (zeros, ct00, st00))
     cost0 = cost0 + term_cost(traj_s[0, T])
 
     # ---------------- SQP loop -------------------------------------------
@@ -444,13 +489,16 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         for a in range(n_alpha):
             s_scr[pl.ds(a * _N, _N)] = s0_t
 
-        def roll_body(t, accs):
+        def roll_body(t, carry):
+            accs = carry[:n_alpha]
+            cts = carry[n_alpha:2 * n_alpha]
+            sts = carry[2 * n_alpha:]
             s_b = traj_s[cur, t]
             u_b = traj_u[cur, t]
             k = ks_ref[t]
             K = Ks_ref[t]
             rate = jnp.where(t >= 1, 1.0, 0.0).astype(dtype)
-            new_accs = []
+            new_accs, new_cts, new_sts = [], [], []
             for a in range(n_alpha):
                 s_a = s_scr[pl.ds(a * _N, _N)]
                 ds = s_a - s_b
@@ -462,12 +510,20 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                 u0 = jnp.clip(u0, lb[0], ub[0])
                 u1 = jnp.clip(u1, lb[1], ub[1])
                 new_accs.append(accs[a] + stage_cost(s_a, u0, u1, rate))
-                s_scr[pl.ds(a * _N, _N)] = dyn_step(s_a, u0, u1)
-            return tuple(new_accs)  # candidates don't cache trig — only
-                                    # the accepted trajectory is reused
+                se = se_of(cts[a], sts[a], s_a)
+                s_n = dyn_step(s_a, u0, u1, (cts[a], sts[a], se))
+                s_scr[pl.ds(a * _N, _N)] = s_n
+                nct, nst = step_trig(cts[a], sts[a], u0, s_n)
+                new_cts.append(nct)
+                new_sts.append(nst)
+            return tuple(new_accs) + tuple(new_cts) + tuple(new_sts)
 
-        accs = jax.lax.fori_loop(0, T, roll_body,
-                                 tuple(zeros for _ in range(n_alpha)))
+        carry = jax.lax.fori_loop(
+            0, T, roll_body,
+            tuple(zeros for _ in range(n_alpha))
+            + tuple(ct00 for _ in range(n_alpha))
+            + tuple(st00 for _ in range(n_alpha)))
+        accs = carry[:n_alpha]
         costs = [accs[a] + term_cost(s_scr[pl.ds(a * _N, _N)])
                  for a in range(n_alpha)]
 
@@ -488,7 +544,8 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         traj_s[nxt, 0] = s0_t
         s_scr[pl.ds(0, _N)] = s0_t
 
-        def sel_body(t, _):
+        def sel_body(t, carry):
+            ct, st = carry
             s_b = traj_s[cur, t]
             u_b = traj_u[cur, t]
             k = ks_ref[t]
@@ -501,21 +558,21 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                 K[1, j] * ds[j] for j in range(_N) if j != 4)
             u0 = jnp.clip(u0, lb[0], ub[0])
             u1 = jnp.clip(u1, lb[1], ub[1])
-            tg = trig3(s_a)
-            g_n = jnp.stack([tg[0], tg[1], tg[2], jnp.cos(s_a[5])])
+            se = se_of(ct, st, s_a)
+            g_n = jnp.stack([ct, st, se, ce_of(ct, st, s_a)])
             # the trig cache blends exactly like the states it describes
             # (upd is a 0/1 mask, so blend(trig) == trig(blend))
             traj_g[nxt, t] = (upd[None, :] * g_n
                               + (1.0 - upd)[None, :] * traj_g[cur, t])
-            s_n = dyn_step(s_a, u0, u1, tg)
+            s_n = dyn_step(s_a, u0, u1, (ct, st, se))
             s_scr[pl.ds(0, _N)] = s_n
             traj_u[nxt, t] = (upd[None, :] * jnp.stack([u0, u1])
                               + (1.0 - upd)[None, :] * u_b)
             traj_s[nxt, t + 1] = (upd[None, :] * s_n
                                   + (1.0 - upd)[None, :] * traj_s[cur, t + 1])
-            return 0
+            return step_trig(ct, st, u0, s_n)
 
-        jax.lax.fori_loop(0, T, sel_body, 0)
+        jax.lax.fori_loop(0, T, sel_body, (ct00, st00))
         cost2 = jnp.where(upd > 0.5, cost_sel, cost)
 
         # ---- per-lane bookkeeping (matches batch_lane) ----
@@ -637,7 +694,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         # interpret mode (tests) and at long horizons it only bloats
         # trace/compile time
         n_done_needed, bool(T <= 48 and not interpret),
-        resume is not None)
+        resume is not None, cfg.trig == "fast")
     resume_inputs = [] if resume is None else [rsh(jnp.stack(resume))]
     resume_specs = [] if resume is None else [lane_spec(4)]
     blob_inputs = [] if n_blobs == 0 else [rsh(a) for a in blobs]

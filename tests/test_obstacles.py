@@ -239,7 +239,7 @@ def test_megakernel_blobs_interpret_matches_xla_lane():
     z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B, dtype)
     p = MPCParams().astype(dtype)
     cfg = SolverConfig(n_steps=12, max_sqp_iters=8, tol_grad=1e-3,
-                       backward="xla")
+                       backward="xla", trig="exact")
     blobs = _mk_blobs(B, dtype, cx=0.4, cy=0.1, sigma=0.3, w=30.0)
     r_x = batch_solve_lane(z0s, coeffs, p, cfg, blobs=blobs)
 

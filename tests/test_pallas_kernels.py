@@ -129,7 +129,7 @@ def test_megakernel_interpret_matches_lane_solver():
     z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B, dtype)
     p = MPCParams().astype(dtype)
     cfg = SolverConfig(n_steps=12, max_sqp_iters=8, tol_grad=1e-3,
-                       backward="xla")
+                       backward="xla", trig="exact")
     r_x = bl.batch_solve_lane(z0s, coeffs, p, cfg)
 
     zT = jnp.swapaxes(z0s, 0, 1)
@@ -160,7 +160,7 @@ def test_megakernel_wide_tile_interpret_matches_lane_solver():
     z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(2), B, dtype)
     p = MPCParams().astype(dtype)
     cfg = SolverConfig(n_steps=12, max_sqp_iters=6, tol_grad=1e-3,
-                       backward="xla")
+                       backward="xla", trig="exact")
     r_x = bl.batch_solve_lane(z0s, coeffs, p, cfg)
 
     zT = jnp.swapaxes(z0s, 0, 1)
@@ -312,3 +312,68 @@ def test_megakernel_auto_schedule_small_batch_is_single_pass():
             zT, cT, pp, lb, -lb, u0, cfg, interpret=True)
     for a, b in zip(outs["auto"], outs["single"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_megakernel_fast_trig_matches_exact():
+    """trig='fast' (transcendental-free rollouts: etheta=theta+phi identity
+    + Taylor rotation composition) vs trig='exact': controls within f32
+    solve noise, same convergence fraction."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+
+    dtype = jnp.float32
+    B = 256
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(11), B, dtype)
+    p = MPCParams().astype(dtype)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+    u0 = jnp.zeros((11, 2, B), dtype)
+
+    outs = {}
+    for trig in ("fast", "exact"):
+        cfg = SolverConfig(n_steps=12, max_sqp_iters=10, tol_grad=1e-3,
+                           trig=trig)
+        outs[trig] = solve_pallas(zT, cT, pp, lb, -lb, u0, cfg,
+                                  interpret=True)
+    us_f, us_e = outs["fast"][1], outs["exact"][1]
+    conv_f, conv_e = outs["fast"][3], outs["exact"][3]
+    both = (conv_f > 0.5) & (conv_e > 0.5)
+    assert float(jnp.mean(both.astype(jnp.float32))) > 0.9
+    du = float(jnp.max(jnp.where(both[None, None, :],
+                                 jnp.abs(us_f - us_e), 0.0)))
+    assert du < 5e-4, du
+    assert abs(float(jnp.mean(conv_f)) - float(jnp.mean(conv_e))) < 0.05
+
+
+def test_fast_trig_rotation_accuracy_at_domain_edge():
+    """The Taylor rotation step must track exact sin/cos to ~1e-6 over a
+    full rollout at the domain edge |omega*dt| = 1 rad/step."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+
+    dtype = jnp.float32
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(13), B, dtype)
+    p = MPCParams(max_angvel=10.0).astype(dtype)   # |omega*dt| up to 1.0
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-10.0, -1.0], dtype)[:, None], (2, B))
+    # saturated initial spin: every step rotates by the full 1 rad
+    u0 = jnp.concatenate([jnp.full((11, 1, B), 10.0, dtype),
+                          jnp.zeros((11, 1, B), dtype)], axis=1)
+
+    outs = {}
+    for trig in ("fast", "exact"):
+        cfg = SolverConfig(n_steps=12, max_sqp_iters=1, ls_iters=1,
+                           tol_grad=1e-9, trig=trig)
+        outs[trig] = solve_pallas(zT, cT, pp, lb, -lb, u0, cfg,
+                                  interpret=True)
+    # one iteration from the same start: trajectories differ only by the
+    # trig scheme
+    ds = float(jnp.max(jnp.abs(outs["fast"][0] - outs["exact"][0])))
+    assert ds < 1e-4, ds
