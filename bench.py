@@ -111,11 +111,17 @@ def main() -> None:
                           dtype=dtype)
         best = sw.best_index
         compile_s = time.time() - t0
-        t0 = time.time()
-        sw = tuning_sweep(jax.random.PRNGKey(4), cands, n_scen, cfg,
-                          dtype=dtype)
-        _ = sw.best_index
-        wall = time.time() - t0
+        # single-shot timing is the honest shape here (a tuning sweep is
+        # one program, not a pipelined stream), but best-of-N dodges the
+        # tunnel-RTT jitter (±5 ms on a ~27 ms fixed sync)
+        walls = []
+        for _ in range(max(1, args.repeats - 2)):
+            t0 = time.time()
+            sw = tuning_sweep(jax.random.PRNGKey(4), cands, n_scen, cfg,
+                              dtype=dtype)
+            _ = sw.best_index
+            walls.append(time.time() - t0)
+        wall = min(walls)
         total = n_weights * n_scen
         print(json.dumps({
             "metric": f"mc_tuning_sweep_solves_per_s_per_chip_n{n_steps}",
@@ -130,6 +136,9 @@ def main() -> None:
             "best_candidate": int(best),
             "best_mean_terminal_cte": round(
                 float(sw.mean_terminal_cte[best]), 5),
+            "mean_iters_min_max": [
+                round(float(jnp.min(sw.mean_iters)), 2),
+                round(float(jnp.max(sw.mean_iters)), 2)],
         }))
         return
 

@@ -25,6 +25,9 @@ class SweepResult:
     mean_cost: jnp.ndarray      # (n_weights,) mean solve cost over scenarios
     mean_terminal_cte: jnp.ndarray   # (n_weights,)
     converged_frac: jnp.ndarray      # (n_weights,)
+    mean_iters: jnp.ndarray          # (n_weights,) mean SQP iterations —
+    # extreme candidates dominate sweep wall time (each batch tile pays its
+    # slowest lane), so this is the knob to watch when a sweep runs long
     best_index: int
 
     def best_params(self) -> MPCParams:
@@ -85,6 +88,8 @@ def tuning_sweep(key, candidates: MPCParams, n_scenarios: int,
     mean_cost = jnp.mean(costs, axis=1)
     mean_cte = jnp.mean(term_cte, axis=1)
     conv_frac = jnp.mean(conv.astype(dtype), axis=1)
+    mean_iters = jnp.mean(
+        res.n_iters.astype(dtype).reshape(n_weights, n_scenarios), axis=1)
     score = score_cte_weight * mean_cte + jnp.where(conv_frac < 0.99,
                                                    jnp.inf, 0.0)
     if not bool(jnp.any(jnp.isfinite(score))):
@@ -95,5 +100,5 @@ def tuning_sweep(key, candidates: MPCParams, n_scenarios: int,
     best = int(jnp.argmin(score))
     return SweepResult(
         weights=candidates, mean_cost=mean_cost, mean_terminal_cte=mean_cte,
-        converged_frac=conv_frac, best_index=best,
+        converged_frac=conv_frac, mean_iters=mean_iters, best_index=best,
     )

@@ -25,10 +25,15 @@ def main() -> None:
                     help="control law for the A/B comparison (the reference "
                          "benchmarked NMPC vs DWA vs Pure Pursuit, "
                          "assets/*.csv)")
-    ap.add_argument("--n-steps", type=int, default=20, help="MPC horizon N")
-    ap.add_argument("--dt", type=float, default=0.1)
-    ap.add_argument("--ref-vel", type=float, default=0.5)
-    ap.add_argument("--w-cte", type=float, default=300.0)
+    ap.add_argument("--config", type=str, default=None,
+                    help="YAML config file (canonical nested schema or the "
+                         "reference's flat mpc_params.yaml keys — see "
+                         "config_io.py); flags below override it")
+    ap.add_argument("--n-steps", type=int, default=None,
+                    help="MPC horizon N (default 20)")
+    ap.add_argument("--dt", type=float, default=None)
+    ap.add_argument("--ref-vel", type=float, default=None)
+    ap.add_argument("--w-cte", type=float, default=None)
     ap.add_argument("--max-cycles", type=int, default=3000)
     ap.add_argument("--log", type=str, default=None, help="tracking CSV path")
     ap.add_argument("--realtime", action="store_true",
@@ -56,13 +61,30 @@ def main() -> None:
     from .simulator import run_closed_loop
 
     plan = get_shape(args.shape)
-    p = MPCParams(dt=args.dt, ref_vel=args.ref_vel, max_angvel=1.5,
-                  w_cte=args.w_cte, w_angvel_d=10.0, w_accel_d=10.0)
-    pcfg = PlannerConfig(local_plan_length=2.5)
+    if args.config is not None:
+        from ..config_io import load_config
+
+        p, scfg, pcfg = load_config(args.config)
+    else:
+        # CLI defaults (tuned for the built-in courses; a config file
+        # carries its own values)
+        p = MPCParams(max_angvel=1.5, w_cte=300.0,
+                      w_angvel_d=10.0, w_accel_d=10.0)
+        scfg = SolverConfig(n_steps=20)
+        pcfg = PlannerConfig(local_plan_length=2.5)
+    # explicit flags override whichever source supplied the base config
+    import dataclasses as _dc
+
+    if args.dt is not None:
+        p = p.replace(dt=args.dt)
+    if args.ref_vel is not None:
+        p = p.replace(ref_vel=args.ref_vel)
+    if args.w_cte is not None:
+        p = p.replace(w_cte=args.w_cte)
+    if args.n_steps is not None:
+        scfg = _dc.replace(scfg, n_steps=args.n_steps)
     if args.controller == "mpc":
-        planner = MPCPlanner(params=p,
-                             solver_cfg=SolverConfig(n_steps=args.n_steps),
-                             planner_cfg=pcfg)
+        planner = MPCPlanner(params=p, solver_cfg=scfg, planner_cfg=pcfg)
     elif args.controller == "pure_pursuit":
         from ..planner import PurePursuitPlanner
 
