@@ -51,6 +51,10 @@ class MPCParams:
     max_angvel: Array = 1.0    # |omega| bound [rad/s] ("ANGVEL")
     max_throttle: Array = 1.0  # |accel| bound [m/s^2] ("MAXTHR")
     bound_value: Array = 1.0e3  # box bound for non-actuator vars ("BOUND")
+    # --- model-family parameters beyond the reference (traced, sweepable;
+    # read only by the models that use them — see models/base.py) ---
+    lf: Array = 0.5            # bicycle: CoG -> front-axle distance [m]
+    max_steer: Array = 0.6     # bicycle: |delta| steering bound [rad]
 
     def astype(self, dtype) -> "MPCParams":
         return MPCParams(
@@ -67,6 +71,11 @@ class SolverConfig:
 
     n_steps: int = 20          # horizon knots N (reference `mpc_steps`)
     poly_order: int = 3        # reference-path polynomial order (cubic)
+    # vehicle-dynamics family (models/base.py registry): "diff_drive"
+    # (the reference robot class) or "bicycle" (Ackermann steering). Static
+    # so jit specializes per model; the hand-tuned Pallas megakernel serves
+    # diff_drive, other models run the XLA lane / vmap paths.
+    model: str = "diff_drive"
     max_sqp_iters: int = 60    # outer SQP/iLQR iteration cap
     ls_iters: int = 8          # parallel line-search step sizes (0.5^j)
     tol_grad: float = 1e-7     # projected-gradient convergence threshold

@@ -112,12 +112,17 @@ def _validate(params: MPCParams, solver: SolverConfig,
             continue
         if float(v) < 0:
             errs.append(f"{name}={float(v)} < 0")
-    for name in ("dt", "max_angvel", "max_throttle", "bound_value"):
+    for name in ("dt", "max_angvel", "max_throttle", "bound_value",
+                 "lf", "max_steer"):
         v = getattr(params, name)
         if hasattr(v, "ndim") and v.ndim:
             continue
         if float(v) <= 0:
             errs.append(f"{name}={float(v)} <= 0")
+    from .models import available_models
+
+    if solver.model not in available_models():
+        errs.append(f"model={solver.model!r} not in {available_models()}")
     if planner.max_speed < planner.min_speed:
         errs.append(f"max_speed={planner.max_speed} < "
                     f"min_speed={planner.min_speed}")

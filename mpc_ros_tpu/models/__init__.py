@@ -1,3 +1,7 @@
-from . import diff_drive, costs
+from . import base, bicycle, costs, diff_drive
+from .base import Model, available_models, get_model, register_model
 
-__all__ = ["diff_drive", "costs"]
+__all__ = [
+    "base", "bicycle", "costs", "diff_drive",
+    "Model", "available_models", "get_model", "register_model",
+]

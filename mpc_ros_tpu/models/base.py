@@ -1,0 +1,115 @@
+"""Model registry — pluggable vehicle dynamics for the NMPC stack.
+
+The reference hard-wires one robot class: differential drive (FG_eval's
+dynamics defects, /root/reference/mpc_ros/src/mpc_planner.cpp:208-215).
+Here the solver is generic over a `Model`: any 6-state / 2-control
+error-state kinematics with the (x, y, theta, v, cte, etheta) layout plugs
+into the same iLQR/SQP stack, cost expansion, oracle, and batch engine —
+`SolverConfig.model` selects it (static, so jit specializes per model and
+the diff-drive Pallas megakernel keeps its hand-tuned fast path).
+
+A `Model` carries the step function, its closed-form Jacobians, the
+augmented-state variants used by the rate-cost formulation (see
+diff_drive.aug_step), and the control box bounds. All functions take the
+full `MPCParams` so models may read extra numeric parameters (e.g. the
+bicycle wheelbase `lf`) — traced leaves, sweepable per scenario.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+Fn = Callable
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """One vehicle-dynamics family (static: participates in jit keys).
+
+    Function signatures (z (...,6), s (...,8), u (...,2), coeffs (P,)):
+      step(z, u, coeffs, dt, sign, p)               -> z'
+      step_jacobians(z, u, coeffs, dt, sign, p)     -> (A (6,6), B (6,2))
+      aug_step(s, u, coeffs, dt, sign, p)           -> s' = (step(z,u), u)
+      aug_step_jacobians(s, u, coeffs, dt, sign, p) -> (A (8,8), B (8,2))
+      control_bounds(p, dtype)                      -> (lb (2,), ub (2,))
+    `sign` is the static cte/etheta coupling sign (quirk Q11); non-path
+    models may ignore it.
+    """
+
+    name: str
+    step: Fn
+    step_jacobians: Fn
+    aug_step: Fn
+    aug_step_jacobians: Fn
+    control_bounds: Fn
+    control_names: tuple = ("omega", "accel")
+
+    def rollout(self, z0, us, coeffs, dt, sign, p):
+        """Roll the plant forward: z0 (6,), us (T,2) -> (T+1, 6)."""
+        import jax
+
+        def body(z, u):
+            z_next = self.step(z, u, coeffs, dt, sign, p)
+            return z_next, z_next
+
+        _, zs = jax.lax.scan(body, z0, us)
+        return jnp.concatenate([z0[None], zs], axis=0)
+
+
+def make_aug(step: Fn, step_jacobians: Fn, state_dim: int = 6,
+             control_dim: int = 2):
+    """Generic augmented-state (z, prev_u) wrappers from a plain step.
+
+    The augmentation turns actuator-rate costs into Markov stage costs —
+    see models/diff_drive.py:aug_step for the derivation.
+    """
+
+    def aug_step(s, u, coeffs, dt, sign, p):
+        z_next = step(s[..., :state_dim], u, coeffs, dt, sign, p)
+        return jnp.concatenate([z_next, u], axis=-1)
+
+    def aug_step_jacobians(s, u, coeffs, dt, sign, p):
+        z = s[..., :state_dim]
+        A, B = step_jacobians(z, u, coeffs, dt, sign, p)
+        batch = z.shape[:-1]
+        dtype = z.dtype
+        zeros_su = jnp.zeros(batch + (state_dim, control_dim), dtype)
+        zeros_us = jnp.zeros(batch + (control_dim, state_dim), dtype)
+        zeros_uu = jnp.zeros(batch + (control_dim, control_dim), dtype)
+        eye_uu = jnp.broadcast_to(jnp.eye(control_dim, dtype=dtype),
+                                  batch + (control_dim, control_dim))
+        A_aug = jnp.concatenate(
+            [
+                jnp.concatenate([A, zeros_su], axis=-1),
+                jnp.concatenate([zeros_us, zeros_uu], axis=-1),
+            ],
+            axis=-2,
+        )
+        B_aug = jnp.concatenate([B, eye_uu], axis=-2)
+        return A_aug, B_aug
+
+    return aug_step, aug_step_jacobians
+
+
+_REGISTRY: Dict[str, Model] = {}
+
+
+def register_model(model: Model) -> Model:
+    _REGISTRY[model.name] = model
+    return model
+
+
+def get_model(name: str) -> Model:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown model {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def available_models() -> tuple:
+    return tuple(sorted(_REGISTRY))

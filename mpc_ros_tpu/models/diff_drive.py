@@ -150,6 +150,34 @@ def aug_step_jacobians(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt,
     return A_aug, B_aug
 
 
+def _control_bounds(p, dtype):
+    lb = jnp.stack([-jnp.asarray(p.max_angvel, dtype),
+                    -jnp.asarray(p.max_throttle, dtype)])
+    return lb, -lb
+
+
+def _register():
+    # Registry adapter: the module-level functions keep their original
+    # p-free signatures (the Pallas kernels and existing tests call them
+    # directly); the registry wraps them in the uniform Model signature.
+    from .base import Model, register_model
+
+    return register_model(Model(
+        name="diff_drive",
+        step=lambda z, u, c, dt, sign, p: step(z, u, c, dt, sign),
+        step_jacobians=lambda z, u, c, dt, sign, p: step_jacobians(
+            z, u, c, dt, sign),
+        aug_step=lambda s, u, c, dt, sign, p: aug_step(s, u, c, dt, sign),
+        aug_step_jacobians=lambda s, u, c, dt, sign, p: aug_step_jacobians(
+            s, u, c, dt, sign),
+        control_bounds=_control_bounds,
+        control_names=("omega", "accel"),
+    ))
+
+
+MODEL = _register()
+
+
 def rollout(z0: jnp.ndarray, us: jnp.ndarray, coeffs: jnp.ndarray, dt,
             cte_vsin_sign: float = 1.0) -> jnp.ndarray:
     """Roll the plant forward: z0 (6,), us (T,2) -> states (T+1, 6).

@@ -414,6 +414,11 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     parametric obstacle fast path: smooth analytic gradient + Gauss-Newton
     curvature, runs inside the Pallas megakernel at full speed. Use
     `models.obstacles.fit_gaussians_to_map` to convert grids."""
+    if cfg.model != "diff_drive":
+        raise NotImplementedError(
+            f"the lane-major batched solver is specialized for diff_drive "
+            f"(got model={cfg.model!r}); use engine.batch_solve, which is "
+            f"model-generic")
     dtype = z0s.dtype
     B = z0s.shape[0]
     T = cfg.n_controls

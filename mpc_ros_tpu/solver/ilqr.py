@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..config import MPCParams, SolverConfig
 from ..models import diff_drive as dd
+from ..models.base import Model, get_model
 from ..models.costs import total_cost, stage_expansion_aug
 from ..models.obstacles import ObstacleMap, obstacle_cost, obstacle_grad_xy
 from .boxqp import solve_boxqp_2d
@@ -41,20 +42,20 @@ _S = dd.AUG_STATE_DIM   # 8
 _M = dd.CONTROL_DIM     # 2
 
 
-def _rollout_aug(z0, us, coeffs, dt, sign):
+def _rollout_aug(z0, us, coeffs, dt, sign, mdl: Model, p: MPCParams):
     """Augmented-state rollout: returns ss (T+1, 8) with s = (z, prev_u)."""
     s0 = jnp.concatenate([z0, jnp.zeros((_M,), z0.dtype)])
 
     def body(s, u):
-        s_next = dd.aug_step(s, u, coeffs, dt, sign)
+        s_next = mdl.aug_step(s, u, coeffs, dt, sign, p)
         return s_next, s_next
 
     _, ss = jax.lax.scan(body, s0, us)
     return jnp.concatenate([s0[None], ss], axis=0)
 
 
-def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign, omap=None,
-                          blobs=None):
+def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign,
+                          mdl: Model, omap=None, blobs=None):
     """Per-stage Jacobians and exact cost quadratics along a trajectory.
 
     With an ObstacleMap, the costmap penalty's analytic (x, y) gradient is
@@ -65,9 +66,9 @@ def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign, omap=None,
     rate_on = jnp.concatenate(
         [jnp.zeros((1,), ss.dtype), jnp.ones((T - 1,), ss.dtype)]
     )
-    A, B = jax.vmap(lambda s, u: dd.aug_step_jacobians(s, u, coeffs, dt, sign))(
-        ss[:-1], us
-    )
+    A, B = jax.vmap(
+        lambda s, u: mdl.aug_step_jacobians(s, u, coeffs, dt, sign, p)
+    )(ss[:-1], us)
     l_s, l_u, l_ss, l_uu, l_us = jax.vmap(
         lambda s, u, r: stage_expansion_aug(s, u, r, p)
     )(ss[:-1], us, rate_on)
@@ -198,8 +199,8 @@ def backward_pass_parallel(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
 
 
 def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
-                             p: MPCParams, dt, lb, ub, sign, omap=None,
-                             blobs=None):
+                             p: MPCParams, dt, lb, ub, sign, mdl: Model,
+                             omap=None, blobs=None):
     """Closed-loop rollouts for ALL candidate step sizes in ONE scan.
 
     A sequential backtracking line search costs up-to-`ls_iters` rollout
@@ -218,7 +219,7 @@ def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
         s_b, u_b, k, Kg = inp
         u_all = u_b + alphas[:, None] * k + (s_all - s_b) @ Kg.T
         u_all = jnp.clip(u_all, lb, ub)
-        s_next = dd.aug_step(s_all, u_all, coeffs, dt, sign)
+        s_next = mdl.aug_step(s_all, u_all, coeffs, dt, sign, p)
         return s_next, (s_next, u_all)
 
     _, (ss_tail, us_new) = jax.lax.scan(body, s0_all, (ss_bar[:-1], us_bar, ks, Ks))
@@ -259,16 +260,15 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     dtype = z0.dtype
     T = cfg.n_controls
     dt = jnp.asarray(p.dt, dtype)
-    lb = jnp.stack([-jnp.asarray(p.max_angvel, dtype),
-                    -jnp.asarray(p.max_throttle, dtype)])
-    ub = -lb
+    mdl = get_model(cfg.model)
+    lb, ub = mdl.control_bounds(p, dtype)
 
     if u_init is None:
         us0 = jnp.zeros((T, _M), dtype)
     else:
         us0 = jnp.clip(jnp.asarray(u_init, dtype), lb, ub)
     sign = cfg.cte_vsin_sign
-    ss0 = _rollout_aug(z0, us0, coeffs, dt, sign)
+    ss0 = _rollout_aug(z0, us0, coeffs, dt, sign, mdl, p)
     cost0 = _traj_cost(ss0[:, : dd.STATE_DIM], us0, p, omap, blobs)
 
     tol_grad = jnp.asarray(cfg.tol_grad, dtype)
@@ -287,7 +287,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     def body(state):
         ss, us, cost, mu, it, done, gnorm, n_small, _ = state
         A, B, l_s, l_u, l_ss, l_uu, l_us = _linearize_and_expand(
-            ss, us, coeffs, p, dt, sign, omap, blobs
+            ss, us, coeffs, p, dt, sign, mdl, omap, blobs
         )
         V_s, V_ss = _terminal_expansion(ss[-1], p, omap, blobs)
         bp = backward_pass_parallel if cfg.horizon_parallel else backward_pass
@@ -306,8 +306,8 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # evaluated in one rollout scan).
         alphas = jnp.asarray(0.5, dtype) ** jnp.arange(cfg.ls_iters, dtype=dtype)
         ss_all, us_all, costs_all = forward_pass_multi_alpha(
-            ss, us, ks, Ks, alphas, z0, coeffs, p, dt, lb, ub, sign, omap,
-            blobs
+            ss, us, ks, Ks, alphas, z0, coeffs, p, dt, lb, ub, sign, mdl,
+            omap, blobs
         )
         improved = costs_all < cost
         accepted = jnp.any(improved)

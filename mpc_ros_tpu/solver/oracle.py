@@ -41,13 +41,16 @@ class OracleResult:
 
 
 def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int,
-                 cte_vsin_sign: float = 1.0, extra_cost=None):
+                 cte_vsin_sign: float = 1.0, extra_cost=None,
+                 model: str = "diff_drive"):
     """Objective/constraints on the flat reference-layout vector (jax f64)."""
     import jax
     import jax.numpy as jnp
 
-    from ..models import diff_drive as dd
+    from ..models.base import get_model
     from ..models.costs import total_cost
+
+    mdl = get_model(model)
 
     assert jax.config.jax_enable_x64, "oracle requires float64 (enable x64)"
     coeffs = jnp.asarray(coeffs, jnp.float64)
@@ -71,8 +74,8 @@ def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int,
         zs, us = unpack(v)
         # per-block initial rows followed by the N-1 defects of that block,
         # matching fg[1 + block_start + {0, 1+i}] in FG_eval
-        preds = jax.vmap(lambda z, u: dd.step(z, u, coeffs, dt,
-                                              cte_vsin_sign))(zs[:-1], us)
+        preds = jax.vmap(lambda z, u: mdl.step(z, u, coeffs, dt,
+                                               cte_vsin_sign, p))(zs[:-1], us)
         defects = zs[1:] - preds                       # (N-1, 6)
         rows = [jnp.concatenate([zs[0, j:j + 1], defects[:, j]]) for j in range(6)]
         return jnp.concatenate(rows)
@@ -99,7 +102,8 @@ def solve_oracle(z0: np.ndarray, coeffs: np.ndarray, p: MPCParams,
     z0 = np.asarray(z0, np.float64)
 
     obj, grad, con, jac = _build_funcs(np.asarray(coeffs), p, N,
-                                       cfg.cte_vsin_sign, extra_cost)
+                                       cfg.cte_vsin_sign, extra_cost,
+                                       cfg.model)
 
     # cold start: zeros + initial state write-in
     v0 = np.zeros(n_vars)
@@ -111,8 +115,13 @@ def solve_oracle(z0: np.ndarray, coeffs: np.ndarray, p: MPCParams,
         v0[6 * N + (N - 1):] = u_init[:, 1]
 
     bv = float(p.bound_value)
-    ma = float(p.max_angvel)
-    mt = float(p.max_throttle)
+    # per-model actuator bounds (diff_drive: |omega|<=max_angvel;
+    # bicycle: |delta|<=max_steer; both: |a|<=max_throttle)
+    from ..models.base import get_model
+    import jax.numpy as jnp
+
+    u_lb, _ = get_model(cfg.model).control_bounds(p, jnp.float64)
+    ma, mt = -float(u_lb[0]), -float(u_lb[1])
     lb = np.concatenate([
         np.full(6 * N, -bv), np.full(N - 1, -ma), np.full(N - 1, -mt)
     ])

@@ -1,0 +1,156 @@
+"""Kinematic-bicycle model family: Jacobians, solver, oracle parity.
+
+The bicycle model (models/bicycle.py) is the second vehicle family beyond
+the reference's diff-drive; it must run through the SAME generic stack
+(ilqr, batch engine, oracle) selected by SolverConfig.model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_ros_tpu import MPCParams, SolverConfig
+from mpc_ros_tpu.models import bicycle, get_model, available_models
+from mpc_ros_tpu.solver import ilqr
+from mpc_ros_tpu.solver.oracle import solve_oracle
+
+F64 = jnp.float64
+
+
+def _params(**kw):
+    base = dict(dt=0.1, ref_vel=0.6, w_cte=100.0, w_etheta=100.0,
+                w_vel=100.0, w_angvel=100.0, w_accel=50.0, w_angvel_d=10.0,
+                w_accel_d=10.0, max_steer=0.6, max_throttle=1.0, lf=0.5)
+    base.update(kw)
+    return MPCParams(**base).astype(F64)
+
+
+def test_registry_lists_both_families():
+    assert set(available_models()) >= {"diff_drive", "bicycle"}
+    m = get_model("bicycle")
+    assert m.control_names == ("delta", "accel")
+    with pytest.raises(ValueError, match="unknown model"):
+        get_model("hovercraft")
+
+
+def test_step_jacobians_match_jacfwd():
+    p = _params()
+    coeffs = jnp.asarray([0.2, -0.1, 0.05, 0.01], F64)
+    z = jnp.asarray([0.3, -0.2, 0.4, 0.7, 0.15, -0.1], F64)
+    u = jnp.asarray([0.25, -0.5], F64)
+    for sign in (1.0, -1.0):
+        A, B = bicycle.step_jacobians(z, u, coeffs, p.dt, sign, p)
+        A_ad = jax.jacfwd(lambda zz: bicycle.step(zz, u, coeffs, p.dt, sign, p))(z)
+        B_ad = jax.jacfwd(lambda uu: bicycle.step(z, uu, coeffs, p.dt, sign, p))(u)
+        np.testing.assert_allclose(A, A_ad, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(B, B_ad, rtol=1e-12, atol=1e-12)
+
+
+def test_aug_jacobians_match_jacfwd():
+    p = _params()
+    coeffs = jnp.asarray([0.1, 0.3, -0.02, 0.0], F64)
+    s = jnp.asarray([0.1, 0.05, -0.2, 0.5, 0.08, 0.12, 0.1, -0.3], F64)
+    u = jnp.asarray([-0.4, 0.8], F64)
+    A, B = bicycle.aug_step_jacobians(s, u, coeffs, p.dt, 1.0, p)
+    A_ad = jax.jacfwd(lambda ss: bicycle.aug_step(ss, u, coeffs, p.dt, 1.0, p))(s)
+    B_ad = jax.jacfwd(lambda uu: bicycle.aug_step(s, uu, coeffs, p.dt, 1.0, p))(u)
+    np.testing.assert_allclose(A, A_ad, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(B, B_ad, rtol=1e-12, atol=1e-12)
+
+
+def test_steering_geometry():
+    """Constant steer at constant speed turns psi at v/lf*delta rad/s and
+    psi/epsi advance identically (the megakernel fast-trig identity)."""
+    p = _params()
+    mdl = get_model("bicycle")
+    coeffs = jnp.zeros((4,), F64)
+    z0 = jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.0, 0.3], F64)
+    us = jnp.tile(jnp.asarray([[0.5, 0.0]], F64), (20, 1))
+    zs = mdl.rollout(z0, us, coeffs, p.dt, 1.0, p)
+    # psi after T steps: T * v/lf * delta * dt  (v constant: accel = 0)
+    expect = 20 * 1.0 / 0.5 * 0.5 * 0.1
+    np.testing.assert_allclose(float(zs[-1, 2]), expect, rtol=1e-12)
+    np.testing.assert_allclose(zs[:, 5] - zs[0, 5], zs[:, 2] - zs[0, 2],
+                               rtol=0, atol=1e-12)
+
+
+def test_solve_matches_oracle():
+    """Bicycle NMPC through the generic iLQR stack vs the full-NLP f64
+    oracle — same 1e-3 spec as the diff-drive parity tests."""
+    p = _params()
+    cfg = SolverConfig(n_steps=12, model="bicycle")
+    z0 = jnp.asarray([0.0, 0.0, 0.0, 0.4, 0.2, -0.15], F64)
+    coeffs = jnp.asarray([0.2, 0.15, -0.05, 0.01], F64)
+    res = ilqr.solve(z0, coeffs, p, cfg)
+    assert bool(res.converged)
+    ora = solve_oracle(np.asarray(z0), np.asarray(coeffs), p, cfg)
+    assert ora.success
+    np.testing.assert_allclose(np.asarray(res.us), ora.us, atol=2e-3)
+    assert float(res.cost) <= ora.cost * (1 + 1e-6) + 1e-9
+
+
+def test_solve_respects_steering_bound():
+    """An aggressive lateral setup must saturate |delta| at max_steer and
+    still match the oracle's optimum."""
+    p = _params(max_steer=0.3, w_cte=500.0)
+    cfg = SolverConfig(n_steps=10, model="bicycle")
+    z0 = jnp.asarray([0.0, 0.0, 0.0, 0.8, 1.0, -0.6], F64)
+    coeffs = jnp.asarray([1.0, 0.5, 0.0, 0.0], F64)
+    res = ilqr.solve(z0, coeffs, p, cfg)
+    us = np.asarray(res.us)
+    assert np.max(np.abs(us[:, 0])) <= 0.3 + 1e-12
+    assert np.max(np.abs(us[:, 0])) >= 0.3 - 1e-6  # actually saturates
+    ora = solve_oracle(np.asarray(z0), np.asarray(coeffs), p, cfg)
+    # SLSQP labels this saturated optimum "positive directional derivative
+    # for linesearch" while sitting on the solution (KKT violation ~1e-10);
+    # accept a feasible stall as converged, like Ipopt's acceptable_tol path
+    assert ora.success or ora.kkt_violation < 1e-8, ora.status
+    np.testing.assert_allclose(np.asarray(res.us), ora.us, atol=2e-3)
+    assert float(res.cost) <= ora.cost * (1 + 1e-6) + 1e-9
+
+
+def test_batch_solve_generic_over_model():
+    """engine.batch_solve handles the bicycle family and matches the
+    per-scenario solves."""
+    from mpc_ros_tpu.engine import batch_solve
+
+    p = _params()
+    cfg = SolverConfig(n_steps=10, model="bicycle")
+    key = jax.random.PRNGKey(0)
+    z0s = jax.random.normal(key, (4, 6), F64) * 0.2
+    z0s = z0s.at[:, 3].set(jnp.abs(z0s[:, 3]) + 0.2)
+    coeffs = jax.random.normal(jax.random.PRNGKey(1), (4, 4), F64) * 0.1
+    res = batch_solve(z0s, coeffs, p, cfg)
+    for i in range(4):
+        single = ilqr.solve(z0s[i], coeffs[i], p, cfg)
+        np.testing.assert_allclose(np.asarray(res.us[i]),
+                                   np.asarray(single.us), atol=1e-9)
+
+
+def test_wheelbase_is_traced_and_sweepable():
+    """lf is an MPCParams leaf: per-scenario wheelbases vmap without
+    recompilation (a mixed fleet in one batch)."""
+    cfg = SolverConfig(n_steps=8, model="bicycle")
+    z0 = jnp.asarray([0.0, 0.0, 0.0, 0.5, 0.3, 0.0], F64)
+    coeffs = jnp.asarray([0.3, 0.1, 0.0, 0.0], F64)
+
+    lfs = jnp.asarray([0.3, 0.5, 1.0, 2.67], F64)
+    ps = jax.vmap(lambda lf: _params().replace(lf=lf))(lfs)
+    res = jax.vmap(lambda pp: ilqr.solve(z0, coeffs, pp, cfg))(ps)
+    # shorter wheelbase -> same steer turns harder -> smaller |delta| needed;
+    # just assert all solved and controls differ across wheelbases
+    assert bool(jnp.all(res.converged))
+    u0 = np.asarray(res.us[:, 0, 0])
+    assert np.unique(np.round(u0, 6)).size == 4
+
+
+def test_lane_solver_rejects_non_diff_drive():
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    p = _params().astype(jnp.float32)
+    cfg = SolverConfig(n_steps=8, model="bicycle")
+    z = jnp.zeros((128, 6), jnp.float32)
+    c = jnp.zeros((128, 4), jnp.float32)
+    with pytest.raises(NotImplementedError, match="diff_drive"):
+        batch_solve_lane(z, c, p, cfg)
