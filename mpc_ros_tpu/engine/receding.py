@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import MPCParams, SolverConfig
-from ..models import diff_drive as dd
+from ..models.base import get_model
 from ..solver.batch_lane import batch_solve_lane
 
 Array = Any
@@ -56,13 +56,14 @@ def receding_horizon_rollout(z0s: jnp.ndarray, coeffs: jnp.ndarray,
     dtype = z0s.dtype
     dt = jnp.asarray(p.dt, dtype)
     sign = cfg.cte_vsin_sign
+    mdl = get_model(cfg.model)
 
     def cycle(carry, _):
         zs, warm = carry
         res = batch_solve_lane(zs, coeffs, p, cfg, u_init=warm, blobs=blobs)
         u0 = res.us[:, 0, :]                       # (B, 2)
         # plant step with the applied control
-        zs_next = jax.vmap(lambda z, u, c: dd.step(z, u, c, dt, sign))(
+        zs_next = jax.vmap(lambda z, u, c: mdl.step(z, u, c, dt, sign, p))(
             zs, u0, coeffs)
         # shift warm start
         warm_next = jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1)

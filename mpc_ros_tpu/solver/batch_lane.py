@@ -72,20 +72,28 @@ def _polyder_bl(coeffs, x):
     return acc
 
 
-def _step_bl(s, u, coeffs, dt, sign):
+def _step_bl(s, u, coeffs, dt, sign, model="diff_drive", p=None):
     """Augmented step, batch-last. s: (..., 8, B), u: (..., 2, B),
-    coeffs: (P, B). Leading dims broadcast (used for the alpha axis)."""
+    coeffs: (P, B). Leading dims broadcast (used for the alpha axis).
+
+    `model` is static: "diff_drive" advances theta by omega*dt; "bicycle"
+    by v/lf*delta*dt (models/bicycle.py; lf is a per-lane MPCParams leaf).
+    """
     x, y, th, v, cte, eth = (s[..., i, :] for i in range(6))
     w = u[..., 0, :]
     a = u[..., 1, :]
     f0 = _polyval_bl(coeffs, x)
+    if model == "bicycle":
+        inc = v * w * (dt / jnp.asarray(p.lf, x.dtype))
+    else:
+        inc = w * dt
     rows = [
         x + v * jnp.cos(th) * dt,
         y + v * jnp.sin(th) * dt,
-        th + w * dt,
+        th + inc,
         v + a * dt,
         (f0 - y) + sign * v * jnp.sin(eth) * dt,
-        eth + w * dt,
+        eth + inc,
         w,
         a,
     ]
@@ -113,7 +121,8 @@ def _ctrl_cost_bl(u, pu, rate_on, p: MPCParams, dtype):
                          + _pl(p, "w_accel_d", dtype) * da**2))
 
 
-def _rollout_and_cost(s0, us, coeffs, dt, sign, p, dtype, T):
+def _rollout_and_cost(s0, us, coeffs, dt, sign, p, dtype, T,
+                      model="diff_drive"):
     """Roll (8, B) through us (T, 2, B); return ss (T+1, 8, B), cost (B,)."""
 
     def body(carry, inp):
@@ -122,7 +131,7 @@ def _rollout_and_cost(s0, us, coeffs, dt, sign, p, dtype, T):
         rate_on = jnp.where(t >= 1, 1.0, 0.0).astype(dtype)
         acc = acc + _state_cost_bl(s, p, dtype) + _ctrl_cost_bl(
             u, s[6:8], rate_on, p, dtype)
-        s_next = _step_bl(s, u, coeffs, dt, sign)
+        s_next = _step_bl(s, u, coeffs, dt, sign, model, p)
         return (s_next, acc, t + 1), s_next
 
     B = s0.shape[-1]
@@ -214,7 +223,8 @@ def _boxqp_bl(Q, q, lb, ub, Qus):
 # ---------------------------------------------------------------- passes
 
 
-def _stage_linexp_bl(s, u, coeffs, dt, sign, rate_on, p, dtype):
+def _stage_linexp_bl(s, u, coeffs, dt, sign, rate_on, p, dtype,
+                     model="diff_drive"):
     """Single-stage Jacobians + exact cost quadratics, batch-last.
 
     s (8, B), u (2, B) -> A (8,8,B), Bm (8,2,B), l_s (8,B), l_u (2,B),
@@ -241,22 +251,29 @@ def _stage_linexp_bl(s, u, coeffs, dt, sign, rate_on, p, dtype):
         return jnp.stack([jnp.stack(r, axis=-2) for r in rows], axis=-3)
 
     z2 = [zero, zero]
+    if model == "bicycle":
+        k_lf = dt_ / jnp.asarray(p.lf, dtype)     # per-lane when lf is (B,)
+        dth_dv = bz(u[0] * k_lf)                  # d(theta')/dv = delta*dt/lf
+        dth_du0 = bz(v * k_lf)                    # d(theta')/ddelta
+    else:
+        dth_dv = zero
+        dth_du0 = dt_ * one
     A = M([
         [one, zero, -v * st * dt_, ct * dt_, zero, zero] + z2,
         [zero, one, v * ct * dt_, st * dt_, zero, zero] + z2,
-        [zero, zero, one, zero, zero, zero] + z2,
+        [zero, zero, one, dth_dv, zero, zero] + z2,
         [zero, zero, zero, one, zero, zero] + z2,
         [fp, -one, zero, sign * se * dt_, zero, sign * v * ce * dt_] + z2,
-        [zero, zero, zero, zero, zero, one] + z2,
+        [zero, zero, zero, dth_dv, zero, one] + z2,
         [zero] * 8,
         [zero] * 8,
     ])
     Bm = M([
         z2, z2,
-        [dt_ * one, zero],
+        [dth_du0, zero],
         [zero, dt_ * one],
         z2,
-        [dt_ * one, zero],
+        [dth_du0, zero],
         [one, zero],
         [zero, one],
     ])
@@ -297,7 +314,7 @@ def _stage_linexp_bl(s, u, coeffs, dt, sign, rate_on, p, dtype):
 
 
 def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
-                 omaps=None, blobs=None):
+                 omaps=None, blobs=None, model="diff_drive"):
     """Control-limited Riccati scan, batch-last. mu: (B,).
 
     Stage Jacobians/quadratics are materialized for all T stages up front
@@ -312,7 +329,7 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
     rate = jnp.concatenate([jnp.zeros((1,), dtype), jnp.ones((T - 1,), dtype)])
     A, Bm, l_s, l_u, l_ss, l_uu, l_us = jax.vmap(
         lambda s_t, u_t, r_t: _stage_linexp_bl(
-            s_t, u_t, coeffs, dt, sign, r_t, p, dtype)
+            s_t, u_t, coeffs, dt, sign, r_t, p, dtype, model)
     )(ss[:-1], us, rate)
     if omaps is not None:
         from ..models.obstacles import obstacle_cost_grad_bl
@@ -364,7 +381,7 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
 
 
 def _forward_multi_alpha_bl(ss_bar, us_bar, ks, Ks, alphas, coeffs, dt, sign,
-                            lb, ub, p, dtype):
+                            lb, ub, p, dtype, model="diff_drive"):
     """All-alpha forward rollouts in one scan, batch-last.
 
     Carry (n_ls, 8, B); returns ss (T+1, n_ls, 8, B), us (T, n_ls, 2, B),
@@ -383,7 +400,7 @@ def _forward_multi_alpha_bl(ss_bar, us_bar, ks, Ks, alphas, coeffs, dt, sign,
         rate_on = jnp.where(t >= 1, 1.0, 0.0).astype(dtype)
         acc = acc + _state_cost_bl(s_all, p, dtype) + _ctrl_cost_bl(
             u_all, s_all[:, 6:8], rate_on, p, dtype)
-        s_next = _step_bl(s_all, u_all, coeffs, dt, sign)
+        s_next = _step_bl(s_all, u_all, coeffs, dt, sign, model, p)
         return (s_next, acc, t + 1), (s_next, u_all)
 
     init = (s0, jnp.zeros((n_ls, B), dtype), jnp.asarray(0, jnp.int32))
@@ -414,20 +431,18 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     parametric obstacle fast path: smooth analytic gradient + Gauss-Newton
     curvature, runs inside the Pallas megakernel at full speed. Use
     `models.obstacles.fit_gaussians_to_map` to convert grids."""
-    if cfg.model != "diff_drive":
-        raise NotImplementedError(
-            f"the lane-major batched solver is specialized for diff_drive "
-            f"(got model={cfg.model!r}); use engine.batch_solve, which is "
-            f"model-generic")
     dtype = z0s.dtype
     B = z0s.shape[0]
     T = cfg.n_controls
     sign = cfg.cte_vsin_sign
+    model = cfg.model
     dt = jnp.asarray(p.dt, dtype)
     zT = jnp.swapaxes(z0s, 0, 1)                   # (6, B)
     cT = jnp.swapaxes(coeffs, 0, 1)                # (P, B)
-    lb = jnp.stack([-jnp.broadcast_to(jnp.asarray(p.max_angvel, dtype), (B,)),
-                    -jnp.broadcast_to(jnp.asarray(p.max_throttle, dtype), (B,))])
+    from ..models.base import get_model
+
+    blb, _ = get_model(model).control_bounds(p, dtype)  # (2,) or (2, B)
+    lb = jnp.broadcast_to(blb if blb.ndim == 2 else blb[:, None], (2, B))
     ub = -lb
 
     s0 = jnp.concatenate([zT, jnp.zeros((2, B), dtype)], axis=0)
@@ -454,7 +469,10 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             tot = tot + jnp.sum(val, axis=0)
         return tot
 
-    kernels_ok = (omaps is None and B % 128 == 0 and dtype == jnp.float32)
+    # the fused Pallas kernels are hand-specialized for diff_drive's
+    # Jacobian structure; other model families run the pure-XLA lane paths
+    kernels_ok = (omaps is None and B % 128 == 0 and dtype == jnp.float32
+                  and model == "diff_drive")
     on_tpu = jax.default_backend() == "tpu"
     # "auto" -> whole-solve megakernel on TPU; "mega" forces it;
     # "pallas" = the two-kernel (backward+forward) design; "xla" = pure XLA
@@ -486,7 +504,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         )
 
     has_obs = omaps is not None or bl is not None
-    ss0, cost0 = _rollout_and_cost(s0, us0, cT, dt, sign, p, dtype, T)
+    ss0, cost0 = _rollout_and_cost(s0, us0, cT, dt, sign, p, dtype, T, model)
     if has_obs:
         cost0 = cost0 + _obs_cost_knots(ss0)
 
@@ -532,7 +550,8 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                 ss, us, cT, pp, sign, V_s, V_ss, lb, ub, mu)
         else:
             ks, Ks, dV1, dV2, pg = _backward_bl(
-                ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu, omaps, bl)
+                ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu, omaps, bl,
+                model)
 
         pred_decrease = -(dV1 + dV2)
         tiny_model = pred_decrease <= tol_cost * (1.0 + jnp.abs(cost))
@@ -549,7 +568,8 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             accepted = acc_f > 0.5
         else:
             ss_all, us_all, costs_all = _forward_multi_alpha_bl(
-                ss, us, ks, Ks, alphas, cT, dt, sign, lb, ub, p, dtype)
+                ss, us, ks, Ks, alphas, cT, dt, sign, lb, ub, p, dtype,
+                model)
             if has_obs:
                 # ss_all (T+1, n_ls, 8, B): add per-candidate obstacle cost
                 costs_all = costs_all + jax.vmap(

@@ -145,12 +145,71 @@ def test_wheelbase_is_traced_and_sweepable():
     assert np.unique(np.round(u0, 6)).size == 4
 
 
-def test_lane_solver_rejects_non_diff_drive():
+def test_lane_solver_matches_vmap_for_bicycle():
+    """The lane-major (batch-last) solver supports the bicycle family on
+    its XLA paths and agrees with the vmapped per-scenario solver."""
+    from mpc_ros_tpu.engine import batch_solve
     from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
 
-    p = _params().astype(jnp.float32)
+    p = _params()
+    cfg = SolverConfig(n_steps=10, model="bicycle")
+    key = jax.random.PRNGKey(7)
+    z0s = jax.random.normal(key, (8, 6), F64) * 0.2
+    z0s = z0s.at[:, 3].set(jnp.abs(z0s[:, 3]) + 0.2)
+    coeffs = jax.random.normal(jax.random.PRNGKey(8), (8, 4), F64) * 0.1
+    r_lane = batch_solve_lane(z0s, coeffs, p, cfg)
+    r_vmap = batch_solve(z0s, coeffs, p, cfg)
+    np.testing.assert_allclose(np.asarray(r_lane.us), np.asarray(r_vmap.us),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(r_lane.cost),
+                               np.asarray(r_vmap.cost), rtol=1e-10)
+    assert bool(jnp.all(r_lane.converged))
+
+
+def test_lane_solver_per_lane_wheelbase():
+    """Per-scenario lf/max_steer leaves (B,) ride the lanes through the
+    lane solver (mixed-fleet sweeps without recompilation)."""
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
     cfg = SolverConfig(n_steps=8, model="bicycle")
-    z = jnp.zeros((128, 6), jnp.float32)
-    c = jnp.zeros((128, 4), jnp.float32)
-    with pytest.raises(NotImplementedError, match="diff_drive"):
-        batch_solve_lane(z, c, p, cfg)
+    B = 4
+    z0s = jnp.tile(jnp.asarray([[0, 0, 0, 0.5, 0.3, 0.0]], F64), (B, 1))
+    coeffs = jnp.tile(jnp.asarray([[0.3, 0.1, 0.0, 0.0]], F64), (B, 1))
+    lfs = jnp.asarray([0.3, 0.5, 1.0, 2.67], F64)
+    ps = jax.vmap(lambda lf: _params().replace(lf=lf))(lfs)
+    res = batch_solve_lane(z0s, coeffs, ps, cfg)
+    assert bool(jnp.all(res.converged))
+    # identical scenario, different wheelbase -> different steering
+    u0 = np.asarray(res.us[:, 0, 0])
+    assert np.unique(np.round(u0, 6)).size == B
+    # and each lane matches its own single solve
+    for i in range(B):
+        pi = _params(lf=float(lfs[i]))
+        single = ilqr.solve(z0s[i], coeffs[i], pi, cfg)
+        np.testing.assert_allclose(np.asarray(res.us[i]),
+                                   np.asarray(single.us), atol=1e-8)
+
+
+def test_receding_horizon_serving_bicycle():
+    """The warm-started serving engine runs the bicycle family end-to-end
+    (lane XLA path) and regulates the error states."""
+    from mpc_ros_tpu.engine.receding import receding_horizon_rollout
+
+    p = _params().astype(jnp.float32)
+    cfg = SolverConfig(n_steps=10, model="bicycle")
+    B = 8
+    key = jax.random.PRNGKey(3)
+    z0s = jax.random.normal(key, (B, 6), jnp.float32) * 0.2
+    z0s = z0s.at[:, 3].set(0.3)
+    coeffs = jnp.tile(jnp.asarray([[0.2, 0.1, -0.02, 0.0]], jnp.float32),
+                      (B, 1))
+    tr = receding_horizon_rollout(z0s, coeffs, p, cfg, n_cycles=25)
+    # warm starting must cut iterations after the first cycle
+    assert float(jnp.mean(tr.iters[1:].astype(jnp.float32))) < \
+        float(jnp.mean(tr.iters[0].astype(jnp.float32)))
+    # cte decays toward the path. Baseline is cycle 1, not 0: the plant's
+    # first step REPLACES the (random) initial cte with the fresh polynomial
+    # error f(x)-y (quirk Q10 semantics), so cycle 0 is incomparable.
+    cte1 = jnp.mean(jnp.abs(tr.zs[1, :, 4]))
+    cteN = jnp.mean(jnp.abs(tr.zs[-1, :, 4]))
+    assert float(cteN) < float(cte1)
