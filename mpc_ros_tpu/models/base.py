@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict
 
+import jax
 import jax.numpy as jnp
 
 Fn = Callable
@@ -92,6 +93,74 @@ def make_aug(step: Fn, step_jacobians: Fn, state_dim: int = 6,
         return A_aug, B_aug
 
     return aug_step, aug_step_jacobians
+
+
+def make_jacobians(step: Fn) -> Fn:
+    """Exact (A, B) Jacobians of a plain step function via forward-mode AD.
+
+    This is the CppAD-capability replacement: in the reference, users write
+    the dynamics on `AD<double>` and the vendored CppAD engine tapes and
+    differentiates them (FG_eval at
+    /root/reference/mpc_ros/src/mpc_planner.cpp:208-215 through
+    /root/reference/mpc_ros/include/cppad/core/jacobian.hpp). Here JAX
+    tracing IS the tape: any `step` written with jnp ops gets exact
+    Jacobians from `jax.jacfwd`, with XLA playing the role of CppAD's tape
+    optimizer. Hand-derived Jacobians (models/diff_drive.py,
+    models/bicycle.py) remain preferable for families with hand-tuned
+    Pallas fast paths, but are no longer required to plug a new vehicle
+    family into the solver stack — see `model_from_step`.
+
+    Returns a `step_jacobians(z, u, coeffs, dt, sign, p) -> (A, B)` that
+    accepts arbitrary leading batch dims on `z`/`u` (coeffs/p are treated
+    as shared, matching every solver call site, which vmaps per stage).
+    """
+
+    def single(z, u, coeffs, dt, sign, p):
+        A = jax.jacfwd(lambda zz: step(zz, u, coeffs, dt, sign, p))(z)
+        B = jax.jacfwd(lambda uu: step(z, uu, coeffs, dt, sign, p))(u)
+        return A, B
+
+    def step_jacobians(z, u, coeffs, dt, sign, p):
+        batch = z.shape[:-1]
+        if not batch:
+            return single(z, u, coeffs, dt, sign, p)
+        zf = z.reshape((-1, z.shape[-1]))
+        uf = u.reshape((-1, u.shape[-1]))
+        A, B = jax.vmap(
+            lambda zz, uu: single(zz, uu, coeffs, dt, sign, p))(zf, uf)
+        return (A.reshape(batch + A.shape[1:]),
+                B.reshape(batch + B.shape[1:]))
+
+    return step_jacobians
+
+
+def model_from_step(name: str, step: Fn, control_bounds: Fn,
+                    control_names: tuple = ("omega", "accel"),
+                    register: bool = True) -> Model:
+    """Build (and by default register) a complete Model from just a step
+    function — derivatives come from autodiff (`make_jacobians`), the
+    rate-cost augmentation from `make_aug`.
+
+    The full CppAD workflow equivalent: the reference user writes FG_eval
+    and gets sparse Jacobians/Hessians from the vendored AD engine; here a
+    user writes `step(z, u, coeffs, dt, sign, p)` with jnp ops and gets a
+    solver-ready vehicle family (single `solve_jit`, vmapped
+    `engine.batch_solve`, oracle, planner) with zero hand math.
+    """
+    step_jacobians = make_jacobians(step)
+    aug_step, aug_step_jacobians = make_aug(step, step_jacobians)
+    mdl = Model(
+        name=name,
+        step=step,
+        step_jacobians=step_jacobians,
+        aug_step=aug_step,
+        aug_step_jacobians=aug_step_jacobians,
+        control_bounds=control_bounds,
+        control_names=tuple(control_names),
+    )
+    if register:
+        register_model(mdl)
+    return mdl
 
 
 _REGISTRY: Dict[str, Model] = {}
