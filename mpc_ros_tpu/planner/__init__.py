@@ -4,6 +4,8 @@ from .tracking import TrackingController, TrackingDebug
 from .baselines import (DWAConfig, DWAPlanner, PurePursuitConfig,
                         PurePursuitPlanner)
 from .safety import SafetyMonitor, SafetyConfig, SafetyStatus
+from .recovery import (RecoveryConfig, RecoveryState, RecoveryStats,
+                       RecoverySupervisor)
 from . import plan_utils
 
 __all__ = [
@@ -18,6 +20,10 @@ __all__ = [
     "SafetyMonitor",
     "SafetyConfig",
     "SafetyStatus",
+    "RecoverySupervisor",
+    "RecoveryConfig",
+    "RecoveryState",
+    "RecoveryStats",
     "plan_utils",
     "PurePursuitPlanner",
     "PurePursuitConfig",

@@ -45,8 +45,15 @@ class PlannerNode:
       mpc_traj  (out): N x (x, y, yaw) doubles (reference: mpc_trajectory)
     """
 
-    def __init__(self, planner: MPCPlanner, period_s: Optional[float] = None):
+    def __init__(self, planner: MPCPlanner, period_s: Optional[float] = None,
+                 recovery=None, safety=None):
+        """`recovery`: optional RecoverySupervisor (planner/recovery.py) —
+        the move_base recovery-ladder role; `safety`: optional SafetyMonitor
+        (planner/safety.py) — command validation + controlled stop. Both
+        default off, preserving the bare reference-plugin behavior."""
         self.planner = planner
+        self.recovery = recovery
+        self.safety = safety
         self.period_s = period_s or float(planner.params.dt)
         self.pose_topic = Topic(64)
         self.feedback_topic = Topic(64)
@@ -65,6 +72,8 @@ class PlannerNode:
     def set_plan(self, plan: np.ndarray) -> bool:
         raw = self.pose_topic.read()
         pose = np.array(struct.unpack(POSE_FMT, raw)) if raw else plan[0]
+        if self.recovery is not None:
+            return self.recovery.set_plan(plan, pose)
         return self.planner.set_plan(plan, pose)
 
     def start(self) -> None:
@@ -117,9 +126,16 @@ class PlannerNode:
             self.cycles += 1
             return
         ok, (v, w), info = self.planner.compute_velocity_commands(pose, fb)
+        if self.recovery is not None:
+            ok, (v, w) = self.recovery.on_cycle(ok, (v, w), pose, fb)
         if not ok:
             self.errors += 1
+            if self.safety is not None:
+                v, w = self.safety.check(False, (v, w), info)
+                self.cmd_topic.publish(pack_twist(v, w))
             return
+        if self.safety is not None:
+            v, w = self.safety.check(True, (v, w), info)
         self.cmd_topic.publish(pack_twist(v, w))
         if info is not None and info.mpc_trajectory is not None:
             traj = np.ascontiguousarray(info.mpc_trajectory, dtype=np.float64)
