@@ -64,6 +64,9 @@ def main() -> None:
     ap.add_argument("--engine", choices=["lane", "vmap"], default="lane",
                     help="lane = lane-major batched solver (fast path); "
                          "vmap = per-scenario solver under vmap")
+    ap.add_argument("--model", choices=["diff_drive", "bicycle"],
+                    default="diff_drive",
+                    help="vehicle family (both run the megakernel)")
     args = ap.parse_args()
 
     import jax
@@ -94,7 +97,7 @@ def main() -> None:
     dtype = jnp.float32
 
     cfg = SolverConfig(n_steps=n_steps, max_sqp_iters=max_iters,
-                       ls_iters=args.ls_iters,
+                       ls_iters=args.ls_iters, model=args.model,
                        tol_grad=1e-4 if dtype == jnp.float32 else 1e-7)
     p = MPCParams().astype(dtype)
     z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), batch, dtype)
@@ -280,6 +283,7 @@ def main() -> None:
     suffix = ("_obstacles" if args.obstacles
               else "_obstacles_grid" if args.obstacles_grid else "")
     suffix += "" if args.engine == "lane" or suffix else "_vmap"
+    suffix += "" if args.model == "diff_drive" else f"_{args.model}"
     out = {
         "metric": f"nmpc_solves_per_s_per_chip_n{n_steps}{suffix}",
         "value": round(solves_per_s, 1),

@@ -31,15 +31,19 @@ _LANES = 128
 
 # packed-parameter row indices
 P_WCTE, P_WETH, P_WVEL, P_WANG, P_WACC, P_WDANG, P_WDACC = range(7)
-P_RVEL, P_RCTE, P_RETH, P_DT, P_PAD = range(7, 12)
+P_RVEL, P_RCTE, P_RETH, P_DT, P_LF = range(7, 12)
 N_PAR = 12
 
 
 def pack_params(p, B: int, dtype) -> jnp.ndarray:
-    """Stack the MPCParams leaves the kernel needs into (12, B)."""
+    """Stack the MPCParams leaves the kernel needs into (12, B).
+
+    Row P_LF (the bicycle wheelbase, traced/per-lane sweepable) is only
+    read by the megakernel's bicycle specialization; the diff-drive
+    kernels ignore it."""
     rows = [p.w_cte, p.w_etheta, p.w_vel, p.w_angvel, p.w_accel,
             p.w_angvel_d, p.w_accel_d, p.ref_vel, p.ref_cte, p.ref_etheta,
-            p.dt, 0.0]
+            p.dt, p.lf]
     return jnp.stack([
         jnp.broadcast_to(jnp.asarray(r, dtype), (B,)) for r in rows
     ])

@@ -35,9 +35,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .backward_fused_pallas import (N_PAR, P_DT, P_RCTE, P_RETH, P_RVEL,
-                                    P_WACC, P_WANG, P_WCTE, P_WDACC,
-                                    P_WDANG, P_WETH, P_WVEL)
+from .backward_fused_pallas import (N_PAR, P_DT, P_LF, P_RCTE, P_RETH,
+                                    P_RVEL, P_WACC, P_WANG, P_WCTE,
+                                    P_WDACC, P_WDANG, P_WETH, P_WVEL)
 from .backward_pallas import (_boxqp_tile, _mtm, _mtv, _mv,
                               _polyder_tile, _polyval_tile)
 
@@ -50,7 +50,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             tol_grad: float, tol_cost_eff: float, mu_min: float,
             mu_max: float, mu_factor: float, dtype, n_blobs: int,
             sub: int, n_done_needed: int, unroll_bwd: bool,
-            has_resume: bool, fast_trig: bool, *refs):
+            has_resume: bool, fast_trig: bool, model: str, *refs):
     # Per-lane values are (sub, 128) tiles. With sub=8 each value fills a
     # native f32 vreg (8 sublanes x 128 lanes): one vector op processes
     # 1024 scenarios. sub=1 wastes 7/8 of the VPU rows — it exists only as
@@ -112,19 +112,36 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
     ww2 = 2.0 * par[P_WANG]
     wa2 = 2.0 * par[P_WACC]
 
+    # ---------------- model-family heading kinematics --------------------
+    # diff_drive: theta/etheta advance by u0*dt (u0 = omega).
+    # bicycle:    by (v / lf) * u0 * dt (u0 = delta; models/bicycle.py) —
+    # the heading increment gains a state (v) dependence, which is the
+    # ONLY structural difference: A[2,3] = A[5,3] = dth/dv and B rows 2/5
+    # scale by v/lf instead of 1. Everything else (cost, cte row,
+    # structural zeros at column 4) is family-invariant.
+    if model == "bicycle":
+        invlf = 1.0 / par[P_LF]
+
+        def dth_of(v, u0):
+            return v * invlf * u0 * dt
+    else:
+        def dth_of(v, u0):
+            return u0 * dt
+
     # ---------------- shared per-stage math (values in, values out) ------
 
     def dyn_step(s_a, u0, u1, tg):
         x, y, th, v, cte, eth = (s_a[i] for i in range(6))
         ct_, st_, se_ = tg
         f0 = _polyval_tile(cf, x)
+        dth = dth_of(v, u0)
         return jnp.stack([
             x + v * ct_ * dt,
             y + v * st_ * dt,
-            th + u0 * dt,
+            th + dth,
             v + u1 * dt,
             (f0 - y) + sign * v * se_ * dt,
-            eth + u0 * dt,
+            eth + dth,
             u0,
             u1,
         ])
@@ -152,14 +169,16 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
     # ---------------- rollout trigonometry -------------------------------
     # Every rollout (initial, the n_alpha line-search candidates, the
     # winner re-roll) starts from the SAME pinned state s0, and theta and
-    # etheta advance by the identical u0*dt every step (FG_eval dynamics
-    # rows, /root/reference/mpc_ros/src/mpc_planner.cpp:210,214). Hence:
+    # etheta advance by the identical increment every step — u0*dt for
+    # diff_drive (FG_eval dynamics rows,
+    # /root/reference/mpc_ros/src/mpc_planner.cpp:210,214), (v/lf)*u0*dt
+    # for bicycle. Hence:
     #   * etheta_t = theta_t + phi with phi = etheta_0 - theta_0 constant
     #     for the WHOLE solve -> sin/cos(etheta) are two FMAs off
     #     sin/cos(theta) (exact identity, both modes could use it);
     #   * in fast mode, cos/sin(theta) are carried through the rollout by
     #     rotation composition, the per-step increment's sin/cos coming
-    #     from a 9th/8th-order Taylor (|u0*dt| <= 1: error < 3e-7) plus
+    #     from a 9th/8th-order Taylor (|d| <= 1: error < 3e-7) plus
     #     one Newton renormalization step.
     # This removes ALL per-stage transcendentals from the solve: 4 sin/cos
     # per solve instead of (n_alpha+2) rollouts x T x 3-4 per iteration.
@@ -180,8 +199,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         def ce_of(ct, st, s_a):
             return ct * cphi - st * sphi
 
-        def step_trig(ct, st, u0, s_next):
-            d = u0 * dt
+        def step_trig(ct, st, d, s_next):
             z = d * d
             sd = d * (1.0 + z * (-1.0 / 6.0 + z * (1.0 / 120.0
                       + z * (-1.0 / 5040.0 + z * (1.0 / 362880.0)))))
@@ -198,7 +216,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         def ce_of(ct, st, s_a):
             return jnp.cos(s_a[5])
 
-        def step_trig(ct, st, u0, s_next):
+        def step_trig(ct, st, d, s_next):
             return jnp.cos(s_next[2]), jnp.sin(s_next[2])
 
     # ---------------- initial rollout into buffer 0 ----------------------
@@ -216,7 +234,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         traj_g[0, t] = jnp.stack([ct, st, se, ce_of(ct, st, s_a)])
         s_n = dyn_step(s_a, u0, u1, (ct, st, se))
         traj_s[0, t + 1] = s_n
-        ct, st = step_trig(ct, st, u0, s_n)
+        ct, st = step_trig(ct, st, dth_of(s_a[3], u0), s_n)
         return (acc, ct, st)
 
     cost0, _, _ = jax.lax.fori_loop(0, T, init_body, (zeros, ct00, st00))
@@ -293,14 +311,24 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             a40 = fp
             a43 = sign * se * dt
             a45 = sign * v * ce * dt
+            if model == "bicycle":
+                # heading rows: dpsi = (v/lf) * delta * dt gives
+                # A[2,3] = A[5,3] = delta*dt/lf and B[2,0] = B[5,0] =
+                # v*dt/lf (vs 0 and dt for diff_drive)
+                a23 = u_t[0] * invlf * dt
+                b20 = v * invlf * dt
+            else:
+                a23 = None
+                b20 = dt
 
             def At_vec(y):
                 z = jnp.zeros_like(y[0])
+                y3 = y[3] if a23 is None else y[3] + a23 * (y[2] + y[5])
                 return jnp.stack([
                     y[0] + a40 * y[4],
                     y[1] - y[4],
                     a02 * y[0] + a12 * y[1] + y[2],
-                    a03 * y[0] + a13 * y[1] + y[3] + a43 * y[4],
+                    a03 * y[0] + a13 * y[1] + y3 + a43 * y[4],
                     z,
                     a45 * y[4] + y[5],
                     z,
@@ -309,7 +337,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
             def Bt_vec(y):
                 return jnp.stack([
-                    dt * (y[2] + y[5]) + y[6],
+                    b20 * (y[2] + y[5]) + y[6],
                     dt * y[3] + y[7],
                 ])
 
@@ -359,8 +387,14 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             va2 = [a02 * Vss[i, 0] + a12 * Vss[i, 1] + Vss[i, 2]
                    for i in range(_N)]
             va2[4] = None
-            va3 = [a03 * Vss[i, 0] + a13 * Vss[i, 1] + Vss[i, 3]
-                   for i in range(_N)]
+            if a23 is None:
+                va3 = [a03 * Vss[i, 0] + a13 * Vss[i, 1] + Vss[i, 3]
+                       for i in range(_N)]
+            else:
+                va3 = [a03 * Vss[i, 0] + a13 * Vss[i, 1] + Vss[i, 3]
+                       + a23 * (Vss[i, 2] + Vss[i, 5]) for i in range(_N)]
+            # row 4's (4,2)/(4,5) entries are structurally zero, so the
+            # bicycle a23 term drops out of the row-4 invariant too
             va3[4] = a43 * wc2
             va5 = [Vss[i, 5] for i in range(_N)]
             va5[4] = a45 * wc2
@@ -379,7 +413,9 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                     return zadd(a02 * y[0], a12 * y[1], y[2])
                 if i == 3:
                     return zadd(a03 * y[0], a13 * y[1], y[3],
-                                None if y4 is None else a43 * y4)
+                                None if y4 is None else a43 * y4,
+                                None if a23 is None
+                                else a23 * (y[2] + y[5]))
                 return zadd(None if y4 is None else a45 * y4,
                             y[5])                      # i == 5
 
@@ -399,7 +435,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
             # Qus = B' Vss A + l_us per entry (col 4 zero; cols 6/7 are the
             # rate-coupling constants)
-            qus0 = {j: zadd(dt * zadd(va[j][2], va[j][5]), va[j][6])
+            qus0 = {j: zadd(b20 * zadd(va[j][2], va[j][5]), va[j][6])
                     for j in _LIVE}
             qus1 = {j: zadd(dt * va[j][3], va[j][7]) for j in _LIVE}
             qus0[4] = qus1[4] = None
@@ -411,7 +447,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                 jnp.stack([qus1[j] if qus1[j] is not None else zeros
                            for j in range(_N)]),
             ])
-            VB0 = dt * (Vss[:, 2] + Vss[:, 5]) + Vss[:, 6]
+            VB0 = b20 * (Vss[:, 2] + Vss[:, 5]) + Vss[:, 6]
             VB1 = dt * Vss[:, 3] + Vss[:, 7]
             VB = jnp.stack([VB0, VB1], axis=1)
             BtVB = Bt_vec(VB)
@@ -513,7 +549,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                 se = se_of(cts[a], sts[a], s_a)
                 s_n = dyn_step(s_a, u0, u1, (cts[a], sts[a], se))
                 s_scr[pl.ds(a * _N, _N)] = s_n
-                nct, nst = step_trig(cts[a], sts[a], u0, s_n)
+                nct, nst = step_trig(cts[a], sts[a], dth_of(s_a[3], u0), s_n)
                 new_cts.append(nct)
                 new_sts.append(nst)
             return tuple(new_accs) + tuple(new_cts) + tuple(new_sts)
@@ -570,7 +606,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                               + (1.0 - upd)[None, :] * u_b)
             traj_s[nxt, t + 1] = (upd[None, :] * s_n
                                   + (1.0 - upd)[None, :] * traj_s[cur, t + 1])
-            return step_trig(ct, st, u0, s_n)
+            return step_trig(ct, st, dth_of(s_a[3], u0), s_n)
 
         jax.lax.fori_loop(0, T, sel_body, (ct00, st00))
         cost2 = jnp.where(upd > 0.5, cost_sel, cost)
@@ -644,6 +680,10 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
     """Whole-solve megakernel. Batch-last inputs: zT (6,B), cT (4,B),
     params_pack (12,B), lb/ub (2,B), u0 (T,2,B) initial controls.
 
+    `cfg.model` selects the vehicle family ("diff_drive" or "bicycle") —
+    a static specialization: the bicycle's heading rows read the traced
+    per-lane wheelbase from params_pack[P_LF] (models/bicycle.py).
+
     `blobs`: optional lane-major parametric obstacles — a tuple of four
     (K, B) arrays (cx, cy, gamma, w) from `GaussianObstacles.lane()`. The
     penalty, its gradient and its PSD Gauss-Newton curvature are evaluated
@@ -694,7 +734,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         # interpret mode (tests) and at long horizons it only bloats
         # trace/compile time
         n_done_needed, bool(T <= 48 and not interpret),
-        resume is not None, cfg.trig == "fast")
+        resume is not None, cfg.trig == "fast", cfg.model)
     resume_inputs = [] if resume is None else [rsh(jnp.stack(resume))]
     resume_specs = [] if resume is None else [lane_spec(4)]
     blob_inputs = [] if n_blobs == 0 else [rsh(a) for a in blobs]

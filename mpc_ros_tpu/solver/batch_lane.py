@@ -469,19 +469,20 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             tot = tot + jnp.sum(val, axis=0)
         return tot
 
-    # the fused Pallas kernels are hand-specialized for diff_drive's
-    # Jacobian structure; other model families run the pure-XLA lane paths
+    # the megakernel is specialized per vehicle family (diff_drive and
+    # bicycle); other model families run the pure-XLA lane paths
     kernels_ok = (omaps is None and B % 128 == 0 and dtype == jnp.float32
-                  and model == "diff_drive")
+                  and model in ("diff_drive", "bicycle"))
     on_tpu = jax.default_backend() == "tpu"
     # "auto" -> whole-solve megakernel on TPU; "mega" forces it;
     # "pallas" = the two-kernel (backward+forward) design; "xla" = pure XLA
     use_mega = kernels_ok and (
         cfg.backward == "mega" or (cfg.backward == "auto" and on_tpu))
-    # the two-kernel design predates parametric obstacles; only the
-    # megakernel and the XLA paths carry blob terms
+    # the two-kernel design predates parametric obstacles and stays
+    # diff-drive-only; the megakernel and XLA paths carry blob terms and
+    # both kernel families
     use_pallas = (not use_mega) and kernels_ok and bl is None \
-        and cfg.backward == "pallas"
+        and cfg.backward == "pallas" and model == "diff_drive"
 
     if use_mega:
         # the megakernel does its own VMEM-resident rollout; return before

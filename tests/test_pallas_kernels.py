@@ -377,3 +377,107 @@ def test_fast_trig_rotation_accuracy_at_domain_edge():
     # trig scheme
     ds = float(jnp.max(jnp.abs(outs["fast"][0] - outs["exact"][0])))
     assert ds < 1e-4, ds
+
+
+def test_megakernel_bicycle_matches_lane_solver():
+    """Bicycle-family megakernel (interpret mode) vs the XLA lane solver:
+    the heading rows gain a v-dependence (A[2,3] = A[5,3] = delta*dt/lf,
+    B rows 2/5 scale v/lf — models/bicycle.py) and the steering bound
+    replaces max_angvel; controls, convergence and iteration counts must
+    still match the lane path exactly like the diff-drive kernel does."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+    from mpc_ros_tpu.models.base import get_model
+
+    dtype = jnp.float32
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(7), B, dtype)
+    p = MPCParams().astype(dtype)
+    cfg = SolverConfig(n_steps=12, max_sqp_iters=8, tol_grad=1e-3,
+                       backward="xla", trig="exact", model="bicycle")
+    r_x = bl.batch_solve_lane(z0s, coeffs, p, cfg)
+
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    blb, _ = get_model("bicycle").control_bounds(p, dtype)
+    lb = jnp.broadcast_to(blb[:, None], (2, B))
+    u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+    ss, us, cost, conv, iters, gnorm, mu, _done = solve_pallas(
+        zT, cT, pp, lb, -lb, u0, cfg, interpret=True)
+    du = float(jnp.max(jnp.abs(jnp.moveaxis(us, -1, 0) - r_x.us)))
+    assert du < 2e-3, du
+    np.testing.assert_allclose(np.asarray(conv),
+                               np.asarray(r_x.converged, dtype=np.float32))
+    np.testing.assert_allclose(
+        np.asarray(iters), np.asarray(r_x.n_iters, dtype=np.float32))
+
+
+def test_megakernel_bicycle_per_lane_wheelbase():
+    """The wheelbase rides the params pack (P_LF): a mixed-fleet batch with
+    two lf values must reproduce the two uniform-lf solves — the megakernel
+    sweep axis the bicycle family was added for."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+    from mpc_ros_tpu.models.base import get_model
+
+    dtype = jnp.float32
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(8), B, dtype)
+    cfg = SolverConfig(n_steps=10, max_sqp_iters=6, tol_grad=1e-3,
+                       backward="xla", trig="exact", model="bicycle")
+    lf = jnp.where(jnp.arange(B) < B // 2, 0.3, 0.8).astype(dtype)
+    p_swept = MPCParams(lf=lf).astype(dtype)
+
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    blb, _ = get_model("bicycle").control_bounds(p_swept, dtype)
+    lb = jnp.broadcast_to(blb[:, None], (2, B))
+    u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+    _, us, *_ = solve_pallas(zT, cT, pack_params(p_swept, B, dtype),
+                             lb, -lb, u0, cfg, interpret=True)
+
+    for half, lfv in ((slice(0, B // 2), 0.3), (slice(B // 2, B), 0.8)):
+        p_u = MPCParams(lf=lfv).astype(dtype)
+        r = bl.batch_solve_lane(z0s[half], coeffs[half], p_u, cfg)
+        du = float(jnp.max(jnp.abs(
+            jnp.moveaxis(us[..., half], -1, 0) - r.us)))
+        assert du < 2e-3, (lfv, du)
+
+
+def test_megakernel_bicycle_fast_trig():
+    """Bicycle fast-trig mode: the heading increment is (v/lf)*delta*dt
+    (state-dependent, unlike diff-drive's control-only omega*dt); the
+    Taylor rotation carry must still agree with exact trig on converged
+    lanes."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+    from mpc_ros_tpu.models.base import get_model
+
+    dtype = jnp.float32
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(9), B, dtype)
+    p = MPCParams().astype(dtype)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    blb, _ = get_model("bicycle").control_bounds(p, dtype)
+    lb = jnp.broadcast_to(blb[:, None], (2, B))
+    u0 = jnp.zeros((11, 2, B), dtype)
+
+    outs = {}
+    for trig in ("fast", "exact"):
+        cfg = SolverConfig(n_steps=12, max_sqp_iters=8, tol_grad=1e-3,
+                           trig=trig, model="bicycle")
+        outs[trig] = solve_pallas(zT, cT, pp, lb, -lb, u0, cfg,
+                                  interpret=True)
+    us_f, us_e = outs["fast"][1], outs["exact"][1]
+    conv_f, conv_e = outs["fast"][3], outs["exact"][3]
+    both = (conv_f > 0.5) & (conv_e > 0.5)
+    assert float(jnp.mean(both.astype(jnp.float32))) > 0.9
+    du = float(jnp.max(jnp.where(both[None, None, :],
+                                 jnp.abs(us_f - us_e), 0.0)))
+    assert du < 5e-4, du
