@@ -26,6 +26,12 @@ import jax.numpy as jnp
 Fn = Callable
 
 
+def _yaw_rate_direct(v, u0, p):
+    """Default heading-rate map: the first control IS the yaw rate
+    (differential drive: u0 = omega)."""
+    return u0
+
+
 @dataclasses.dataclass(frozen=True)
 class Model:
     """One vehicle-dynamics family (static: participates in jit keys).
@@ -38,6 +44,14 @@ class Model:
       control_bounds(p, dtype)                      -> (lb (2,), ub (2,))
     `sign` is the static cte/etheta coupling sign (quirk Q11); non-path
     models may ignore it.
+
+    `yaw_rate(v, u0, p)` maps (speed, first control) to the heading rate —
+    omega itself for diff-drive, v*delta/lf for the bicycle; the planner's
+    delay-mode prediction and the simulator plants use it.
+    `can_rotate_in_place` gates the FSM's rotation states: Ackermann
+    vehicles cannot execute the reference's in-place rotate behaviors, so
+    the planner skips them (Tracking handles heading convergence) and goal
+    completion relaxes to position + stopped.
     """
 
     name: str
@@ -47,6 +61,8 @@ class Model:
     aug_step_jacobians: Fn
     control_bounds: Fn
     control_names: tuple = ("omega", "accel")
+    yaw_rate: Fn = _yaw_rate_direct
+    can_rotate_in_place: bool = True
 
     def rollout(self, z0, us, coeffs, dt, sign, p):
         """Roll the plant forward: z0 (6,), us (T,2) -> (T+1, 6)."""

@@ -120,6 +120,11 @@ def _control_bounds(p, dtype):
     return lb, -lb
 
 
+def _yaw_rate(v, delta, p):
+    """Heading rate of the commanded kinematics: psi_dot = v * delta / lf."""
+    return v * delta / p.lf
+
+
 aug_step, aug_step_jacobians = make_aug(step, step_jacobians)
 
 MODEL = register_model(Model(
@@ -130,4 +135,8 @@ MODEL = register_model(Model(
     aug_step_jacobians=aug_step_jacobians,
     control_bounds=_control_bounds,
     control_names=("delta", "accel"),
+    yaw_rate=_yaw_rate,
+    # Ackermann steering cannot rotate in place: the planner skips the
+    # RotateBeforeTracking / StopAndRotate behaviors for this family
+    can_rotate_in_place=False,
 ))

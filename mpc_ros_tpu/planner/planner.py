@@ -69,6 +69,13 @@ class MPCPlanner:
         FSM in ReachedAndIdle and builds the tracking controller."""
         self.state = DrivingState.REACHED_AND_IDLE
         self.tracker = self._make_tracker()
+        # Ackermann-style families cannot rotate in place: skip the
+        # reference's rotate behaviors (Tracking absorbs heading errors)
+        # and relax goal completion to position + stopped (see
+        # models.base.Model.can_rotate_in_place)
+        from ..models.base import get_model
+
+        self._can_rotate = get_model(self.solver_cfg.model).can_rotate_in_place
         self.global_plan: Optional[np.ndarray] = None
         self.latch_xy = False
         self.latch_yaw = False
@@ -144,7 +151,7 @@ class MPCPlanner:
         self.tracker.reset()
 
         cut = plan_utils.cutoff_plan(plan, np.asarray(pose[:2]))
-        below = self._below_heading_error(pose, cut)
+        below = (not self._can_rotate) or self._below_heading_error(pose, cut)
         self.state = seed_state(
             position_reached=self._is_position_reached(pose),
             below_heading_error=below,
@@ -181,7 +188,11 @@ class MPCPlanner:
         if goal is None:
             return False
         angle = normalize_angle(pose[2] - goal[2])
-        if abs(angle) <= self.planner_cfg.limits.yaw_goal_tolerance:
+        # a family that cannot rotate in place cannot service the yaw
+        # tolerance once at the goal position: completion = position +
+        # stopped (documented deviation for Ackermann vehicles)
+        if not self._can_rotate or (
+                abs(angle) <= self.planner_cfg.limits.yaw_goal_tolerance):
             v, w = feedback_vel
             if (abs(v) <= self.planner_cfg.limits.trans_stopped_vel
                     and abs(w) <= self.planner_cfg.limits.theta_stopped_vel):
@@ -246,7 +257,8 @@ class MPCPlanner:
         if position_reached:
             goal_reached = self._is_orientation_reached(pose, feedback_vel)
         else:
-            below = self._below_heading_error(pose, cut)
+            below = ((not self._can_rotate)
+                     or self._below_heading_error(pose, cut))
         self.state = check_transition(
             self.state, position_reached=position_reached,
             goal_reached=goal_reached, below_heading_error=below)
@@ -258,8 +270,11 @@ class MPCPlanner:
         if self.state is DrivingState.REACHED_AND_IDLE:
             cmd = (0.0, 0.0)
         elif self.state is DrivingState.STOP_AND_ROTATE:
-            cmd = rotate_command(pose[2], float(self.goal[2]),
-                                 self.planner_cfg.rotate_p_gain)
+            # a non-rotating family just stops here; the stopped check then
+            # completes the goal (position + stopped)
+            cmd = (rotate_command(pose[2], float(self.goal[2]),
+                                  self.planner_cfg.rotate_p_gain)
+                   if self._can_rotate else (0.0, 0.0))
         elif self.state is DrivingState.ROTATE_BEFORE_TRACKING:
             cmd = rotate_command(pose[2], plan_utils.path_heading(cut),
                                  self.planner_cfg.rotate_p_gain)

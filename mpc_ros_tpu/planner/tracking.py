@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MPCParams, PlannerConfig, SolverConfig
+from ..models.base import get_model
 from ..solver import ilqr
 from ..solver.types import SolveResult
 from .plan_utils import lookahead_heading
@@ -84,6 +85,10 @@ class TrackingController:
         self.solver_cfg = solver_cfg
         self.planner_cfg = planner_cfg
         self.dtype = dtype
+        # the vehicle family: its yaw_rate maps (v, first control) to the
+        # heading rate for the delay-mode prediction (omega for diff-drive,
+        # v*delta/lf for the bicycle)
+        self.model = get_model(solver_cfg.model)
         self.w = 0.0
         self.speed = 0.0
         self.throttle = 1.0
@@ -193,7 +198,9 @@ class TrackingController:
             sign = self.solver_cfg.cte_vsin_sign
             px_act = v * dt
             py_act = 0.0
-            theta_act = self.w * dt
+            # self.w holds the previous first control (omega / delta); the
+            # model maps it to a heading rate for the one-step prediction
+            theta_act = float(self.model.yaw_rate(v, self.w, self.params)) * dt
             v_act = v + self.throttle * dt
             cte_act = cte + sign * v * np.sin(etheta) * dt
             etheta_act = etheta - sign * theta_act

@@ -1,5 +1,6 @@
 from .shapes import infinity, epitrochoid, square, get_shape, SHAPES
-from .simulator import UnicyclePlant, run_closed_loop, ClosedLoopResult
+from .simulator import (BicyclePlant, ClosedLoopResult, UnicyclePlant,
+                        make_plant, run_closed_loop)
 from .logger import write_tracking_csv, read_tracking_csv
 
 __all__ = [
@@ -9,6 +10,8 @@ __all__ = [
     "get_shape",
     "SHAPES",
     "UnicyclePlant",
+    "BicyclePlant",
+    "make_plant",
     "run_closed_loop",
     "ClosedLoopResult",
     "write_tracking_csv",

@@ -29,6 +29,10 @@ def main() -> None:
                     help="YAML config file (canonical nested schema or the "
                          "reference's flat mpc_params.yaml keys — see "
                          "config_io.py); flags below override it")
+    ap.add_argument("--model", choices=["diff_drive", "bicycle"],
+                    default=None,
+                    help="vehicle family (mpc controller only): bicycle "
+                         "commands (v, delta) against the Ackermann plant")
     ap.add_argument("--n-steps", type=int, default=None,
                     help="MPC horizon N (default 20)")
     ap.add_argument("--dt", type=float, default=None)
@@ -72,6 +76,13 @@ def main() -> None:
                       w_angvel_d=10.0, w_accel_d=10.0)
         scfg = SolverConfig(n_steps=20)
         pcfg = PlannerConfig(local_plan_length=2.5)
+        if args.model == "bicycle":
+            # the built-in courses reach curvature ~1.6-2.4 1/m; the
+            # Ackermann family needs the steering authority to match
+            # (kappa_max = max_steer/lf = 2.4 here), and enough of it at
+            # low speed (yaw rate is v/lf*delta) to clear the initial
+            # heading transient without stalling
+            p = p.replace(lf=0.25, max_steer=0.6)
     # explicit flags override whichever source supplied the base config
     import dataclasses as _dc
 
@@ -83,6 +94,8 @@ def main() -> None:
         p = p.replace(w_cte=args.w_cte)
     if args.n_steps is not None:
         scfg = _dc.replace(scfg, n_steps=args.n_steps)
+    if args.model is not None:
+        scfg = _dc.replace(scfg, model=args.model)
     if args.controller == "mpc":
         planner = MPCPlanner(params=p, solver_cfg=scfg, planner_cfg=pcfg)
     elif args.controller == "pure_pursuit":

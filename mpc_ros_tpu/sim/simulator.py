@@ -1,9 +1,12 @@
 """Kinematic closed-loop simulator — the Gazebo replacement.
 
 "The kinematic model IS the simulator" (SURVEY.md §4): the plant rolls the
-same differential-drive unicycle the solver optimizes, so closed-loop tests
-isolate controller behavior from modeling error. Commands are (v, w) exactly
-as the reference's `cmd_vel` twist.
+same kinematics the solver optimizes, so closed-loop tests isolate
+controller behavior from modeling error. For the diff-drive family commands
+are (v, w) exactly as the reference's `cmd_vel` twist; for the bicycle
+(Ackermann) family they are (v, delta) and the plant integrates
+psi' = v/lf * delta (models/bicycle.py). `run_closed_loop` picks the plant
+matching the planner's `SolverConfig.model`.
 """
 
 from __future__ import annotations
@@ -40,6 +43,43 @@ class UnicyclePlant:
     @property
     def feedback_vel(self) -> tuple[float, float]:
         return self.v, self.w
+
+
+@dataclasses.dataclass
+class BicyclePlant:
+    """Kinematic bicycle (Ackermann): pose integrates commanded (v, delta)
+    with psi' = v/lf * delta — the same linear-in-delta heading kinematics
+    the bicycle solver family optimizes (models/bicycle.py)."""
+
+    pose: np.ndarray          # (3,) x, y, yaw
+    dt: float = 0.1
+    lf: float = 0.5           # CoG -> front-axle distance [m]
+    v: float = 0.0
+    delta: float = 0.0
+
+    def step(self, v_cmd: float, delta_cmd: float) -> np.ndarray:
+        self.v = float(v_cmd)
+        self.delta = float(delta_cmd)
+        x, y, yaw = self.pose
+        self.pose = np.array([
+            x + self.v * np.cos(yaw) * self.dt,
+            y + self.v * np.sin(yaw) * self.dt,
+            yaw + self.v / self.lf * self.delta * self.dt,
+        ])
+        return self.pose
+
+    @property
+    def feedback_vel(self) -> tuple[float, float]:
+        # (v, yaw_rate) — the second element is the realized heading rate,
+        # what the FSM's stopped check expects
+        return self.v, self.v / self.lf * self.delta
+
+
+def make_plant(model_name: str, pose: np.ndarray, dt: float, params):
+    """Plant matching a solver model family."""
+    if model_name == "bicycle":
+        return BicyclePlant(pose=pose, dt=dt, lf=float(params.lf))
+    return UnicyclePlant(pose=pose, dt=dt)
 
 
 @dataclasses.dataclass
@@ -81,7 +121,8 @@ def run_closed_loop(planner: MPCPlanner, plan: np.ndarray,
     dt = float(planner.params.dt)
     if start_pose is None:
         start_pose = plan[0].copy()
-    plant = UnicyclePlant(pose=np.asarray(start_pose, float), dt=dt)
+    plant = make_plant(planner.solver_cfg.model,
+                       np.asarray(start_pose, float), dt, planner.params)
 
     rate = None
     if realtime:

@@ -213,3 +213,94 @@ def test_receding_horizon_serving_bicycle():
     cte1 = jnp.mean(jnp.abs(tr.zs[1, :, 4]))
     cteN = jnp.mean(jnp.abs(tr.zs[-1, :, 4]))
     assert float(cteN) < float(cte1)
+
+
+# ---------------------------------------------------------------------------
+# Closed loop: the Ackermann family through the full planner + simulator
+# ---------------------------------------------------------------------------
+
+
+def test_bicycle_planner_skips_rotate_states():
+    """An Ackermann vehicle cannot rotate in place: a plan requiring a big
+    heading correction must seed TRACKING (never RotateBeforeTracking), and
+    goal completion must relax to position + stopped."""
+    from mpc_ros_tpu.config import PlannerConfig
+    from mpc_ros_tpu.planner import MPCPlanner
+    from mpc_ros_tpu.planner.fsm import DrivingState
+
+    p = _params(lf=0.25, max_steer=0.6).astype(jnp.float32)
+    planner = MPCPlanner(params=p,
+                         solver_cfg=SolverConfig(n_steps=10, model="bicycle"),
+                         planner_cfg=PlannerConfig())
+    planner.initialize()
+    assert planner._can_rotate is False
+    # path heads +y; the robot faces -x: heading error ~ 3/4 pi
+    plan = np.stack([np.zeros(30), np.linspace(0, 3, 30),
+                     np.full(30, np.pi / 2)], 1)
+    pose = np.array([0.05, 0.0, np.pi])
+    assert planner.set_plan(plan, pose)
+    assert planner.state is DrivingState.TRACKING
+
+    # at the goal position with the WRONG yaw but stopped: goal completes
+    # (position + stopped; the yaw tolerance is unreachable in place)
+    goal_pose = np.array([plan[-1, 0], plan[-1, 1], 0.0])
+    planner.set_new_goal = False
+    assert planner._is_position_reached(goal_pose)
+    assert planner._is_orientation_reached(goal_pose, (0.0, 0.0))
+    # ... but not while still moving
+    planner2 = MPCPlanner(params=p,
+                          solver_cfg=SolverConfig(n_steps=10, model="bicycle"),
+                          planner_cfg=PlannerConfig())
+    planner2.initialize()
+    planner2.set_plan(plan, pose)
+    assert not planner2._is_orientation_reached(goal_pose, (0.5, 0.0))
+
+
+def test_bicycle_plant_kinematics():
+    """BicyclePlant integrates the same linear-in-delta heading kinematics
+    the solver family optimizes: psi' = v/lf * delta."""
+    from mpc_ros_tpu.sim import BicyclePlant
+
+    plant = BicyclePlant(pose=np.zeros(3), dt=0.1, lf=0.25)
+    plant.step(1.0, 0.5)
+    # first step: yaw integrates from the PRE-step yaw (ZOH Euler)
+    np.testing.assert_allclose(plant.pose, [0.1, 0.0, 0.2], atol=1e-12)
+    v, w = plant.feedback_vel
+    assert v == 1.0 and abs(w - 2.0) < 1e-12      # v/lf*delta = 1/0.25*0.5
+
+
+def test_bicycle_closed_loop_infinity():
+    """End-to-end: the bicycle family tracks the infinity course through
+    the full planner/simulator stack (commands (v, delta) against the
+    Ackermann plant) within the reference's own diff-drive error envelope
+    (assets/mpc.csv: mean |cte| 0.0501 m)."""
+    from mpc_ros_tpu.config import MPCParams, PlannerConfig
+    from mpc_ros_tpu.planner import MPCPlanner
+    from mpc_ros_tpu.planner.fsm import DrivingState
+    from mpc_ros_tpu.sim import get_shape
+    from mpc_ros_tpu.sim.simulator import BicyclePlant, run_closed_loop
+
+    plan = get_shape("infinity")
+    # steering authority must cover the course curvature (max ~1.6 1/m):
+    # kappa_max = max_steer/lf = 2.4
+    p = MPCParams(max_angvel=1.5, w_cte=300.0, w_angvel_d=10.0,
+                  w_accel_d=10.0, lf=0.25, max_steer=0.6)
+    planner = MPCPlanner(params=p,
+                         solver_cfg=SolverConfig(n_steps=20, model="bicycle"),
+                         planner_cfg=PlannerConfig(local_plan_length=2.5))
+    res = run_closed_loop(planner, plan, max_cycles=1000)
+    assert res.reached, "bicycle never reached the goal"
+    assert res.mean_abs_cte < 0.0501, res.mean_abs_cte
+    d = np.array([np.min(np.hypot(plan[:, 0] - q[0], plan[:, 1] - q[1]))
+                  for q in res.poses])
+    assert float(d.max()) < 0.15, float(d.max())
+    # heading alignment is never delegated to an in-place rotation
+    assert DrivingState.ROTATE_BEFORE_TRACKING not in res.states
+    # STOP_AND_ROTATE degenerates to "stop at the goal" for this family:
+    # any cycle in it must command exactly (0, 0)
+    stop_cycles = [i for i, s in enumerate(res.states)
+                   if s is DrivingState.STOP_AND_ROTATE]
+    for i in stop_cycles:
+        assert tuple(res.records[i, 3:5]) == (0.0, 0.0)
+    # commanded steering respected the box bound
+    assert np.max(np.abs(res.records[:, 4])) <= 0.6 + 1e-9
