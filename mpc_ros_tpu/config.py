@@ -203,4 +203,17 @@ class PlannerConfig:
     #  /root/reference/mpc_ros/src/mpc_planner_ros.cpp:374 — with the
     #  uninitialized-variable bug Q6 fixed here)
     downsample_segments: int = 10
+    # curvature-aware reference-speed scheduling (new; the reference only
+    # decelerates near the goal): cap ref_vel at sqrt(max_lat_accel/kappa)
+    # over the local reference window. Essential for Ackermann vehicles on
+    # sharp courses (at the steering limit, tracking error at corners
+    # shrinks with speed); off by default to preserve reference behavior.
+    curvature_slowdown: bool = False
+    max_lat_accel: float = 1.0   # [m/s^2] lateral-acceleration comfort cap
+    # quirk Q13 fix (default on): wrap the extracted heading error to
+    # [-pi, pi]. The reference's one-sided continuity shim
+    # (/root/reference/mpc_ros/src/driving_state.cpp:214-235) leaves etheta
+    # unwrapped across +-pi, steering the long way around at sharp left
+    # corners; False reproduces the reference formula bit-for-bit.
+    wrap_etheta: bool = True
     debug_info: bool = False

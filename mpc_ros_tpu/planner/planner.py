@@ -112,7 +112,7 @@ class MPCPlanner:
         if self.world_obstacles is not None:
             self.tracker.obstacles = self.world_obstacles.to_frame(pose)
         (v_cmd, w_cmd), tracking_dbg = self.tracker.compute(
-            pose, self.goal, feedback_vel[0], ref_plan)
+            pose, self.goal, feedback_vel[0], ref_plan, raw_plan=cut)
         mpc_traj = None
         if tracking_dbg.solve is not None:
             zs = np.asarray(tracking_dbg.solve.zs)

@@ -132,10 +132,37 @@ class TrackingController:
                                  self.planner_cfg.max_speed))
         return self.ref_vel
 
+    def curvature_speed_limit(self, ref_plan: np.ndarray) -> float:
+        """Curvature-aware speed cap over the local reference window:
+        v <= sqrt(max_lat_accel / kappa_max). New relative to the reference
+        (which only decelerates near the goal) — at a corner the lateral
+        error of any finite-authority vehicle grows with speed, and for
+        Ackermann steering the achievable curvature is hard-limited
+        (kappa <= max_steer/lf), so the scheduler must slow down BEFORE the
+        corner rather than rely on the solver's in-corner recovery."""
+        if len(ref_plan) < 3:
+            return float("inf")
+        d = np.diff(ref_plan[:, :2], axis=0)
+        ds = np.hypot(d[:, 0], d[:, 1])
+        keep = ds > 1e-9
+        if keep.sum() < 2:
+            return float("inf")
+        h = np.arctan2(d[keep, 1], d[keep, 0])
+        dsk = ds[keep]
+        dh = (np.diff(h) + np.pi) % (2.0 * np.pi) - np.pi
+        seg = np.maximum(0.5 * (dsk[1:] + dsk[:-1]), 1e-6)
+        kappa = float(np.max(np.abs(dh) / seg))
+        if kappa <= 1e-9:
+            return float("inf")
+        return float(np.sqrt(self.planner_cfg.max_lat_accel / kappa))
+
     def compute(self, pose: np.ndarray, goal: np.ndarray,
-                feedback_v: float, ref_plan: np.ndarray):
+                feedback_v: float, ref_plan: np.ndarray,
+                raw_plan: Optional[np.ndarray] = None):
         """One Tracking cycle. pose: (x, y, yaw); ref_plan: (M, >=2) world
-        waypoints (downsampled). Returns ((v_cmd, w_cmd), TrackingDebug)."""
+        waypoints (downsampled); `raw_plan`: the pre-downsample local window
+        (curvature scheduling measures it — downsampling smooths corners and
+        understates kappa). Returns ((v_cmd, w_cmd), TrackingDebug)."""
         if len(ref_plan) == 0:
             # reference quirk Q1 applied the stale command anyway; here the
             # failure is explicit: hold the previous command, flag no solve
@@ -149,6 +176,11 @@ class TrackingController:
         dt = float(self.params.dt)
 
         ref_vel_eff = self.scheduled_ref_vel(pose, goal, v)
+        if self.planner_cfg.curvature_slowdown:
+            kplan = ref_plan if raw_plan is None else raw_plan
+            ref_vel_eff = float(np.clip(
+                min(ref_vel_eff, self.curvature_speed_limit(kplan)),
+                self.planner_cfg.min_speed, self.planner_cfg.max_speed))
 
         # per-cycle path fit: native C++ core when available (transform +
         # Householder-QR polyfit + lookahead heading — runtime.cc plan_fit,
@@ -189,6 +221,16 @@ class TrackingController:
             etheta = temp_theta - traj_deg
         else:
             etheta = 0.0
+        # quirk Q13 (fixed by default): the reference's one-sided 0->2pi
+        # continuity shim leaves etheta UNWRAPPED when the heading error
+        # crosses +-pi (e.g. a left corner approached heading ~pi with the
+        # new path direction ~ -pi/2 gives etheta = +4.71 instead of
+        # -1.57), so the solver turns the WRONG way — measured as a 270°
+        # loop at the square course's top-left corner for both families
+        # (0.45-0.84 m excursion). Wrapping to [-pi, pi] commands the short
+        # way around; `wrap_etheta=False` reproduces the reference formula.
+        if self.planner_cfg.wrap_etheta:
+            etheta = float((etheta + np.pi) % (2.0 * np.pi) - np.pi)
 
         # delay-mode one-step prediction (driving_state.cpp:243-253). Under
         # the consistent convention (quirk Q11, cte_vsin_sign=-1) the cte and

@@ -171,3 +171,92 @@ def test_hot_reconfigure_changes_behavior_without_error():
         np.array([0.1, 0.5, 0.0]), (v1, w1))
     assert ok1 and ok2
     assert v2 <= 0.2 + 1e-9  # new ref speed caps the command
+
+
+# -- quirk Q13: etheta wrap + curvature-aware speed scheduling ---------------
+
+def _corner_tracker(wrap: bool):
+    from mpc_ros_tpu.planner.tracking import TrackingController
+    import jax.numpy as jnp
+
+    return TrackingController(
+        MPCParams(w_cte=300.0), SolverConfig(n_steps=10),
+        PlannerConfig(delay_mode=False, wrap_etheta=wrap),
+        dtype=jnp.float32)
+
+
+def test_wrap_etheta_steers_the_short_way_at_a_left_corner():
+    """Quirk Q13: robot heading ~pi approaches a corner whose outgoing
+    direction is -pi/2 (a LEFT turn, short way +pi/2). The reference's
+    unwrapped etheta (+4.71) steers right, the long way; the wrapped
+    extraction commands a positive (left) first control."""
+    # the robot sits AT the corner heading ~pi; the local window is the
+    # outbound leg heading -pi/2 (exactly the square's top-left corner
+    # where the sim measured the wrong-way loop)
+    # (slight x-slope: the reference's `gx && gy` validity guard rejects
+    # exactly axis-aligned windows)
+    ref = np.stack([np.linspace(0.0, -0.02, 12),
+                    np.linspace(-0.05, -0.8, 12)], 1)
+    pose = np.array([0.0, 0.02, 3.0])
+    goal = np.array([0.0, -0.8, -np.pi / 2])
+
+    out = {}
+    for wrap in (True, False):
+        trk = _corner_tracker(wrap)
+        (v, w0), dbg = trk.compute(pose, goal, 0.3, ref)
+        out[wrap] = (w0, float(dbg.state[5]))
+    w_wrapped, eth_wrapped = out[True]
+    w_ref, eth_ref = out[False]
+    assert abs(eth_wrapped) <= np.pi + 1e-9
+    assert eth_ref > np.pi            # the reference's unwrapped value
+    assert abs(eth_wrapped - ((eth_ref + np.pi) % (2 * np.pi) - np.pi)) < 1e-9
+    # wrapped: turn left (positive); reference formula: turn right
+    assert w_wrapped > 0.0 and w_ref < 0.0
+
+
+def test_curvature_slowdown_caps_ref_vel():
+    """curvature_slowdown caps the scheduled reference speed at
+    sqrt(max_lat_accel/kappa) on curved windows and leaves straight
+    windows at ref_vel."""
+    from mpc_ros_tpu.planner.tracking import TrackingController
+    import jax.numpy as jnp
+
+    cfg = PlannerConfig(delay_mode=False, curvature_slowdown=True,
+                        max_lat_accel=0.2)
+    trk = TrackingController(MPCParams(ref_vel=0.5), SolverConfig(n_steps=10),
+                             cfg, dtype=jnp.float32)
+    # straight window: no cap
+    straight = np.stack([np.linspace(0.1, 2.0, 20), np.zeros(20)], 1)
+    assert trk.curvature_speed_limit(straight) == float("inf")
+    # quarter circle of radius 0.5 -> kappa = 2 -> cap sqrt(0.2/2) = 0.316
+    t = np.linspace(0, np.pi / 2, 30)
+    arc = np.stack([0.5 * np.sin(t), 0.5 * (1 - np.cos(t))], 1)
+    lim = trk.curvature_speed_limit(arc)
+    assert abs(lim - np.sqrt(0.2 / 2.0)) < 0.02, lim
+    # through compute(): the commanded speed ramps toward the cap, not 0.5
+    pose = np.array([0.0, 0.0, 0.0])
+    goal = np.array([0.5, 0.5, np.pi / 2])
+    for _ in range(40):
+        (v, w0), dbg = trk.compute(pose, goal, lim, arc)
+    assert dbg.ref_vel <= lim + 1e-9
+    assert v <= lim + 1e-9
+
+
+def test_square_course_no_wrong_way_loop():
+    """Closed loop on the square course: with the Q13 wrap the peak
+    geometric excursion stays bounded (the unwrapped reference formula
+    loops 270 degrees at the top-left corner: 0.45 m diff-drive / 0.84 m
+    bicycle measured)."""
+    from mpc_ros_tpu.sim import get_shape
+    from mpc_ros_tpu.sim.simulator import run_closed_loop
+
+    plan = get_shape("square")
+    p = MPCParams(max_angvel=1.5, w_cte=300.0, w_angvel_d=10.0,
+                  w_accel_d=10.0)
+    planner = MPCPlanner(params=p, solver_cfg=SolverConfig(n_steps=20),
+                         planner_cfg=PlannerConfig(local_plan_length=2.5))
+    res = run_closed_loop(planner, plan, max_cycles=1000)
+    assert res.reached
+    d = np.array([np.min(np.hypot(plan[:, 0] - q[0], plan[:, 1] - q[1]))
+                  for q in res.poses])
+    assert float(d.max()) < 0.3, float(d.max())
