@@ -6,6 +6,7 @@ from .baselines import (DWAConfig, DWAPlanner, PurePursuitConfig,
 from .safety import SafetyMonitor, SafetyConfig, SafetyStatus
 from .recovery import (RecoveryConfig, RecoveryState, RecoveryStats,
                        RecoverySupervisor)
+from .fleet import FleetCycleInfo, FleetPlanner
 from . import plan_utils
 
 __all__ = [
@@ -24,6 +25,8 @@ __all__ = [
     "RecoveryConfig",
     "RecoveryState",
     "RecoveryStats",
+    "FleetPlanner",
+    "FleetCycleInfo",
     "plan_utils",
     "PurePursuitPlanner",
     "PurePursuitConfig",

@@ -1,0 +1,178 @@
+"""FleetPlanner: B-robot lifecycle with one batched solve per cycle.
+
+Pins: multi-course fleet convergence, per-robot equivalence with the
+single-robot MPCPlanner (same pose stream -> same commands), goal latching,
+world-frame per-robot obstacles, and the bicycle family at fleet scale.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mpc_ros_tpu.config import MPCParams, PlannerConfig, SolverConfig
+from mpc_ros_tpu.planner import FleetPlanner, MPCPlanner
+from mpc_ros_tpu.sim import get_shape
+
+P = MPCParams(max_angvel=1.5, w_cte=300.0, w_angvel_d=10.0, w_accel_d=10.0)
+SCFG = SolverConfig(n_steps=20)
+PCFG = PlannerConfig(local_plan_length=2.5)
+
+
+def _roll_fleet(fp, plans, max_cycles=1200, model="diff_drive"):
+    B = len(plans)
+    poses = np.stack([pl[0] for pl in plans])
+    assert fp.set_plans(plans, poses).all()
+    vw = np.zeros((B, 2))
+    dt = float(np.max(np.asarray(fp.params.dt)))
+    lf = float(np.max(np.asarray(fp.params.lf)))
+    done = np.zeros(B, bool)
+    for _ in range(max_cycles):
+        done |= fp.is_goal_reached(poses, vw)
+        if done.all():
+            break
+        ok, cmds, info = fp.compute_velocity_commands(poses, vw)
+        act = ok & ~done
+        v, u0 = cmds[:, 0], cmds[:, 1]
+        w = u0 if model == "diff_drive" else v / lf * u0
+        poses[act, 0] += v[act] * np.cos(poses[act, 2]) * dt
+        poses[act, 1] += v[act] * np.sin(poses[act, 2]) * dt
+        poses[act, 2] += w[act] * dt
+        vw[act, 0] = v[act]
+        vw[act, 1] = w[act]
+        vw[~act] = 0.0
+    return done, poses
+
+
+def test_fleet_mixed_courses_reach():
+    """6 robots on 3 different (disjointly offset) courses all reach their
+    goals through ONE batched solve per cycle."""
+    shapes = ["infinity", "epitrochoid", "square"]
+    plans = []
+    for i in range(6):
+        plan = get_shape(shapes[i % 3]).copy()
+        plan[:, :2] += 10.0 * i
+        plans.append(plan)
+    fp = FleetPlanner(params=P, solver_cfg=SCFG, planner_cfg=PCFG)
+    fp.initialize(6)
+    done, poses = _roll_fleet(fp, plans)
+    assert done.all(), done
+    for i, plan in enumerate(plans):
+        g = plan[-1]
+        assert np.hypot(poses[i, 0] - g[0], poses[i, 1] - g[1]) \
+            <= PCFG.limits.xy_goal_tolerance + 1e-9
+
+
+def test_fleet_matches_single_planner_commands():
+    """Robot-by-robot equivalence: feeding the fleet the single planner's
+    pose stream reproduces its commands (same cutoff/downsample/fit/FSM
+    semantics; the fit is the same LSQ problem solved batched)."""
+    plan = get_shape("infinity")
+    single = MPCPlanner(params=P, solver_cfg=SCFG, planner_cfg=PCFG,
+                        dtype=jnp.float32)
+    single.initialize()
+    fp = FleetPlanner(params=P, solver_cfg=SCFG, planner_cfg=PCFG)
+    fp.initialize(2)
+    off = np.array([50.0, 50.0, 0.0])
+    pose = plan[0].copy()
+    poses = np.stack([pose, pose + off])
+    plan2 = plan.copy()
+    plan2[:, :2] += 50.0
+    assert single.set_plan(plan, pose)
+    assert fp.set_plans([plan, plan2], poses).all()
+
+    vw = np.zeros(2)
+    dt = float(P.dt)
+    for cyc in range(60):
+        ok1, (v1, w1), _ = single.compute_velocity_commands(pose, tuple(vw))
+        okf, cmds, _ = fp.compute_velocity_commands(
+            np.stack([pose, pose + off]), np.stack([vw, vw]))
+        assert ok1 and okf.all()
+        assert abs(cmds[0, 0] - v1) < 5e-3, (cyc, cmds[0], (v1, w1))
+        assert abs(cmds[0, 1] - w1) < 5e-3, (cyc, cmds[0], (v1, w1))
+        # the offset twin is the same problem translated: same commands
+        np.testing.assert_allclose(cmds[1], cmds[0], atol=5e-3)
+        # advance the plant with the SINGLE planner's commands (the shared
+        # pose stream keeps the two pipelines comparable cycle-by-cycle)
+        pose = pose + np.array([v1 * np.cos(pose[2]) * dt,
+                                v1 * np.sin(pose[2]) * dt, w1 * dt])
+        vw = np.array([v1, w1])
+
+
+def test_fleet_goal_latching_and_idle_commands():
+    """A robot at its goal goes idle with zero commands while the rest of
+    the fleet keeps tracking; is_goal_reached consumes the latch pair once
+    (the reference's force-one-more-cycle behavior)."""
+    plan_long = np.stack([np.linspace(0, 5, 50), np.zeros(50),
+                          np.zeros(50)], 1)
+    plan_done = np.stack([np.linspace(0, 0.3, 5), np.zeros(5),
+                          np.zeros(5)], 1)
+    fp = FleetPlanner(params=P, solver_cfg=SCFG, planner_cfg=PCFG)
+    fp.initialize(2)
+    poses = np.array([[0.0, 0.05, 0.0], [0.29, 0.0, 0.0]])
+    assert fp.set_plans([plan_long, plan_done], poses).all()
+    fb = np.zeros((2, 2))
+    done = fp.is_goal_reached(poses, fb)
+    # latch pair: first query that satisfies both returns False once...
+    d2 = fp.is_goal_reached(poses, fb)
+    assert not done[0] and not d2[0]
+    assert done[1] or d2[1]
+    ok, cmds, info = fp.compute_velocity_commands(poses, fb)
+    assert ok.all()
+    assert tuple(cmds[1]) == (0.0, 0.0)      # idle robot: explicit zeros
+    assert abs(cmds[0, 0]) > 0.0             # tracking robot: moving
+
+
+def test_fleet_with_world_obstacles():
+    """World-frame per-robot Gaussian obstacles flow through the batched
+    frame transform into the solve: the robot with a blob on its path keeps
+    clearance, the twin (blob far away) drives straight through the site —
+    the same setup as test_obstacle_planner.py, per-robot in one batch."""
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+    n = 100
+    plan = np.stack([np.linspace(0, 6, n), np.zeros(n), np.zeros(n)], 1)
+    # the default weights of the single-robot swerve test (w_cte=300 makes
+    # avoidance costlier than stopping)
+    p = MPCParams(dt=0.1, ref_vel=0.5, max_angvel=1.5,
+                  w_angvel_d=10.0, w_accel_d=10.0)
+    fp = FleetPlanner(params=p, solver_cfg=SCFG, planner_cfg=PCFG)
+    fp.initialize(2)
+    blobs = GaussianObstacles.from_sigmas(
+        jnp.asarray([[3.0], [50.0]]), jnp.asarray([[0.05], [50.0]]),
+        jnp.asarray([[0.3], [0.3]]), jnp.asarray([[50.0], [50.0]]))
+    fp.set_obstacles(blobs)
+    poses = np.stack([plan[0], plan[0]])
+    assert fp.set_plans([plan, plan.copy()], poses).all()
+    vw = np.zeros((2, 2))
+    dt = 0.1
+    mind = np.full(2, np.inf)
+    for _ in range(900):
+        ok, cmds, _ = fp.compute_velocity_commands(poses, vw)
+        v, w = cmds[:, 0], cmds[:, 1]
+        poses[:, 0] += v * np.cos(poses[:, 2]) * dt
+        poses[:, 1] += v * np.sin(poses[:, 2]) * dt
+        poses[:, 2] += w * dt
+        vw = cmds.copy()
+        mind = np.minimum(mind, np.hypot(poses[:, 0] - 3.0,
+                                         poses[:, 1] - 0.05))
+        if (poses[:, 0] > 5.0).all():
+            break
+    assert (poses[:, 0] > 5.0).all(), poses
+    assert mind[0] > 0.2, mind       # keeps clearance from its blob
+    assert mind[1] < 0.12, mind      # twin drives straight through
+
+
+def test_fleet_bicycle_family():
+    """The Ackermann family at fleet scale: (v, delta) commands against
+    bicycle plants; both robots complete the infinity course."""
+    plan = get_shape("infinity")
+    plans = [plan, plan.copy()]
+    plans[1][:, :2] += 20.0
+    p = MPCParams(max_angvel=1.5, w_cte=300.0, w_angvel_d=10.0,
+                  w_accel_d=10.0, lf=0.25, max_steer=0.6)
+    fp = FleetPlanner(params=p,
+                      solver_cfg=SolverConfig(n_steps=20, model="bicycle"),
+                      planner_cfg=PCFG)
+    fp.initialize(2)
+    done, poses = _roll_fleet(fp, plans, max_cycles=1200, model="bicycle")
+    assert done.all(), done
