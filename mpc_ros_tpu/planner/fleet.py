@@ -18,11 +18,14 @@ float64; FSM transitions, latched tolerances, quirk fixes (Q12, Q13) and
 the deceleration/curvature schedulers apply per lane. Reference parity
 pointers are in the single-robot modules (planner.py, tracking.py).
 
-Measured (v5e via the axon tunnel, B=128 robots, N=20): 131 ms/cycle p50 —
-dominated by the per-robot host plan bookkeeping and the per-cycle device
-round-trip, NOT the solve (the megakernel solves 131k scenarios in 19 ms).
-This layer is the real-robot serving surface (plans arrive from the world);
-for synthetic/device-resident references use `engine.receding`, which keeps
+Measured (v5e via the axon tunnel, N=20): 45 ms/cycle p50 at B=128 and
+152 ms at B=1024 (~6.7k robot-cycles/s) — dominated by the per-robot host
+plan bookkeeping and ONE device round-trip, not the solve (the megakernel
+solves 131k scenarios in 19 ms). Host reads of device-resident params are
+served from a numpy twin (`_np_params`) — each stray read would cost a
+~27 ms tunnel RTT (the first cut of this file paid ~3x for that). This
+layer is the real-robot serving surface (plans arrive from the world); for
+synthetic/device-resident references use `engine.receding`, which keeps
 the whole closed loop on-chip at ~8.5M control cycles/s.
 """
 
@@ -95,6 +98,23 @@ class FleetPlanner:
         self.model = get_model(solver_cfg.model)
         self._initialized = False
         self.world_obstacles = None
+        self._refresh_host_params()
+
+    def _refresh_host_params(self) -> None:
+        # host-side numpy twin of the (device-resident) params: every
+        # per-cycle host read of a device leaf would otherwise cost a
+        # device fetch — ~27 ms tunnel RTT each on the axon TPU, which
+        # dominated the fleet cycle time before this cache
+        import dataclasses as _dc
+
+        self._np_params = MPCParams(**{
+            f.name: np.asarray(getattr(self.params, f.name), float)
+            for f in _dc.fields(MPCParams)})
+
+    def reconfigure(self, params: MPCParams) -> None:
+        """Hot-reload numeric parameters (traced: no recompilation)."""
+        self.params = params.astype(self.dtype)
+        self._refresh_host_params()
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -287,11 +307,16 @@ class FleetPlanner:
         # sees a data-dependent batch size)
         res = self._solve_fleet(idx, z0s, coeffs, refv, poses)
 
-        us = np.asarray(res.us, float)            # (B, T, 2)
+        # ONE device->host transfer for everything the host needs
+        import jax
+
+        us, cost_d, conv_d, iters_d = jax.device_get(
+            (res.us, res.cost, res.converged, res.n_iters))
+        us = np.asarray(us, float)                # (B, T, 2)
         self._warm = us
         self._has_warm[:] = False
         self._has_warm[idx] = True
-        dt = float(self.params.dt)
+        dt = self._np_params.dt
         u0 = us[idx, 0, :]
         self.w[idx] = u0[:, 0]
         self.throttle[idx] = u0[:, 1]
@@ -300,7 +325,8 @@ class FleetPlanner:
         cmds[idx, 0] = self.speed[idx]
         cmds[idx, 1] = self.w[idx]
 
-        info = self._info(cmds, cte_out, eth_out, refv_out, res, track)
+        info = self._info(cmds, cte_out, eth_out, refv_out,
+                          (cost_d, conv_d, iters_d), track)
         return ok, cmds, info
 
     # -- internals -------------------------------------------------------------
@@ -362,9 +388,9 @@ class FleetPlanner:
         dist = np.hypot(poses[idx, 0] - goals[:, 0],
                         poses[idx, 1] - goals[:, 1])
         v = feedback[idx, 0]
-        max_thr = float(np.max(np.asarray(self.params.max_throttle)))
-        ref_vel = np.broadcast_to(
-            np.asarray(self.params.ref_vel, float), (n,)).copy()
+        max_thr = float(np.max(self._np_params.max_throttle))
+        rv = self._np_params.ref_vel
+        ref_vel = np.broadcast_to(rv[idx] if rv.ndim else rv, (n,)).copy()
         brake = dist <= v * v / max_thr
         ref_vel[brake] = np.clip(max_thr * dist[brake], cfg.min_speed,
                                  cfg.max_speed)
@@ -375,11 +401,16 @@ class FleetPlanner:
                                      cfg.max_speed)
 
         # delay-mode one-step prediction (tracking.py:compute)
-        dt = float(self.params.dt)
+        dt = float(np.max(self._np_params.dt))
         if cfg.delay_mode:
+            import types
+
             sign = self.solver_cfg.cte_vsin_sign
+            lfv = self._np_params.lf
+            hp = types.SimpleNamespace(
+                lf=lfv[idx] if lfv.ndim else lfv)   # per-robot wheelbases
             yaw_rate = np.asarray(
-                self.model.yaw_rate(v, self.w[idx], self.params), float)
+                self.model.yaw_rate(v, self.w[idx], hp), float)
             theta_act = yaw_rate * dt
             z0s = np.stack([
                 v * dt,
@@ -421,15 +452,17 @@ class FleetPlanner:
             p, self.solver_cfg, u_init=jnp.asarray(warm, self.dtype),
             blobs=blobs)
 
-    def _info(self, cmds, cte, eth, refv, res, track):
+    def _info(self, cmds, cte, eth, refv, fetched, track):
+        """`fetched`: host-side (cost, converged, n_iters) arrays or None."""
         B = self.B
         nan = np.full(B, np.nan)
         false = np.zeros(B, bool)
         zero = np.zeros(B, np.int32)
-        if res is not None:
-            cost = np.where(track, np.asarray(res.cost, float), np.nan)
-            conv = np.asarray(res.converged, bool) & track
-            iters = np.where(track, np.asarray(res.n_iters, np.int32), 0)
+        if fetched is not None:
+            cost_d, conv_d, iters_d = fetched
+            cost = np.where(track, np.asarray(cost_d, float), np.nan)
+            conv = np.asarray(conv_d, bool) & track
+            iters = np.where(track, np.asarray(iters_d, np.int32), 0)
         else:
             cost, conv, iters = nan, false, zero
         return FleetCycleInfo(states=self.states.copy(), cmds=cmds.copy(),

@@ -31,14 +31,11 @@ def cutoff_plan(plan: np.ndarray, robot_xy: np.ndarray) -> np.ndarray:
     if len(plan) == 0:
         return plan
     d2 = np.sum((plan[:, :2] - robot_xy[None, :2]) ** 2, axis=1)
-    # index of the nearest waypoint along the still-decreasing prefix
-    k = 0
-    max_d2 = np.inf
-    for i in range(len(plan)):
-        if max_d2 < d2[i]:
-            break
-        max_d2 = d2[i]
-        k = i
+    # index of the nearest waypoint along the still-decreasing prefix:
+    # the first distance increase ends the walk (vectorized form of the
+    # reference's loop — semantics pinned by tests)
+    inc = d2[1:] > d2[:-1]
+    k = int(np.argmax(inc)) if inc.any() else len(plan) - 1
     return plan[k:].copy()
 
 
