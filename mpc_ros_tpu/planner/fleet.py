@@ -6,27 +6,36 @@ reference's architecture would run one move_base process per robot. Here a
 `FleetPlanner` owns B robots' plans, goal latches and FSM states, runs the
 whole per-cycle path pipeline (cutoff, window, downsample, robot-frame
 transform, polynomial fit, error-state extraction, speed scheduling,
-delay-mode prediction) vectorized on the host, and dispatches ONE batched,
-warm-started `batch_solve_lane` program per cycle — the megakernel serves
-every tracking robot in a single launch (see `bench.py --serving` for the
-synthetic-reference upper bound: ~8.5M control cycles/s/chip).
+delay-mode prediction) VECTORIZED on the host over padded plan buffers, and
+dispatches ONE batched, warm-started `batch_solve_lane` program per cycle —
+the megakernel serves every tracking robot in a single launch (see
+`bench.py --serving` for the synthetic-reference upper bound: ~8.5M control
+cycles/s/chip).
 
-Semantics match `MPCPlanner` robot-by-robot (asserted in tests): the same
-cutoff/downsample helpers run per robot; the polynomial fit is the same
-least-squares problem solved batched (padded, zero-weighted columns) in
-float64; FSM transitions, latched tolerances, quirk fixes (Q12, Q13) and
-the deceleration/curvature schedulers apply per lane. Reference parity
-pointers are in the single-robot modules (planner.py, tracking.py).
+Semantics match `MPCPlanner` robot-by-robot (asserted in tests): the
+cutoff walk, window clipping, downsampling rule, 30%-lookahead heading
+heuristic, FSM transitions, latched tolerances, quirk fixes (Q12, Q13) and
+the deceleration/curvature schedulers are vectorized transcriptions of the
+scalar pipeline (plan_utils.py / tracking.py / planner.py, which carry the
+reference parity pointers); the polynomial fit is the same least-squares
+problem solved batched (padded, zero-weighted columns) in float64.
 
-Measured (v5e via the axon tunnel, N=20): 45 ms/cycle p50 at B=128 and
-152 ms at B=1024 (~6.7k robot-cycles/s) — dominated by the per-robot host
-plan bookkeeping and ONE device round-trip, not the solve (the megakernel
-solves 131k scenarios in 19 ms). Host reads of device-resident params are
-served from a numpy twin (`_np_params`) — each stray read would cost a
-~27 ms tunnel RTT (the first cut of this file paid ~3x for that). This
-layer is the real-robot serving surface (plans arrive from the world); for
-synthetic/device-resident references use `engine.receding`, which keeps
-the whole closed loop on-chip at ~8.5M control cycles/s.
+Two host-side performance rules shape this file (both measured on the
+single-tenant axon v5e tunnel):
+  * no per-robot Python loops in the cycle path — plans live in ONE padded
+    (B, M, 3) buffer with per-robot start/length cursors, and every
+    pipeline stage is a masked numpy expression (the loop version cost
+    ~115 ms/cycle at B=1024);
+  * no stray host reads of device-resident values — params are mirrored in
+    a numpy twin (`_np_params`) and the solve results arrive in ONE
+    `jax.device_get` (each stray fetch costs a ~27 ms tunnel RTT).
+
+Measured on v5e (N=20): 33 ms/cycle p50 at B=128, 50 ms at B=1024 (a
+thousand-robot fleet served at 20 Hz from one chip; 20k robot-cycles/s),
+274 ms at B=8192 (~30k robot-cycles/s). This layer is the real-robot
+serving surface (plans arrive from the world); for synthetic /
+device-resident references use `engine.receding`, which keeps the whole
+closed loop on-chip at ~8.5M cycles/s.
 """
 
 from __future__ import annotations
@@ -40,11 +49,12 @@ import jax.numpy as jnp
 
 from ..config import MPCParams, PlannerConfig, SolverConfig
 from ..models.base import get_model
-from . import plan_utils
-from .fsm import DrivingState, check_transition, normalize_angle, seed_state
 
 # integer FSM codes for vectorized bookkeeping
 _TRACK, _ROT_PRE, _ROT_GOAL, _IDLE = range(4)
+
+from .fsm import DrivingState  # noqa: E402  (enum mapping for info records)
+
 _STATE_OF = {
     _TRACK: DrivingState.TRACKING,
     _ROT_PRE: DrivingState.ROTATE_BEFORE_TRACKING,
@@ -52,6 +62,10 @@ _STATE_OF = {
     _IDLE: DrivingState.REACHED_AND_IDLE,
 }
 _CODE_OF = {v: k for k, v in _STATE_OF.items()}
+
+
+def _wrap(a):
+    return (a + np.pi) % (2.0 * np.pi) - np.pi
 
 
 @dataclasses.dataclass
@@ -103,13 +117,10 @@ class FleetPlanner:
     def _refresh_host_params(self) -> None:
         # host-side numpy twin of the (device-resident) params: every
         # per-cycle host read of a device leaf would otherwise cost a
-        # device fetch — ~27 ms tunnel RTT each on the axon TPU, which
-        # dominated the fleet cycle time before this cache
-        import dataclasses as _dc
-
+        # device fetch — ~27 ms tunnel RTT each on the axon TPU
         self._np_params = MPCParams(**{
             f.name: np.asarray(getattr(self.params, f.name), float)
-            for f in _dc.fields(MPCParams)})
+            for f in dataclasses.fields(MPCParams)})
 
     def reconfigure(self, params: MPCParams) -> None:
         """Hot-reload numeric parameters (traced: no recompilation)."""
@@ -122,6 +133,15 @@ class FleetPlanner:
         B = int(n_robots)
         self.B = B
         self.plans: list[Optional[np.ndarray]] = [None] * B
+        # padded plan buffers: xy padded +inf (distance math saturates),
+        # per-robot [start, length) cursors; arclength and per-knot
+        # curvature are static per plan and precomputed once
+        self._buf = np.full((B, 1, 3), np.inf)
+        self._buf[..., 2] = 0.0
+        self._len = np.zeros(B, np.int64)
+        self._start = np.zeros(B, np.int64)
+        self._arc = np.full((B, 1), np.inf)
+        self._kappa = np.zeros((B, 1))
         self.states = np.full(B, _IDLE, np.int64)
         self.latch_xy = np.zeros(B, bool)
         self.latch_yaw = np.zeros(B, bool)
@@ -143,87 +163,195 @@ class FleetPlanner:
     def set_plans(self, plans: Sequence[np.ndarray],
                   poses: np.ndarray) -> np.ndarray:
         """Install per-robot global plans. plans[i]: (M_i, 3) world
-        waypoints; poses (B, 3). Returns (B,) accept flags."""
+        waypoints (x, y, yaw); poses (B, 3). Returns (B,) accept flags.
+        2-column plans get tangent headings synthesized."""
         assert self._initialized
         poses = np.asarray(poses, float)
-        ok = np.zeros(self.B, bool)
+        B = self.B
+        ok = np.zeros(B, bool)
+        norm: list[Optional[np.ndarray]] = list(self.plans)  # carry-over
         for i, plan in enumerate(plans):
+            if plan is None:
+                continue                 # keep this robot's existing plan
             plan = np.asarray(plan, float)
             if plan.ndim != 2 or len(plan) == 0:
                 continue
-            self.plans[i] = plan
+            if plan.shape[1] < 3:
+                yaw = np.zeros(len(plan))
+                if len(plan) >= 2:
+                    d = np.diff(plan[:, :2], axis=0)
+                    yaw[:-1] = np.arctan2(d[:, 1], d[:, 0])
+                    yaw[-1] = yaw[-2]
+                plan = np.concatenate([plan[:, :2], yaw[:, None]], axis=1)
+            norm[i] = plan
             ok[i] = True
-            self.set_new_goal[i] = True
-            self._has_warm[i] = False
-            self.speed[i] = 0.0
-            self.w[i] = 0.0
-            self.throttle[i] = 1.0
-            cut = plan_utils.cutoff_plan(plan, poses[i, :2])
-            below = ((not self.model.can_rotate_in_place)
-                     or self._below_heading_error(poses[i], cut))
-            self.states[i] = _CODE_OF[seed_state(
-                position_reached=self._position_reached_one(i, poses[i]),
-                below_heading_error=below)]
+        M = max((len(p) for p in norm if p is not None), default=1)
+        old_start = self._start.copy()
+        self._buf = np.full((B, M, 3), np.inf)
+        self._buf[..., 2] = 0.0
+        self._len = np.zeros(B, np.int64)
+        self._start = np.zeros(B, np.int64)
+        for i, plan in enumerate(norm):
+            if plan is None:
+                continue
+            self.plans[i] = plan
+            self._buf[i, :len(plan)] = plan
+            self._len[i] = len(plan)
+            if not ok[i]:                # carried plan: keep its cursor
+                self._start[i] = old_start[i]
+        # static per-plan geometry: cumulative arclength and per-knot
+        # curvature |dheading| / mean segment (padding: arc=inf, kappa=0)
+        with np.errstate(invalid="ignore"):
+            d = np.diff(self._buf[:, :, :2], axis=1)   # inf padding -> nan
+            ds = np.hypot(d[:, :, 0], d[:, :, 1])          # (B, M-1)
+        ds = np.where(np.isfinite(ds), ds, np.inf)
+        self._arc = np.concatenate(
+            [np.zeros((B, 1)), np.cumsum(ds, axis=1)], axis=1)
+        with np.errstate(invalid="ignore"):
+            h = np.arctan2(d[:, :, 1], d[:, :, 0])
+            dh = _wrap(np.diff(h, axis=1))
+            seg = np.maximum(0.5 * (ds[:, 1:] + ds[:, :-1]), 1e-6)
+            kap = np.abs(dh) / seg
+        self._kappa = np.where(np.isfinite(kap), kap, 0.0)  # (B, M-2)
+
+        # seeding (reference setPlan): latches re-arm, FSM seeds from
+        # position/heading (seed = transition with goal_reached=False)
+        self.set_new_goal |= ok
+        self._has_warm &= ~ok
+        self.speed[ok] = 0.0
+        self.w[ok] = 0.0
+        self.throttle[ok] = 1.0
+        start = self._cutoff(poses)
+        pos = self._position_reached(poses, ok)
+        below = self._below_heading(poses, start, ok)
+        seeded = np.where(pos, _ROT_GOAL,
+                          np.where(below, _TRACK, _ROT_PRE))
+        self.states = np.where(ok, seeded, self.states)
         return ok
 
-    # -- per-robot scalar helpers (latch semantics match MPCPlanner) ----------
+    # -- vectorized pipeline stages (scalar twins in plan_utils/planner) ------
+
+    def _has_plan(self) -> np.ndarray:
+        return self._len > 0
+
+    def _goals(self) -> np.ndarray:
+        """(B, 3) goal poses (undefined rows where there is no plan)."""
+        last = np.maximum(self._len - 1, 0)
+        return self._buf[np.arange(self.B), last]
 
     def _goal(self, i: int) -> Optional[np.ndarray]:
-        p = self.plans[i]
-        return None if p is None or len(p) == 0 else p[-1]
+        if self._len[i] == 0:
+            return None
+        return self._buf[i, self._len[i] - 1]
 
-    def _position_reached_one(self, i: int, pose: np.ndarray) -> bool:
-        goal = self._goal(i)
-        if goal is None:
-            return False
-        within = (np.hypot(pose[0] - goal[0], pose[1] - goal[1])
+    def _cutoff(self, poses) -> np.ndarray:
+        """Advance per-robot start cursors past the walked-off prefix
+        (vectorized cutoff_plan: first distance increase ends the walk;
+        the nearest waypoint is kept — quirk Q12 fix)."""
+        B, M = self._buf.shape[:2]
+        ar = np.arange(M)[None, :]
+        # +inf xy padding makes padded d2 exactly +inf (no nan possible:
+        # poses are finite)
+        d2 = ((self._buf[:, :, 0] - poses[:, 0:1]) ** 2
+              + (self._buf[:, :, 1] - poses[:, 1:2]) ** 2)
+        d2[ar < self._start[:, None]] = np.inf
+        inc = d2[:, 1:] > d2[:, :-1]
+        has_inc = inc.any(axis=1)
+        k = np.where(has_inc, inc.argmax(axis=1),
+                     np.maximum(self._len - 1, 0))
+        self._start = np.where(self._has_plan(), k, self._start)
+        return self._start
+
+    def _window_end(self, start) -> np.ndarray:
+        """Vectorized truncate_by_length: first knot beyond the lookahead
+        arclength, at least 2 points, clamped to the plan length."""
+        L = self.planner_cfg.local_plan_length
+        arc0 = np.take_along_axis(self._arc, start[:, None], 1)
+        rel = self._arc - arc0                       # padding -> inf
+        cond = rel > L
+        have = cond.any(axis=1)
+        k_rel = np.where(have, cond.argmax(axis=1) - start,
+                         self._len - start)
+        k_rel = np.maximum(k_rel, 2)
+        return np.minimum(start + k_rel, np.maximum(self._len, start + 1))
+
+    def _downsample(self, start, end):
+        """Vectorized downsample_plan on the [start, end) window: sampling
+        stride = path_length / segments / first-segment length; the final
+        waypoint is always included. Returns (offsets (B, S), n_tot (B,))
+        where offsets index into the buffer (clamped; mask with n_tot)."""
+        segs = self.planner_cfg.downsample_segments
+        b = np.arange(self.B)
+        npts = np.maximum(end - start, 1)
+        arc_s = self._arc[b, start]
+        arc_e = self._arc[b, np.maximum(end - 1, 0)]
+        pl = np.maximum(arc_e - arc_s, 0.0)
+        first_seg = self._arc[b, np.minimum(start + 1, self._buf.shape[1] - 1)] - arc_s
+        wd = np.where(first_seg > 0.0, first_seg,
+                      np.maximum(pl / np.maximum(npts - 1, 1), 1e-9))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            samp = np.maximum((pl / segs / wd).astype(np.int64), 1)
+        n_s = -(-npts // samp)
+        need_back = ((npts - 1) % samp) != 0
+        n_tot = n_s + need_back
+        # <=2-point windows pass through unsampled (scalar short-circuit)
+        short = npts <= 2
+        samp = np.where(short, 1, samp)
+        n_tot = np.where(short, npts, n_tot)
+        S = int(n_tot.max())
+        off = np.arange(S)[None, :] * samp[:, None]
+        off = np.minimum(off, (npts - 1)[:, None])
+        return start[:, None] + off, n_tot
+
+    def _position_reached(self, poses, active) -> np.ndarray:
+        """Latched xy tolerance (vector twin of MPCPlanner semantics)."""
+        has = self._has_plan() & active
+        g = self._goals()
+        within = (np.hypot(poses[:, 0] - g[:, 0], poses[:, 1] - g[:, 1])
                   <= self.planner_cfg.limits.xy_goal_tolerance)
-        if not self.set_new_goal[i] and self.latch_xy[i]:
-            return True
-        self.set_new_goal[i] = False
-        self.latch_xy[i] = bool(within)
-        return bool(self.latch_xy[i])
+        shortcut = ~self.set_new_goal & self.latch_xy
+        upd = has & ~shortcut
+        self.set_new_goal[upd] = False
+        self.latch_xy[upd] = within[upd]
+        return has & (shortcut | within)
 
-    def _orientation_reached_one(self, i: int, pose, feedback_vel) -> bool:
-        goal = self._goal(i)
-        if goal is None:
-            return False
-        angle = normalize_angle(pose[2] - goal[2])
+    def _orientation_reached(self, poses, feedback, pos) -> np.ndarray:
+        """Yaw tolerance + stopped check (relaxed to stopped-only for
+        families that cannot rotate in place); latches yaw."""
         lim = self.planner_cfg.limits
-        if (not self.model.can_rotate_in_place) or (
-                abs(angle) <= lim.yaw_goal_tolerance):
-            v, w = feedback_vel
-            if (abs(v) <= lim.trans_stopped_vel
-                    and abs(w) <= lim.theta_stopped_vel):
-                self.latch_yaw[i] = True
-                return True
-        return False
+        g = self._goals()
+        angle = _wrap(poses[:, 2] - g[:, 2])
+        yaw_ok = (np.abs(angle) <= lim.yaw_goal_tolerance
+                  if self.model.can_rotate_in_place
+                  else np.ones(self.B, bool))
+        stopped = ((np.abs(feedback[:, 0]) <= lim.trans_stopped_vel)
+                   & (np.abs(feedback[:, 1]) <= lim.theta_stopped_vel))
+        reached = pos & yaw_ok & stopped
+        self.latch_yaw[reached] = True
+        return reached
 
-    def _below_heading_error(self, pose, cutoff) -> bool:
-        if len(cutoff) == 0:
-            return False
-        err = normalize_angle(pose[2] - plan_utils.path_heading(cutoff))
-        return abs(err) <= self.planner_cfg.heading_yaw_error_threshold
+    def _below_heading(self, poses, start, active) -> np.ndarray:
+        """|yaw - leading window heading| <= threshold (True for families
+        that cannot rotate in place — Tracking absorbs heading errors)."""
+        if not self.model.can_rotate_in_place:
+            return active.copy()
+        head = self._buf[np.arange(self.B), start, 2]
+        err = np.abs(_wrap(poses[:, 2] - head))
+        return active & (err <= self.planner_cfg.heading_yaw_error_threshold)
 
     def is_goal_reached(self, poses: np.ndarray,
                         feedback: np.ndarray) -> np.ndarray:
         """(B,) goal flags with the reference's consume-once latch pair."""
         poses = np.asarray(poses, float)
         feedback = np.asarray(feedback, float)
-        out = np.zeros(self.B, bool)
-        for i in range(self.B):
-            if self._goal(i) is None:
-                continue
-            if self.latch_xy[i] and self.latch_yaw[i]:
-                self.latch_xy[i] = False
-                self.latch_yaw[i] = False
-                continue
-            if (self._position_reached_one(i, poses[i])
-                    and self._orientation_reached_one(i, poses[i],
-                                                      feedback[i])):
-                self.states[i] = _IDLE
-                out[i] = True
-        return out
+        has = self._has_plan()
+        consume = has & self.latch_xy & self.latch_yaw
+        self.latch_xy[consume] = False
+        self.latch_yaw[consume] = False
+        pos = self._position_reached(poses, has & ~consume)
+        reached = self._orientation_reached(poses, feedback, pos)
+        self.states = np.where(reached, _IDLE, self.states)
+        return reached
 
     # -- the hot path ----------------------------------------------------------
 
@@ -236,59 +364,35 @@ class FleetPlanner:
         feedback = np.asarray(feedback, float)
         B = self.B
         cfg = self.planner_cfg
-        ok = np.zeros(B, bool)
         cmds = np.zeros((B, 2))
         cte_out = np.full(B, np.nan)
         eth_out = np.full(B, np.nan)
         refv_out = np.full(B, np.nan)
 
-        # 1. per-robot plan bookkeeping + FSM transition (host scalar work)
-        windows: list[Optional[np.ndarray]] = [None] * B
-        refs: list[Optional[np.ndarray]] = [None] * B
-        for i in range(B):
-            plan = self.plans[i]
-            if plan is None:
-                continue
-            cut = plan_utils.cutoff_plan(plan, poses[i, :2])
-            if len(cut) == 0:
-                continue
-            self.plans[i] = cut
-            win = plan_utils.truncate_by_length(cut, cfg.local_plan_length)
-            windows[i] = win
-            ok[i] = True
-            position_reached = self._position_reached_one(i, poses[i])
-            goal_reached = False
-            below = False
-            if position_reached:
-                goal_reached = self._orientation_reached_one(
-                    i, poses[i], feedback[i])
-            else:
-                below = ((not self.model.can_rotate_in_place)
-                         or self._below_heading_error(poses[i], win))
-            self.states[i] = _CODE_OF[check_transition(
-                _STATE_OF[int(self.states[i])],
-                position_reached=position_reached,
-                goal_reached=goal_reached, below_heading_error=below)]
-            if self.states[i] == _TRACK:
-                refs[i] = plan_utils.downsample_plan(
-                    win, cfg.downsample_segments)
+        # 1. plan bookkeeping + FSM transition (all vectorized)
+        ok = self._has_plan()
+        start = self._cutoff(poses)
+        end = self._window_end(start)
+        pos = self._position_reached(poses, ok)
+        goal_reached = self._orientation_reached(poses, feedback, pos)
+        below = self._below_heading(poses, start, ok & ~pos)
+        st = self.states
+        keep = np.isin(st, (_ROT_PRE, _TRACK))
+        new_st = np.where(goal_reached, _IDLE,
+                          np.where(pos, _ROT_GOAL,
+                                   np.where(below, _TRACK,
+                                            np.where(keep, st, _ROT_PRE))))
+        self.states = np.where(ok, new_st, self.states)
+        track = ok & (self.states == _TRACK) & (end > start)
 
-        track = np.array([self.states[i] == _TRACK and refs[i] is not None
-                          and len(refs[i]) > 0 for i in range(B)])
-
-        # 2. rotation / idle commands (vectorized P-control)
-        for i in range(B):
-            if not ok[i]:
-                continue
-            st = int(self.states[i])
-            if st == _ROT_GOAL and self.model.can_rotate_in_place:
-                err = normalize_angle(float(self._goal(i)[2]) - poses[i, 2])
-                cmds[i] = (0.0, cfg.rotate_p_gain * err)
-            elif st == _ROT_PRE:
-                err = normalize_angle(
-                    plan_utils.path_heading(windows[i]) - poses[i, 2])
-                cmds[i] = (0.0, cfg.rotate_p_gain * err)
-            # _IDLE / non-rotating _ROT_GOAL: zeros
+        # 2. rotation commands (P-control; zeros for idle / non-rotating)
+        if self.model.can_rotate_in_place:
+            g = self._goals()
+            rg = ok & (self.states == _ROT_GOAL)
+            cmds[rg, 1] = cfg.rotate_p_gain * _wrap(g[rg, 2] - poses[rg, 2])
+        head = self._buf[np.arange(B), start, 2]
+        rp = ok & (self.states == _ROT_PRE)
+        cmds[rp, 1] = cfg.rotate_p_gain * _wrap(head[rp] - poses[rp, 2])
 
         if not track.any():
             info = self._info(cmds, cte_out, eth_out, refv_out, None, track)
@@ -296,8 +400,10 @@ class FleetPlanner:
 
         # 3. batched fit + error-state extraction for the tracking robots
         idx = np.nonzero(track)[0]
-        z0s, coeffs, refv = self._batched_prepare(idx, poses, feedback,
-                                                  refs, windows)
+        offs, n_tot = self._downsample(start, end)
+        z0s, coeffs, refv = self._batched_prepare(
+            idx, poses, feedback, offs[idx], n_tot[idx],
+            start[idx], end[idx])
         cte_out[idx] = z0s[:, 4]
         eth_out[idx] = z0s[:, 5]
         refv_out[idx] = refv
@@ -331,24 +437,23 @@ class FleetPlanner:
 
     # -- internals -------------------------------------------------------------
 
-    def _batched_prepare(self, idx, poses, feedback, refs, windows):
+    def _batched_prepare(self, idx, poses, feedback, offs, n_tot, start,
+                         end):
         """Vectorized robot-frame transform + weighted LSQ polynomial fit +
-        error-state extraction for the tracking subset `idx`."""
+        error-state extraction for the tracking subset `idx`.
+        offs (n, S): buffer indices of the downsampled window; n_tot (n,):
+        valid counts."""
         cfg = self.planner_cfg
         n = len(idx)
+        S = offs.shape[1]
         n_coeffs = self.solver_cfg.n_coeffs
-        S = max(len(refs[i]) for i in idx)
-        pts = np.zeros((n, S, 2))
-        wts = np.zeros((n, S))
-        for j, i in enumerate(idx):
-            r = refs[i]
-            pts[j, :len(r)] = r[:, :2]
-            wts[j, :len(r)] = 1.0
+        pts = self._buf[idx[:, None], offs, :2]          # (n, S, 2)
+        wts = (np.arange(S)[None, :] < n_tot[:, None]).astype(float)
 
         th = poses[idx, 2]
         ct, st = np.cos(th), np.sin(th)
-        dx = pts[:, :, 0] - poses[idx, 0, None]
-        dy = pts[:, :, 1] - poses[idx, 1, None]
+        dx = (pts[:, :, 0] - poses[idx, 0, None]) * wts
+        dy = (pts[:, :, 1] - poses[idx, 1, None]) * wts
         x_veh = dx * ct[:, None] + dy * st[:, None]
         y_veh = dy * ct[:, None] - dx * st[:, None]
 
@@ -356,8 +461,7 @@ class FleetPlanner:
         # single-robot np.polyfit (QR) to ~1e-10 on these tiny, well-scaled
         # windows; degree reduces when a window has too few points
         coeffs = np.zeros((n, n_coeffs))
-        npts = wts.sum(axis=1).astype(int)
-        order = np.minimum(self.solver_cfg.poly_order, npts - 1)
+        order = np.minimum(self.solver_cfg.poly_order, n_tot - 1)
         for k in np.unique(order):
             sel = order == k
             V = x_veh[sel, :, None] ** np.arange(k + 1)[None, None, :]
@@ -368,25 +472,26 @@ class FleetPlanner:
             coeffs[sel, : k + 1] = np.linalg.solve(G, b[..., None])[..., 0]
 
         cte = coeffs[:, 0]
-        etheta = np.arctan(coeffs[:, 1])
         # 30%-lookahead path direction + continuity shim + Q13 wrap
-        # (tracking.py:compute, reference driving_state.cpp:214-235)
-        traj = np.zeros(n)
-        valid = np.zeros(n, bool)
-        for j, i in enumerate(idx):
-            traj[j], valid[j] = plan_utils.lookahead_heading(refs[i])
+        # (tracking.py:compute; the lookahead displacement sum telescopes
+        # to pts[ns-1] - pts[0])
+        ns = (n_tot * 0.3).astype(np.int64)
+        j = np.clip(ns - 1, 0, S - 1)
+        gx = np.take_along_axis(pts[:, :, 0], j[:, None], 1)[:, 0] - pts[:, 0, 0]
+        gy = np.take_along_axis(pts[:, :, 1], j[:, None], 1)[:, 0] - pts[:, 0, 1]
+        valid = (gx != 0.0) & (gy != 0.0) & (ns >= 2)
+        traj = np.arctan2(gy, gx)
         temp = th.copy()
         bump = temp <= (-np.pi + traj)
         temp[bump] += 2.0 * np.pi
         use = valid & ((temp - traj) < 1.8 * np.pi)
         etheta = np.where(use, temp - traj, 0.0)
         if cfg.wrap_etheta:
-            etheta = (etheta + np.pi) % (2.0 * np.pi) - np.pi
+            etheta = _wrap(etheta)
 
         # reference-speed scheduling: goal deceleration + curvature cap
-        goals = np.stack([self._goal(i) for i in idx])
-        dist = np.hypot(poses[idx, 0] - goals[:, 0],
-                        poses[idx, 1] - goals[:, 1])
+        g = self._goals()[idx]
+        dist = np.hypot(poses[idx, 0] - g[:, 0], poses[idx, 1] - g[:, 1])
         v = feedback[idx, 0]
         max_thr = float(np.max(self._np_params.max_throttle))
         rv = self._np_params.ref_vel
@@ -395,10 +500,16 @@ class FleetPlanner:
         ref_vel[brake] = np.clip(max_thr * dist[brake], cfg.min_speed,
                                  cfg.max_speed)
         if cfg.curvature_slowdown:
-            for j, i in enumerate(idx):
-                lim = _curvature_speed_limit(windows[i], cfg.max_lat_accel)
-                ref_vel[j] = np.clip(min(ref_vel[j], lim), cfg.min_speed,
-                                     cfg.max_speed)
+            # per-knot curvature is static per plan; take the window max
+            Mk = self._kappa.shape[1]
+            ark = np.arange(Mk)[None, :]
+            m = (ark >= start[:, None]) & (ark < (end - 2)[:, None])
+            kmax = np.max(np.where(m, self._kappa[idx], 0.0), axis=1)
+            with np.errstate(divide="ignore"):
+                lim = np.where(kmax > 1e-9,
+                               np.sqrt(cfg.max_lat_accel / kmax), np.inf)
+            ref_vel = np.clip(np.minimum(ref_vel, lim), cfg.min_speed,
+                              cfg.max_speed)
 
         # delay-mode one-step prediction (tracking.py:compute)
         dt = float(np.max(self._np_params.dt))
@@ -468,25 +579,6 @@ class FleetPlanner:
         return FleetCycleInfo(states=self.states.copy(), cmds=cmds.copy(),
                               ref_vel=refv, cte=cte, etheta=eth, cost=cost,
                               converged=conv, n_iters=iters)
-
-
-def _curvature_speed_limit(window: np.ndarray, max_lat_accel: float) -> float:
-    """sqrt(a_lat / kappa_max) over a raw plan window (tracking.py twin)."""
-    if window is None or len(window) < 3:
-        return float("inf")
-    d = np.diff(window[:, :2], axis=0)
-    ds = np.hypot(d[:, 0], d[:, 1])
-    keep = ds > 1e-9
-    if keep.sum() < 2:
-        return float("inf")
-    h = np.arctan2(d[keep, 1], d[keep, 0])
-    dsk = ds[keep]
-    dh = (np.diff(h) + np.pi) % (2.0 * np.pi) - np.pi
-    seg = np.maximum(0.5 * (dsk[1:] + dsk[:-1]), 1e-6)
-    kappa = float(np.max(np.abs(dh) / seg))
-    if kappa <= 1e-9:
-        return float("inf")
-    return float(np.sqrt(max_lat_accel / kappa))
 
 
 def _blobs_to_frames(blobs, poses, dtype):
