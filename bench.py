@@ -59,6 +59,10 @@ def main() -> None:
     ap.add_argument("--serving", action="store_true",
                     help="receding-horizon serving metric: warm-started "
                          "control cycles/s for the whole robot fleet")
+    ap.add_argument("--fleet", action="store_true",
+                    help="FleetPlanner serving metric: full planner "
+                         "lifecycle (world plans, host path pipeline, FSM) "
+                         "for --batch robots, one batched solve per cycle")
     ap.add_argument("--roofline", action="store_true",
                     help="also print speed-of-light accounting (extra line)")
     ap.add_argument("--engine", choices=["lane", "vmap"], default="lane",
@@ -146,6 +150,50 @@ def main() -> None:
             "mean_iters_min_max": [
                 round(float(jnp.min(sw.mean_iters)), 2),
                 round(float(jnp.max(sw.mean_iters)), 2)],
+        }))
+        return
+
+    if args.fleet:
+        from mpc_ros_tpu.config import PlannerConfig
+        from mpc_ros_tpu.planner import FleetPlanner
+        from mpc_ros_tpu.sim import get_shape
+
+        B = args.batch or (64 if args.quick else 1024)
+        plan0 = get_shape("infinity")
+        plans = []
+        for i in range(B):
+            pl = plan0.copy()
+            pl[:, :2] += 10.0 * (i % 64)
+            plans.append(pl)
+        fp_params = MPCParams(max_angvel=1.5, w_cte=300.0,
+                              w_angvel_d=10.0, w_accel_d=10.0)
+        fcfg = SolverConfig(n_steps=20, ls_iters=args.ls_iters)
+        fp = FleetPlanner(params=fp_params, solver_cfg=fcfg)
+        fp.initialize(B)
+        poses = np.stack([pl[0] for pl in plans])
+        assert fp.set_plans(plans, poses).all()
+        vw = np.zeros((B, 2))
+        t0 = time.time()
+        fp.compute_velocity_commands(poses, vw)
+        compile_s = time.time() - t0
+        laps = []
+        for _ in range(max(5, args.repeats * 2)):
+            t0 = time.time()
+            _, cmds, info = fp.compute_velocity_commands(poses, vw)
+            laps.append(time.time() - t0)
+        lap = np.asarray(laps)
+        p50 = float(np.percentile(lap, 50))
+        print(json.dumps({
+            "metric": "fleet_serving_robot_cycles_per_s_per_chip_n20",
+            "value": round(B / p50, 1),
+            "unit": "robot-cycles/s",
+            "vs_baseline": round(B / p50 / (10000.0 / 8.0), 3),
+            "batch": B,
+            "device": str(dev),
+            "compile_s": round(compile_s, 2),
+            "cycle_ms_p50": round(p50 * 1e3, 2),
+            "cycle_ms_p99": round(float(np.percentile(lap, 99)) * 1e3, 2),
+            "converged_frac": round(float(np.mean(info.converged)), 4),
         }))
         return
 
