@@ -167,7 +167,11 @@ def main() -> None:
             plans.append(pl)
         fp_params = MPCParams(max_angvel=1.5, w_cte=300.0,
                               w_angvel_d=10.0, w_accel_d=10.0)
-        fcfg = SolverConfig(n_steps=20, ls_iters=args.ls_iters)
+        if args.model == "bicycle":
+            # steering authority covering the demo course (see sim.run)
+            fp_params = fp_params.replace(lf=0.25, max_steer=0.6)
+        fcfg = SolverConfig(n_steps=20, ls_iters=args.ls_iters,
+                            model=args.model)
         fp = FleetPlanner(params=fp_params, solver_cfg=fcfg)
         fp.initialize(B)
         poses = np.stack([pl[0] for pl in plans])
@@ -183,8 +187,9 @@ def main() -> None:
             laps.append(time.time() - t0)
         lap = np.asarray(laps)
         p50 = float(np.percentile(lap, 50))
+        fsuffix = "" if args.model == "diff_drive" else f"_{args.model}"
         print(json.dumps({
-            "metric": "fleet_serving_robot_cycles_per_s_per_chip_n20",
+            "metric": f"fleet_serving_robot_cycles_per_s_per_chip_n20{fsuffix}",
             "value": round(B / p50, 1),
             "unit": "robot-cycles/s",
             "vs_baseline": round(B / p50 / (10000.0 / 8.0), 3),

@@ -115,8 +115,10 @@ def step_jacobians(z, u, coeffs, dt, sign, p):
 
 
 def _control_bounds(p, dtype):
-    lb = jnp.stack([-jnp.asarray(p.max_steer, dtype),
-                    -jnp.asarray(p.max_throttle, dtype)])
+    # broadcast first: either leaf may be per-scenario (B,)-shaped
+    ms, mt = jnp.broadcast_arrays(jnp.asarray(p.max_steer, dtype),
+                                  jnp.asarray(p.max_throttle, dtype))
+    lb = jnp.stack([-ms, -mt])
     return lb, -lb
 
 

@@ -151,8 +151,10 @@ def aug_step_jacobians(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt,
 
 
 def _control_bounds(p, dtype):
-    lb = jnp.stack([-jnp.asarray(p.max_angvel, dtype),
-                    -jnp.asarray(p.max_throttle, dtype)])
+    # broadcast first: either leaf may be per-scenario (B,)-shaped
+    mw, mt = jnp.broadcast_arrays(jnp.asarray(p.max_angvel, dtype),
+                                  jnp.asarray(p.max_throttle, dtype))
+    lb = jnp.stack([-mw, -mt])
     return lb, -lb
 
 

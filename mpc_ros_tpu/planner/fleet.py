@@ -127,6 +127,12 @@ class FleetPlanner:
         self.params = params.astype(self.dtype)
         self._refresh_host_params()
 
+    def _leaf(self, name: str, idx) -> np.ndarray:
+        """Host value of a params leaf for the robot subset `idx`:
+        per-robot (B,)-shaped leaves index through, scalars broadcast."""
+        a = getattr(self._np_params, name)
+        return np.broadcast_to(a[idx] if a.ndim else a, np.shape(idx))
+
     # -- lifecycle -----------------------------------------------------------
 
     def initialize(self, n_robots: int) -> None:
@@ -212,6 +218,11 @@ class FleetPlanner:
             dh = _wrap(np.diff(h, axis=1))
             seg = np.maximum(0.5 * (ds[:, 1:] + ds[:, :-1]), 1e-6)
             kap = np.abs(dh) / seg
+        # degenerate (zero-length) segments have no heading: drop their
+        # knots' curvature (the scalar twin filters them out; it merges
+        # the headings across the gap, which we approximate by ignoring)
+        tiny = (ds[:, 1:] <= 1e-9) | (ds[:, :-1] <= 1e-9)
+        kap = np.where(tiny, 0.0, kap)
         self._kappa = np.where(np.isfinite(kap), kap, 0.0)  # (B, M-2)
 
         # seeding (reference setPlan): latches re-arm, FSM seeds from
@@ -422,7 +433,7 @@ class FleetPlanner:
         self._warm = us
         self._has_warm[:] = False
         self._has_warm[idx] = True
-        dt = self._np_params.dt
+        dt = self._leaf("dt", idx)
         u0 = us[idx, 0, :]
         self.w[idx] = u0[:, 0]
         self.throttle[idx] = u0[:, 1]
@@ -490,16 +501,16 @@ class FleetPlanner:
             etheta = _wrap(etheta)
 
         # reference-speed scheduling: goal deceleration + curvature cap
+        # (per-robot (B,)-shaped MPCParams leaves supported throughout)
         g = self._goals()[idx]
         dist = np.hypot(poses[idx, 0] - g[:, 0], poses[idx, 1] - g[:, 1])
         v = feedback[idx, 0]
-        max_thr = float(np.max(self._np_params.max_throttle))
-        rv = self._np_params.ref_vel
-        ref_vel = np.broadcast_to(rv[idx] if rv.ndim else rv, (n,)).copy()
+        max_thr = self._leaf("max_throttle", idx)
+        ref_vel = self._leaf("ref_vel", idx).copy()
         brake = dist <= v * v / max_thr
-        ref_vel[brake] = np.clip(max_thr * dist[brake], cfg.min_speed,
+        ref_vel[brake] = np.clip((max_thr * dist)[brake], cfg.min_speed,
                                  cfg.max_speed)
-        if cfg.curvature_slowdown:
+        if cfg.curvature_slowdown and self._kappa.shape[1] > 0:
             # per-knot curvature is static per plan; take the window max
             Mk = self._kappa.shape[1]
             ark = np.arange(Mk)[None, :]
@@ -512,14 +523,13 @@ class FleetPlanner:
                               cfg.max_speed)
 
         # delay-mode one-step prediction (tracking.py:compute)
-        dt = float(np.max(self._np_params.dt))
+        dt = self._leaf("dt", idx)
         if cfg.delay_mode:
             import types
 
             sign = self.solver_cfg.cte_vsin_sign
-            lfv = self._np_params.lf
             hp = types.SimpleNamespace(
-                lf=lfv[idx] if lfv.ndim else lfv)   # per-robot wheelbases
+                lf=self._leaf("lf", idx))           # per-robot wheelbases
             yaw_rate = np.asarray(
                 self.model.yaw_rate(v, self.w[idx], hp), float)
             theta_act = yaw_rate * dt

@@ -128,6 +128,12 @@ class PlannerNode:
         ok, (v, w), info = self.planner.compute_velocity_commands(pose, fb)
         if self.recovery is not None:
             ok, (v, w) = self.recovery.on_cycle(ok, (v, w), pose, fb)
+            # a successful recovery is the operator-ack equivalent: without
+            # this, the safety fault latched during the outage would
+            # permanently override the recovered commands
+            if (ok and self.safety is not None and self.safety.status.fault
+                    and getattr(self.recovery.state, "value", "") == "normal"):
+                self.safety.clear_fault()
         if not ok:
             self.errors += 1
             if self.safety is not None:

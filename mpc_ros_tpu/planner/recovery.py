@@ -91,6 +91,17 @@ class RecoverySupervisor:
         self._rotate_left = 0
         self._rotate_dir = 1.0
         self._round = 0
+        # Ackermann-style families cannot spin in place: the rotate rung
+        # degenerates to hold-and-retry (zero command, same cycle budget)
+        self._can_rotate = True
+        scfg = getattr(planner, "solver_cfg", None)
+        if scfg is not None:
+            try:
+                from ..models.base import get_model
+
+                self._can_rotate = get_model(scfg.model).can_rotate_in_place
+            except Exception:
+                pass
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -118,10 +129,12 @@ class RecoverySupervisor:
             return False, (0.0, 0.0)
 
         if self.state is RecoveryState.ROTATING:
-            ok2, cmd2 = self._probe(pose, feedback)
-            if ok2:
+            # the caller (PlannerNode._cycle) already ran the planner this
+            # cycle — its (ok, cmd) IS the probe; re-invoking would double
+            # every solve and planner-state mutation
+            if ok:
                 self._back_to_normal()
-                return True, cmd2
+                return True, cmd
             self._rotate_left -= 1
             self.stats.rotate_cycles += 1
             if self._rotate_left <= 0:
@@ -130,7 +143,7 @@ class RecoverySupervisor:
                 if self._round >= self.cfg.max_rounds:
                     return self._abort("recovery ladder exhausted")
                 return self._replan_then_rotate(pose, feedback)
-            return True, (0.0, self._rotate_dir * self.cfg.rotate_speed)
+            return True, self._rotate_cmd()
 
         # NORMAL
         if ok:
@@ -161,12 +174,19 @@ class RecoverySupervisor:
             if ok:
                 self._back_to_normal()
                 return True, cmd
-        # rotate recovery: spin toward the path heading (if known)
+        # rotate recovery: spin toward the path heading (if known); for a
+        # family that cannot rotate in place this rung holds still and
+        # keeps probing on the same cycle budget
         self.state = RecoveryState.ROTATING
         self._rotate_left = self.cfg.rotate_cycles_max
         self._rotate_dir = self._heading_dir(pose)
         self.stats.last_reason = "replan did not clear the failure"
-        return True, (0.0, self._rotate_dir * self.cfg.rotate_speed)
+        return True, self._rotate_cmd()
+
+    def _rotate_cmd(self) -> tuple[float, float]:
+        if not self._can_rotate:
+            return (0.0, 0.0)
+        return (0.0, self._rotate_dir * self.cfg.rotate_speed)
 
     def _probe(self, pose, feedback) -> tuple[bool, tuple[float, float]]:
         ok, cmd, _info = self.planner.compute_velocity_commands(

@@ -176,3 +176,26 @@ def test_fleet_bicycle_family():
     fp.initialize(2)
     done, poses = _roll_fleet(fp, plans, max_cycles=1200, model="bicycle")
     assert done.all(), done
+
+
+def test_fleet_per_robot_throttle_scheduling():
+    """(B,)-shaped MPCParams leaves apply per robot in the host schedulers:
+    a low-throttle robot enters its (longer) braking zone while its
+    high-throttle twin at the same distance does not."""
+    import jax.numpy as jnp
+
+    n = 40
+    plan = np.stack([np.linspace(0, 3, n), np.zeros(n), np.zeros(n)], 1)
+    p = MPCParams(max_throttle=jnp.asarray([0.5, 2.0]), ref_vel=0.5)
+    fp = FleetPlanner(params=p, solver_cfg=SCFG, planner_cfg=PCFG)
+    fp.initialize(2)
+    # dist to goal = 0.3: v^2/mt = 0.5 (brakes) vs 0.125 (does not) at v=0.5
+    poses = np.array([[2.7, 0.0, 0.0], [2.7, 0.0, 0.0]])
+    assert fp.set_plans([plan, plan.copy()], poses).all()
+    fb = np.array([[0.5, 0.0], [0.5, 0.0]])
+    ok, cmds, info = fp.compute_velocity_commands(poses, fb)
+    assert ok.all()
+    # robot 0: scheduled ref_vel = clip(mt*dist) = 0.5*0.3 = 0.15
+    assert abs(info.ref_vel[0] - 0.15) < 1e-9, info.ref_vel
+    # robot 1: outside its braking distance -> full ref_vel
+    assert abs(info.ref_vel[1] - 0.5) < 1e-9, info.ref_vel

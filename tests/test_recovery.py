@@ -78,7 +78,9 @@ def test_replan_clears_failure():
 
 def test_rotate_then_recover():
     # the replan probe (planner call #1) fails -> rotation starts; the
-    # first rotating-cycle probe (call #2) succeeds -> back to normal
+    # next cycle the CALLER's planner result (call #2) succeeds and is
+    # passed in -> back to normal (in ROTATING the supervisor uses the
+    # incoming result as the probe — no second solve per cycle)
     fp = FakePlanner(fail_for=1)
     sup = RecoverySupervisor(fp, CFG)
     sup.set_plan(PLAN, POSE)
@@ -86,11 +88,51 @@ def test_rotate_then_recover():
         ok, cmd = sup.on_cycle(False, (0.0, 0.0), POSE, (0.0, 0.0))
     assert sup.state is RecoveryState.ROTATING
     assert ok and cmd[0] == 0.0 and abs(cmd[1]) == CFG.rotate_speed
-    # next cycle's probe succeeds -> back to normal with the probe command
-    ok, cmd = sup.on_cycle(False, (0.0, 0.0), POSE, (0.0, 0.0))
+    # the node's next planner call succeeds; its result flows through
+    ok2, cmd2, _ = fp.compute_velocity_commands(POSE, (0.0, 0.0))
+    ok, cmd = sup.on_cycle(ok2, cmd2, POSE, (0.0, 0.0))
     assert ok and cmd == (0.3, 0.1)
     assert sup.state is RecoveryState.NORMAL
     assert sup.stats.rotate_cycles == 0 or sup.stats.rotate_cycles <= 1
+
+
+def test_rotating_uses_incoming_result_no_extra_solve():
+    """In ROTATING the supervisor must not re-invoke the planner: the
+    caller's per-cycle result is the probe (one solve per cycle)."""
+    fp = FakePlanner()
+    sup = RecoverySupervisor(fp, CFG)
+    sup.set_plan(PLAN, POSE)
+    for _ in range(CFG.failures_to_recover):
+        sup.on_cycle(False, (0.0, 0.0), POSE, (0.0, 0.0))
+    assert sup.state is RecoveryState.ROTATING
+    calls_before = fp.calls
+    sup.on_cycle(False, (0.0, 0.0), POSE, (0.0, 0.0))
+    assert fp.calls == calls_before        # no hidden probe solve
+
+
+def test_nonrotating_family_holds_instead_of_spinning():
+    """An Ackermann planner (can_rotate_in_place=False) gets a
+    hold-and-retry rung: zero command, same ladder budget."""
+    import dataclasses as _dc
+
+    from mpc_ros_tpu.config import SolverConfig as _SC
+
+    fp = FakePlanner(fail_for=CFG.failures_to_recover + 2)
+    fp.solver_cfg = _SC(n_steps=10, model="bicycle")
+    sup = RecoverySupervisor(fp, CFG)
+    assert sup._can_rotate is False
+    sup.set_plan(PLAN, POSE)
+    for _ in range(CFG.failures_to_recover):
+        ok, cmd = sup.on_cycle(False, (0.0, 0.0), POSE, (0.0, 0.0))
+    assert sup.state is RecoveryState.ROTATING
+    assert cmd == (0.0, 0.0)               # no impossible in-place spin
+    # the ladder still recovers once the planner comes back
+    ok2, cmd2, _ = fp.compute_velocity_commands(POSE, (0.0, 0.0))
+    while not ok2:
+        ok, cmd = sup.on_cycle(ok2, cmd2, POSE, (0.0, 0.0))
+        ok2, cmd2, _ = fp.compute_velocity_commands(POSE, (0.0, 0.0))
+    ok, cmd = sup.on_cycle(ok2, cmd2, POSE, (0.0, 0.0))
+    assert ok and sup.state is RecoveryState.NORMAL
 
 
 def test_ladder_exhaustion_aborts_then_reset():
@@ -206,3 +248,44 @@ def test_node_wiring_publishes_during_recovery():
     v, w = struct.unpack("<2d", node.cmd_topic.read())
     assert (v, w) != (9.0, 9.0)           # something explicit was published
     assert np.isfinite([v, w]).all()
+
+
+def test_recovery_success_clears_safety_fault():
+    """PlannerNode: the safety fault latched during an outage must re-arm
+    when recovery restores planning (otherwise the latched controlled-stop
+    would permanently override the recovered commands)."""
+    import struct
+
+    from mpc_ros_tpu.planner import SafetyMonitor
+    from mpc_ros_tpu.planner.safety import SafetyConfig
+    from mpc_ros_tpu.planner.node import PlannerNode, pack_pose, pack_twist
+
+    p = MPCParams().astype("float32")
+    planner = MPCPlanner(params=p,
+                         solver_cfg=SolverConfig(n_steps=10, max_sqp_iters=8,
+                                                 backward="xla"),
+                         planner_cfg=PlannerConfig())
+    planner.initialize()
+    # safety trips BEFORE the ladder engages (2 < 4)
+    sup = RecoverySupervisor(planner, RecoveryConfig(failures_to_recover=4))
+    mon = SafetyMonitor(period_s=0.1,
+                        cfg=SafetyConfig(max_consecutive_failures=2))
+    node = PlannerNode(planner, period_s=0.05, recovery=sup, safety=mon)
+    plan = np.stack([np.linspace(0, 3, 30), np.zeros(30), np.zeros(30)], 1)
+    node.pose_topic.publish(pack_pose(0.0, 0.05, 0.0))
+    node.feedback_topic.publish(pack_twist(0.2, 0.0))
+    assert node.set_plan(plan)
+    node._cycle()
+    # outage: safety latches fault before recovery's threshold
+    planner.global_plan = None
+    for _ in range(3):
+        node._cycle()
+    assert mon.status.fault
+    # the ladder replans on the 4th failure and recovery succeeds; the
+    # fault must clear and real commands must flow again
+    node._cycle()
+    assert sup.state is RecoveryState.NORMAL
+    assert not mon.status.fault
+    node._cycle()
+    v, w = struct.unpack("<2d", node.cmd_topic.read())
+    assert abs(v) > 0.0                      # not the latched stop
