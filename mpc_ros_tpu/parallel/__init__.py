@@ -1,5 +1,6 @@
 from .mesh import make_mesh, batch_sharding, replicated, DATA_AXIS, TIME_AXIS
-from .sharded import sharded_sweep, SweepStats, time_sharded_riccati
+from .sharded import (SweepStats, sharded_batch_solve, sharded_sweep,
+                      time_sharded_riccati)
 from .multihost import init_multihost, host_local_scenarios, measure_scaling
 
 __all__ = [
@@ -9,6 +10,7 @@ __all__ = [
     "DATA_AXIS",
     "TIME_AXIS",
     "sharded_sweep",
+    "sharded_batch_solve",
     "SweepStats",
     "time_sharded_riccati",
     "init_multihost",

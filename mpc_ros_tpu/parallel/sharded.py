@@ -113,3 +113,81 @@ def sharded_sweep(mesh, z0s: jnp.ndarray, coeffs: jnp.ndarray,
     statistics are psum-reduced over ICI and come back replicated.
     """
     return _sweep_jit(mesh, cfg)(z0s, coeffs, p)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_lane_jit(mesh, cfg: SolverConfig, sharded_leaves: tuple,
+                      has_warm: bool, has_blobs: bool):
+    """One compiled sharded fleet-solve per (mesh, SolverConfig, per-robot
+    leaf signature, optional-input signature). The scenario batch (and any
+    (B,)-shaped MPCParams leaves, warm starts, per-robot obstacle fields)
+    shard over the data axis; scalar params replicate. The solve itself is
+    embarrassingly parallel — NO collectives in the control path (SURVEY.md
+    §5.8 design rule)."""
+    import dataclasses as _dc
+
+    from ..models.obstacles import GaussianObstacles
+    from ..solver.batch_lane import batch_solve_lane
+
+    p_spec = MPCParams(**{
+        f.name: P(DATA_AXIS) if f.name in sharded_leaves else P()
+        for f in _dc.fields(MPCParams)})
+    in_specs = [P(DATA_AXIS), P(DATA_AXIS), p_spec]
+    if has_warm:
+        in_specs.append(P(DATA_AXIS))
+    if has_blobs:
+        in_specs.append(GaussianObstacles(
+            cx=P(DATA_AXIS), cy=P(DATA_AXIS),
+            gamma=P(DATA_AXIS), w=P(DATA_AXIS)))
+    out_spec = SolveResult(us=P(DATA_AXIS), zs=P(DATA_AXIS),
+                           cost=P(DATA_AXIS), converged=P(DATA_AXIS),
+                           n_iters=P(DATA_AXIS), grad_norm=P(DATA_AXIS),
+                           reg=P(DATA_AXIS))
+
+    def body(z0s, coeffs, p, *rest):
+        i = 0
+        u_init = None
+        blobs = None
+        if has_warm:
+            u_init = rest[i]
+            i += 1
+        if has_blobs:
+            blobs = rest[i]
+        return batch_solve_lane(z0s, coeffs, p, cfg, u_init=u_init,
+                                blobs=blobs)
+
+    fn = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=out_spec, check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_batch_solve(mesh, z0s: jnp.ndarray, coeffs: jnp.ndarray,
+                        p: MPCParams, cfg: SolverConfig, u_init=None,
+                        blobs=None) -> SolveResult:
+    """`batch_solve_lane` sharded over the mesh's data axis: each device
+    solves B/D robots with the lane-major solver (the megakernel on TPU).
+    Per-robot results stay sharded on their devices until fetched.
+
+    MPCParams leaves shaped (B,) shard with the batch (per-robot wheelbase
+    / weight sweeps); scalars replicate. Requires B divisible by the data
+    axis (and, for the TPU megakernel, B/D divisible by 128)."""
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    B = z0s.shape[0]
+    n_data = mesh.shape[DATA_AXIS]
+    if B % n_data:
+        raise ValueError(f"batch {B} not divisible by data axis {n_data}")
+    sharded = tuple(sorted(
+        f.name for f in _dc.fields(MPCParams)
+        if _np.ndim(getattr(p, f.name)) >= 1
+        and _np.shape(getattr(p, f.name))[0] == B))
+    fn = _sharded_lane_jit(mesh, cfg, sharded, u_init is not None,
+                           blobs is not None)
+    args = [z0s, coeffs, p]
+    if u_init is not None:
+        args.append(u_init)
+    if blobs is not None:
+        args.append(blobs)
+    return fn(*args)

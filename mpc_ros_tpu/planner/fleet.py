@@ -104,11 +104,16 @@ class FleetPlanner:
     def __init__(self, params: MPCParams = MPCParams(),
                  solver_cfg: SolverConfig = SolverConfig(),
                  planner_cfg: PlannerConfig = PlannerConfig(),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — the per-cycle solve shards
+        the robot batch over the mesh's data axis (each device runs the
+        lane solver on B/D robots; no collectives in the control path).
+        Requires B divisible by the data-axis size."""
         self.params = params.astype(dtype)
         self.solver_cfg = solver_cfg
         self.planner_cfg = planner_cfg
         self.dtype = dtype
+        self.mesh = mesh
         self.model = get_model(solver_cfg.model)
         self._initialized = False
         self.world_obstacles = None
@@ -568,6 +573,13 @@ class FleetPlanner:
         blobs = None
         if self.world_obstacles is not None:
             blobs = _blobs_to_frames(self.world_obstacles, poses, self.dtype)
+        if self.mesh is not None:
+            from ..parallel.sharded import sharded_batch_solve
+
+            return sharded_batch_solve(
+                self.mesh, jnp.asarray(z0s, self.dtype),
+                jnp.asarray(coeffs, self.dtype), p, self.solver_cfg,
+                u_init=jnp.asarray(warm, self.dtype), blobs=blobs)
         return batch_solve_lane(
             jnp.asarray(z0s, self.dtype), jnp.asarray(coeffs, self.dtype),
             p, self.solver_cfg, u_init=jnp.asarray(warm, self.dtype),

@@ -199,3 +199,67 @@ def test_fleet_per_robot_throttle_scheduling():
     assert abs(info.ref_vel[0] - 0.15) < 1e-9, info.ref_vel
     # robot 1: outside its braking distance -> full ref_vel
     assert abs(info.ref_vel[1] - 0.5) < 1e-9, info.ref_vel
+
+
+def test_sharded_batch_solve_matches_unsharded():
+    """sharded_batch_solve over a data mesh == batch_solve_lane, including
+    per-robot (B,)-shaped param leaves, warm starts, and per-robot blobs —
+    no collectives in the control path, pure data parallelism."""
+    import jax
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+    from mpc_ros_tpu.parallel import make_mesh, sharded_batch_solve
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    dtype = jnp.float32
+    B = 64
+    mesh = make_mesh(4)
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B, dtype)
+    # per-robot ref_vel leaf exercises the sharded-params spec path
+    p = MPCParams(ref_vel=jnp.linspace(0.3, 0.7, B)).astype(dtype)
+    cfg = SolverConfig(n_steps=10, max_sqp_iters=6, backward="xla")
+    warm = jnp.zeros((B, cfg.n_controls, 2), dtype)
+    blobs = GaussianObstacles.from_sigmas(
+        jnp.full((B, 1), 1.0, dtype), jnp.full((B, 1), 0.3, dtype),
+        jnp.full((B, 1), 0.3, dtype), jnp.full((B, 1), 20.0, dtype))
+
+    r0 = batch_solve_lane(z0s, coeffs, p, cfg, u_init=warm, blobs=blobs)
+    r1 = sharded_batch_solve(mesh, z0s, coeffs, p, cfg, u_init=warm,
+                             blobs=blobs)
+    np.testing.assert_allclose(np.asarray(r1.us), np.asarray(r0.us),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(r1.converged),
+                                  np.asarray(r0.converged))
+
+
+def test_fleet_planner_on_mesh_matches_unsharded():
+    """FleetPlanner(mesh=...) serves the fleet with the solve sharded over
+    the data axis; commands match the unsharded fleet cycle-for-cycle."""
+    from mpc_ros_tpu.parallel import make_mesh
+
+    B = 8
+    plan = get_shape("infinity")
+    plans = [plan.copy() for _ in range(B)]
+    for i, pl in enumerate(plans):
+        pl[:, :2] += 10.0 * i
+    mesh = make_mesh(4)
+    fps = [FleetPlanner(params=P, solver_cfg=SCFG, planner_cfg=PCFG),
+           FleetPlanner(params=P, solver_cfg=SCFG, planner_cfg=PCFG,
+                        mesh=mesh)]
+    poses0 = np.stack([pl[0] for pl in plans])
+    for fp in fps:
+        fp.initialize(B)
+        assert fp.set_plans(plans, poses0.copy()).all()
+    poses = poses0.copy()
+    vw = np.zeros((B, 2))
+    dt = float(P.dt)
+    for _ in range(25):
+        outs = [fp.compute_velocity_commands(poses, vw) for fp in fps]
+        (ok0, c0, _), (ok1, c1, _) = outs
+        assert ok0.all() and ok1.all()
+        np.testing.assert_allclose(c1, c0, atol=5e-4)
+        v, w = c0[:, 0], c0[:, 1]
+        poses[:, 0] += v * np.cos(poses[:, 2]) * dt
+        poses[:, 1] += v * np.sin(poses[:, 2]) * dt
+        poses[:, 2] += w * dt
+        vw = c0.copy()
