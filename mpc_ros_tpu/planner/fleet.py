@@ -210,8 +210,28 @@ class FleetPlanner:
             self._len[i] = len(plan)
             if not ok[i]:                # carried plan: keep its cursor
                 self._start[i] = old_start[i]
-        # static per-plan geometry: cumulative arclength and per-knot
-        # curvature |dheading| / mean segment (padding: arc=inf, kappa=0)
+        self._recompute_plan_geometry()
+
+        # seeding (reference setPlan): latches re-arm, FSM seeds from
+        # position/heading (seed = transition with goal_reached=False)
+        self.set_new_goal |= ok
+        self._has_warm &= ~ok
+        self.speed[ok] = 0.0
+        self.w[ok] = 0.0
+        self.throttle[ok] = 1.0
+        start = self._cutoff(poses)
+        pos = self._position_reached(poses, ok)
+        below = self._below_heading(poses, start, ok)
+        seeded = np.where(pos, _ROT_GOAL,
+                          np.where(below, _TRACK, _ROT_PRE))
+        self.states = np.where(ok, seeded, self.states)
+        return ok
+
+    def _recompute_plan_geometry(self) -> None:
+        """Derive the static per-plan geometry from the padded buffer:
+        cumulative arclength and per-knot curvature |dheading| / mean
+        segment (padding: arc=inf, kappa=0)."""
+        B = self.B
         with np.errstate(invalid="ignore"):
             d = np.diff(self._buf[:, :, :2], axis=1)   # inf padding -> nan
             ds = np.hypot(d[:, :, 0], d[:, :, 1])          # (B, M-1)
@@ -230,20 +250,44 @@ class FleetPlanner:
         kap = np.where(tiny, 0.0, kap)
         self._kappa = np.where(np.isfinite(kap), kap, 0.0)  # (B, M-2)
 
-        # seeding (reference setPlan): latches re-arm, FSM seeds from
-        # position/heading (seed = transition with goal_reached=False)
-        self.set_new_goal |= ok
-        self._has_warm &= ~ok
-        self.speed[ok] = 0.0
-        self.w[ok] = 0.0
-        self.throttle[ok] = 1.0
-        start = self._cutoff(poses)
-        pos = self._position_reached(poses, ok)
-        below = self._below_heading(poses, start, ok)
-        seeded = np.where(pos, _ROT_GOAL,
-                          np.where(below, _TRACK, _ROT_PRE))
-        self.states = np.where(ok, seeded, self.states)
-        return ok
+    # -- checkpoint / resume ---------------------------------------------------
+
+    _STATE_KEYS = ("states", "latch_xy", "latch_yaw", "set_new_goal",
+                   "speed", "w", "throttle")
+
+    def state_dict(self) -> dict:
+        """The fleet's full resumable serving state: plan buffers/cursors,
+        FSM states, goal latches, the warm-start bank, and the cross-cycle
+        actuation state. Persist with `obs.checkpoint.save_checkpoint`; a
+        restarted server resumes with warm solves and intact goal latches
+        (the reference rebuilt everything every cycle — SURVEY.md §5.4)."""
+        sd = {
+            "buf": self._buf.copy(), "len": self._len.copy(),
+            "start": self._start.copy(),
+            "warm": self._warm.copy(), "has_warm": self._has_warm.copy(),
+        }
+        for k in self._STATE_KEYS:
+            sd[k] = getattr(self, k).copy()
+        return sd
+
+    def load_state_dict(self, sd: dict) -> None:
+        """Restore `state_dict()` output into an `initialize(B)`-ed planner
+        of the same fleet size and SolverConfig shape."""
+        assert self._initialized
+        buf = np.asarray(sd["buf"], float)
+        assert buf.shape[0] == self.B, (buf.shape, self.B)
+        self._buf = buf
+        self._len = np.asarray(sd["len"], np.int64)
+        self._start = np.asarray(sd["start"], np.int64)
+        self._warm = np.asarray(sd["warm"], float)
+        assert self._warm.shape == (self.B, self.solver_cfg.n_controls, 2)
+        self._has_warm = np.asarray(sd["has_warm"], bool)
+        for k in self._STATE_KEYS:
+            dtype = getattr(self, k).dtype
+            setattr(self, k, np.asarray(sd[k]).astype(dtype))
+        self._recompute_plan_geometry()
+        self.plans = [self._buf[i, :self._len[i]].copy()
+                      if self._len[i] else None for i in range(self.B)]
 
     # -- vectorized pipeline stages (scalar twins in plan_utils/planner) ------
 

@@ -263,3 +263,106 @@ def test_fleet_planner_on_mesh_matches_unsharded():
         poses[:, 1] += v * np.sin(poses[:, 2]) * dt
         poses[:, 2] += w * dt
         vw = c0.copy()
+
+
+def test_fleet_degenerate_plans_fuzz():
+    """Fail-safe property: fleets mixing degenerate plans (single point,
+    duplicate waypoints, 2-column, zigzag reversals, long jumps) never
+    produce non-finite commands or crash, with and without the curvature
+    scheduler (zero-length segments and <=2-point windows are the edge
+    cases the vectorized pipeline must survive)."""
+    rng = np.random.default_rng(0)
+
+    def random_plan(kind):
+        if kind == 0:
+            return np.array([[1.0, 1.0, 0.5]])
+        if kind == 1:
+            return np.array([[1.0, 1.0, 0.5], [1.0, 1.0, 0.5]])
+        if kind == 2:     # duplicated waypoints (zero-length segments)
+            pts = np.cumsum(rng.normal(0, 0.2, (10, 2)), 0)
+            pts = np.repeat(pts, 2, axis=0)
+            return np.concatenate([pts, np.zeros((len(pts), 1))], 1)
+        if kind == 3:     # 2 columns (tangent yaws synthesized)
+            return np.cumsum(rng.normal(0, 0.3, (15, 2)), 0)
+        if kind == 4:
+            pts = np.cumsum(rng.normal(0, 0.3, (40, 2)), 0)
+            return np.concatenate([pts, np.zeros((40, 1))], 1)
+        if kind == 5:     # zigzag: direction reversals
+            x = np.arange(20) * 0.2
+            y = np.where(np.arange(20) % 2 == 0, 0.0, 0.5)
+            return np.stack([x, y, np.zeros(20)], 1)
+        return np.array([[0.0, 0.0, 0.0], [5.0, 0.0, 0.0]])
+
+    B = 14
+    plans = [random_plan(i % 7) for i in range(B)]
+    for slow in (False, True):
+        fp = FleetPlanner(
+            params=MPCParams(),
+            solver_cfg=SolverConfig(n_steps=10, max_sqp_iters=6,
+                                    backward="xla"),
+            planner_cfg=PlannerConfig(curvature_slowdown=slow))
+        fp.initialize(B)
+        poses = np.stack([np.array([pl[0, 0], pl[0, 1],
+                                    pl[0, 2] if pl.shape[1] >= 3 else 0.0])
+                          for pl in plans])
+        assert fp.set_plans(plans, poses).all()
+        vw = np.zeros((B, 2))
+        for _ in range(15):
+            ok, cmds, info = fp.compute_velocity_commands(
+                poses + rng.normal(0, 0.05, poses.shape), vw)
+            assert np.isfinite(cmds).all()
+            vw = cmds * 0.5
+
+
+def test_fleet_checkpoint_resume(tmp_path):
+    """Serving resume: snapshot mid-course via obs.checkpoint, restore into
+    a fresh FleetPlanner, and the continued run produces the identical
+    command stream (warm-start bank, goal latches, plan cursors intact)."""
+    from mpc_ros_tpu.obs.checkpoint import restore_checkpoint, save_checkpoint
+
+    B = 3
+    plan = get_shape("infinity")
+    plans = [plan.copy() for _ in range(B)]
+    for i, pl in enumerate(plans):
+        pl[:, :2] += 10.0 * i
+
+    def make():
+        fp = FleetPlanner(params=P, solver_cfg=SCFG, planner_cfg=PCFG)
+        fp.initialize(B)
+        return fp
+
+    fp = make()
+    poses = np.stack([pl[0] for pl in plans])
+    assert fp.set_plans(plans, poses).all()
+    vw = np.zeros((B, 2))
+    dt = float(P.dt)
+
+    def advance(fp, poses, vw, n):
+        outs = []
+        for _ in range(n):
+            ok, cmds, _ = fp.compute_velocity_commands(poses, vw)
+            v, w = cmds[:, 0], cmds[:, 1]
+            poses = poses.copy()
+            poses[:, 0] += v * np.cos(poses[:, 2]) * dt
+            poses[:, 1] += v * np.sin(poses[:, 2]) * dt
+            poses[:, 2] += w * dt
+            vw = cmds.copy()
+            outs.append(cmds)
+        return poses, vw, outs
+
+    poses, vw, _ = advance(fp, poses, vw, 20)
+    path = str(tmp_path / "fleet_ckpt")
+    save_checkpoint(path, fp.state_dict())
+
+    # uninterrupted continuation
+    poses_a, vw_a, outs_a = advance(fp, poses.copy(), vw.copy(), 10)
+
+    # restart: fresh planner + restore
+    fp2 = make()
+    fp2.load_state_dict(restore_checkpoint(path))
+    poses_b, vw_b, outs_b = advance(fp2, poses.copy(), vw.copy(), 10)
+
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_allclose(b, a, atol=1e-6)
+    # the restored planner is warm (not a cold-start transient)
+    assert fp2._has_warm.all()
