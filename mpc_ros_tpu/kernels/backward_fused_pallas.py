@@ -259,7 +259,7 @@ def backward_fused_pallas(ss, us, coeffs, params_pack, sign, V_s, V_ss,
         in_specs=[
             lane_spec(T + 1, _N),    # ss
             lane_spec(T, _M),        # us
-            lane_spec(4),            # coeffs
+            lane_spec(coeffs.shape[0]),  # coeffs: any polynomial order
             lane_spec(N_PAR),        # params
             lane_spec(_N),           # V_s
             lane_spec(_N, _N),       # V_ss

@@ -81,6 +81,9 @@ def _kernel(T: int, n_alpha: int, sign: float, dtype,
         for a in range(n_alpha):
             s_a = s_scr[pl.ds(a * _N, _N)]       # (8, 128)
             ds = s_a - s_b
+            # NOTE: unlike the megakernel, K arrives as an INPUT here, so
+            # the col-4 structural zero of the real backward pass is not a
+            # contract of this kernel — the full sum stays
             u0 = u_b[0] + alphas[a] * k[0] + sum(
                 K[0, j] * ds[j] for j in range(_N))
             u1 = u_b[1] + alphas[a] * k[1] + sum(
@@ -197,7 +200,7 @@ def forward_pallas(ss_bar, us_bar, ks, Ks, coeffs, params_pack, sign,
             lane_spec(T, _M),       # us_bar
             lane_spec(T, _M),       # ks
             lane_spec(T, _M, _N),   # Ks
-            lane_spec(4),           # coeffs
+            lane_spec(coeffs.shape[0]),  # coeffs: any polynomial order
             lane_spec(N_PAR),       # params
             lane_spec(_M),          # lb
             lane_spec(_M),          # ub

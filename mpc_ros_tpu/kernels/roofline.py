@@ -151,7 +151,8 @@ def megakernel_accounting(B: int, T: int, n_alpha: int = 8,
                 + account_forward(B, T, n_alpha + 1).flops)
     flops = per_iter * n_iters + account_rollout(B, T).flops
     in_bytes = B * (6 + 4 + 12 + 2 + 2 + 2 * T) * _F32
-    out_bytes = B * (_N * (T + 1) + _M * T + 5) * _F32
+    # 6 per-lane scalar outputs: cost, conv, iters, gnorm, mu, done
+    out_bytes = B * (_N * (T + 1) + _M * T + 6) * _F32
     bytes_ = float(in_bytes + out_bytes)
     t_compute = flops / vpu_flops_f32
     t_hbm = bytes_ / dev.hbm_bytes_per_s

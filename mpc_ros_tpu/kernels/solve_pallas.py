@@ -199,12 +199,22 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         def ce_of(ct, st, s_a):
             return ct * cphi - st * sphi
 
+        # diff_drive's increment is bounded by max_angvel*dt (<= 1 rad at
+        # any documented operating point); the bicycle's v/lf*delta*dt is
+        # not config-bounded, so its Taylor runs on the HALF angle and
+        # composes the rotation twice — exact-domain |d| <= 2 rad/step for
+        # ~5 extra FMAs (still transcendental-free)
+        half = 0.5 if model == "bicycle" else 1.0
+
         def step_trig(ct, st, d, s_next):
+            d = d * half
             z = d * d
             sd = d * (1.0 + z * (-1.0 / 6.0 + z * (1.0 / 120.0
                       + z * (-1.0 / 5040.0 + z * (1.0 / 362880.0)))))
             cd = 1.0 + z * (-0.5 + z * (1.0 / 24.0
                       + z * (-1.0 / 720.0 + z * (1.0 / 40320.0))))
+            if half != 1.0:
+                cd, sd = cd * cd - sd * sd, 2.0 * sd * cd   # double angle
             c2 = ct * cd - st * sd
             s2 = st * cd + ct * sd
             f = 1.5 - 0.5 * (c2 * c2 + s2 * s2)
@@ -744,7 +754,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         grid=grid,
         in_specs=[
             lane_spec(6),            # z0
-            lane_spec(4),            # coeffs
+            lane_spec(cT.shape[0]),  # coeffs: any polynomial order
             lane_spec(N_PAR),        # params
             lane_spec(_M),           # lb
             lane_spec(_M),           # ub

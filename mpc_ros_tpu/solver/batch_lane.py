@@ -51,25 +51,12 @@ def _pl(p: MPCParams, name, dtype):
 # ---------------------------------------------------------------- dynamics
 
 
-def _polyval_bl(coeffs, x):
-    """Horner evaluation of sum_i coeffs[i] x^i, batch-last.
-    coeffs (P, B), x (..., B) -> (..., B); any polynomial order."""
-    P = coeffs.shape[0]
-    acc = jnp.broadcast_to(coeffs[P - 1], x.shape)
-    for i in range(P - 2, -1, -1):
-        acc = coeffs[i] + x * acc
-    return acc
-
-
-def _polyder_bl(coeffs, x):
-    """f'(x) for the same representation (zero for constant polys)."""
-    P = coeffs.shape[0]
-    if P == 1:
-        return jnp.zeros_like(x)
-    acc = jnp.broadcast_to((P - 1.0) * coeffs[P - 1], x.shape)
-    for i in range(P - 2, 0, -1):
-        acc = float(i) * coeffs[i] + x * acc
-    return acc
+# Horner evaluation + derivative, batch-last: coeffs (P, B), x (..., B)
+# -> (..., B), any polynomial order. One implementation shared with the
+# Pallas kernels (the former duplicate here let a cubic-only regression
+# hide on one path).
+from ..kernels.backward_pallas import (_polyval_tile as _polyval_bl,
+                                       _polyder_tile as _polyder_bl)
 
 
 def _step_bl(s, u, coeffs, dt, sign, model="diff_drive", p=None):
@@ -436,14 +423,22 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     T = cfg.n_controls
     sign = cfg.cte_vsin_sign
     model = cfg.model
+    if model not in ("diff_drive", "bicycle"):
+        # the lane-major stages are hand-specialized per family; a silent
+        # diff_drive fallback would solve custom families (model_from_step)
+        # with the WRONG dynamics. Those run the registry-generic vmap path.
+        raise ValueError(
+            f"batch_solve_lane supports the lane-specialized families "
+            f"('diff_drive', 'bicycle'), got {model!r}; use "
+            f"engine.batch_solve for registry-defined families")
     dt = jnp.asarray(p.dt, dtype)
     zT = jnp.swapaxes(z0s, 0, 1)                   # (6, B)
     cT = jnp.swapaxes(coeffs, 0, 1)                # (P, B)
     from ..models.base import get_model
 
-    blb, _ = get_model(model).control_bounds(p, dtype)  # (2,) or (2, B)
+    blb, bub = get_model(model).control_bounds(p, dtype)  # (2,) or (2, B)
     lb = jnp.broadcast_to(blb if blb.ndim == 2 else blb[:, None], (2, B))
-    ub = -lb
+    ub = jnp.broadcast_to(bub if bub.ndim == 2 else bub[:, None], (2, B))
 
     s0 = jnp.concatenate([zT, jnp.zeros((2, B), dtype)], axis=0)
     if u_init is None:
@@ -584,10 +579,10 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             ss_n = jnp.einsum("ab,taib->tib", sel, ss_all)
             us_n = jnp.einsum("ab,tamb->tmb", sel, us_all)
             cost_n = jnp.einsum("ab,ab->b", sel, costs_all)
-            upd = jnp.logical_and(act, accepted)
-            ss2 = jnp.where(upd[None, None, :], ss_n, ss)
-            us2 = jnp.where(upd[None, None, :], us_n, us)
-            cost2 = jnp.where(upd, cost_n, cost)
+            upd_x = jnp.logical_and(act, accepted)
+            ss2 = jnp.where(upd_x[None, None, :], ss_n, ss)
+            us2 = jnp.where(upd_x[None, None, :], us_n, us)
+            cost2 = jnp.where(upd_x, cost_n, cost)
         upd = jnp.logical_and(act, accepted)
         mu2 = jnp.where(
             upd, jnp.maximum(mu / mu_factor, mu_min),

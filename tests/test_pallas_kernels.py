@@ -481,3 +481,135 @@ def test_megakernel_bicycle_fast_trig():
     du = float(jnp.max(jnp.where(both[None, None, :],
                                  jnp.abs(us_f - us_e), 0.0)))
     assert du < 5e-4, du
+
+
+def test_megakernel_non_cubic_references():
+    """The kernels must carry ANY polynomial order end-to-end (the specs
+    once hard-coded 4 coefficient rows, silently truncating quartics):
+    megakernel == XLA lane solver for P=3 (quadratic) and P=5 (quartic)."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+
+    dtype = jnp.float32
+    B = 128
+    for order in (2, 4):
+        cfg = SolverConfig(n_steps=10, max_sqp_iters=6, tol_grad=1e-3,
+                           backward="xla", trig="exact", poly_order=order)
+        z0s, c4 = make_random_scenarios(jax.random.PRNGKey(4), B, dtype)
+        if order == 2:
+            coeffs = c4[:, :3]
+        else:
+            coeffs = jnp.concatenate(
+                [c4, jnp.full((B, 1), 0.05, dtype)], axis=1)
+        r_x = bl.batch_solve_lane(z0s, coeffs, p := MPCParams().astype(dtype),
+                                  cfg)
+        zT = jnp.swapaxes(z0s, 0, 1)
+        cT = jnp.swapaxes(coeffs, 0, 1)
+        pp = pack_params(p, B, dtype)
+        lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None],
+                              (2, B))
+        u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+        _, us, *_ = solve_pallas(zT, cT, pp, lb, -lb, u0, cfg,
+                                 interpret=True)
+        du = float(jnp.max(jnp.abs(jnp.moveaxis(us, -1, 0) - r_x.us)))
+        assert du < 2e-3, (order, du)
+        # and the quartic term actually matters: a cubic-truncated solve
+        # must differ (guards against silent truncation regressions)
+        if order == 4:
+            _, us3, *_ = solve_pallas(zT, cT[:4], pp, lb, -lb, u0, cfg,
+                                      interpret=True)
+            assert float(jnp.max(jnp.abs(us3 - us))) > 1e-4
+
+
+def test_lane_solver_rejects_unknown_family():
+    """Custom registry families must not silently get diff_drive dynamics
+    on the lane path — they run engine.batch_solve instead."""
+    import pytest
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.models.base import model_from_step
+    from mpc_ros_tpu.models.diff_drive import step as dd_step
+
+    model_from_step("testfam_lane", dd_step,
+                    lambda p, dtype: (jnp.asarray([-1.0, -1.0], dtype),
+                                      jnp.asarray([1.0, 1.0], dtype)))
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), 4, jnp.float32)
+    cfg = SolverConfig(n_steps=8, model="testfam_lane")
+    with pytest.raises(ValueError, match="lane-specialized"):
+        bl.batch_solve_lane(z0s, coeffs, MPCParams().astype(jnp.float32), cfg)
+
+
+def test_lane_solver_honors_asymmetric_bounds():
+    """Model-provided (lb, ub) flow through unmodified (the lane path once
+    assumed ub == -lb): a family with accel in [-0.2, +1.0] must saturate
+    at +1.0 on a speed-up scenario and never exceed -0.2 braking."""
+    from mpc_ros_tpu.models import bicycle, diff_drive
+    from mpc_ros_tpu.models.base import Model, register_model
+
+    asym = Model(
+        name="dd_asym",
+        step=diff_drive.MODEL.step,
+        step_jacobians=diff_drive.MODEL.step_jacobians,
+        aug_step=diff_drive.MODEL.aug_step,
+        aug_step_jacobians=diff_drive.MODEL.aug_step_jacobians,
+        control_bounds=lambda p, dtype: (
+            jnp.asarray([-1.0, -0.2], dtype), jnp.asarray([1.0, 1.0], dtype)),
+    )
+    register_model(asym)
+    import mpc_ros_tpu.solver.batch_lane as _bl
+
+    # patch the family gate for this synthetic diff-drive twin
+    orig = bl.batch_solve_lane
+    z0 = jnp.asarray([[0.0, 0.0, 0.0, 0.0, 0.0, 0.0]], jnp.float32)
+    z0 = jnp.tile(z0, (4, 1))
+    coeffs = jnp.zeros((4, 4), jnp.float32)
+    p = MPCParams(ref_vel=2.0, w_vel=500.0).astype(jnp.float32)
+    cfg = SolverConfig(n_steps=10, backward="xla")
+    # simulate via the public diff_drive family but asymmetric params is
+    # not expressible; instead call the internal path with the asym model
+    # by monkeypatching get_model's return for 'diff_drive'
+    import mpc_ros_tpu.models.base as base
+
+    orig_get = base.get_model
+    try:
+        base.get_model = lambda name: asym if name == "diff_drive" \
+            else orig_get(name)
+        res = bl.batch_solve_lane(z0, coeffs, p, cfg)
+    finally:
+        base.get_model = orig_get
+    us = np.asarray(res.us)
+    assert us[..., 1].max() > 0.9          # saturates the +1.0 accel bound
+    assert us[..., 1].min() >= -0.2 - 1e-6  # never below the -0.2 floor
+
+
+def test_bicycle_fast_trig_extended_domain():
+    """The bicycle's heading increment v/lf*delta*dt is not bounded by
+    config like diff-drive's omega*dt; its fast-trig path runs the Taylor
+    on the HALF angle + double-angle composition, staying accurate to
+    ~1e-5 through |d| = 2 rad/step (v=10, lf=0.25, delta=0.5, dt=0.1)."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+    from mpc_ros_tpu.models.base import get_model
+
+    dtype = jnp.float32
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(11), B, dtype)
+    z0s = z0s.at[:, 3].set(10.0)               # fast vehicle
+    p = MPCParams(lf=0.25, max_steer=0.5, max_throttle=1.0).astype(dtype)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    blb, _ = get_model("bicycle").control_bounds(p, dtype)
+    lb = jnp.broadcast_to(blb[:, None], (2, B))
+    # saturated steering at v=10: d = 10/0.25*0.5*0.1 = 2.0 rad/step
+    u0 = jnp.concatenate([jnp.full((9, 1, B), 0.5, dtype),
+                          jnp.zeros((9, 1, B), dtype)], axis=1)
+    outs = {}
+    for trig in ("fast", "exact"):
+        cfg = SolverConfig(n_steps=10, max_sqp_iters=1, ls_iters=1,
+                           tol_grad=1e-9, trig=trig, model="bicycle")
+        outs[trig] = solve_pallas(zT, cT, pp, lb, -lb, u0, cfg,
+                                  interpret=True)
+    ds = float(jnp.max(jnp.abs(outs["fast"][0] - outs["exact"][0])))
+    assert ds < 1e-3, ds
