@@ -12,9 +12,14 @@ Replaces the reference's three-tier string-keyed config relay
 * `SolverConfig` — static shape/iteration knobs (horizon, iteration caps)
   that participate in jit specialization.
 
-Defaults follow the live config path of the reference, i.e. the
-dynamic_reconfigure defaults in /root/reference/mpc_ros/cfg/MPCPlanner.cfg
-(the yaml file is dead code in the reference fork; see SURVEY.md §5.6).
+Defaults follow the STRUCTURE of the reference's live config path (the
+dynamic_reconfigure schema /root/reference/mpc_ros/cfg/MPCPlanner.cfg; the
+yaml file is dead code in that fork, SURVEY.md §5.6) but several VALUES
+deviate deliberately — softer error weights (w_cte/w_etheta 100 vs the
+cfg's 1000), ref_vel 0.5 vs 1.0, and nonzero rate costs — tuned for the
+built-in courses and the conservative diff-drive class. For a bit-exact
+A/B against the reference's own defaults use
+`MPCParams.reference_defaults()`.
 """
 
 from __future__ import annotations
@@ -63,6 +68,19 @@ class MPCParams:
                 for f in dataclasses.fields(self)
             }
         )
+
+    @staticmethod
+    def reference_defaults() -> "MPCParams":
+        """The reference's own live defaults, bit-exact: the
+        dynamic_reconfigure values of
+        /root/reference/mpc_ros/cfg/MPCPlanner.cfg:23-37 (the only config
+        path that ever takes effect there — SURVEY.md §5.6). Use for
+        default-vs-default A/B runs against the reference."""
+        return MPCParams(
+            dt=0.1, ref_cte=0.0, ref_etheta=0.0, ref_vel=1.0,
+            w_cte=1000.0, w_etheta=1000.0, w_vel=100.0, w_angvel=100.0,
+            w_accel=50.0, w_angvel_d=0.0, w_accel_d=10.0,
+            max_angvel=1.0, max_throttle=1.0, bound_value=1.0e3)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -189,9 +189,28 @@ def config_from_dict(data: Mapping[str, Any]) -> ConfigTriple:
         # reference clamp (/root/reference/mpc_ros/src/driving_state.cpp:76-79)
         mpc_kw["max_throttle"] = max(0.1, float(mpc_kw["max_throttle"]))
 
+    def _coerce(cls, kw):
+        """Cast values to the field's default type: YAML 1.1 parses an
+        unsigned-exponent scalar like `1e8` as the STRING '1e8' (its float
+        regex wants a signed exponent), which would otherwise flow into
+        the dataclass uncaught and fail later with an opaque jit error."""
+        types = {f.name: type(f.default) for f in dataclasses.fields(cls)
+                 if f.default is not dataclasses.MISSING}
+        for k, v in kw.items():
+            t = types.get(k)
+            if t is float:
+                kw[k] = float(v)
+            elif t is int and not isinstance(v, bool):
+                kw[k] = int(float(v))
+            elif t is bool and isinstance(v, str):
+                kw[k] = v.strip().lower() in ("1", "true", "yes", "on")
+        return kw
+
     params = MPCParams(**{k: float(v) for k, v in mpc_kw.items()})
-    solver = SolverConfig(**solver_kw)
-    planner = PlannerConfig(limits=PlannerLimits(**limits_kw), **planner_kw)
+    solver = SolverConfig(**_coerce(SolverConfig, solver_kw))
+    planner = PlannerConfig(limits=PlannerLimits(
+        **_coerce(PlannerLimits, limits_kw)),
+        **_coerce(PlannerConfig, planner_kw))
     _validate(params, solver, planner)
     return params, solver, planner
 

@@ -77,9 +77,11 @@ def tuning_sweep(key, candidates: MPCParams, n_scenarios: int,
     from ..solver.batch_lane import batch_solve_lane
 
     total = n_weights * n_scenarios
-    if total % 128 == 0:
+    if total % 128 == 0 and cfg.model in ("diff_drive", "bicycle"):
         res = batch_solve_lane(z0s_t, coeffs_t, ps, cfg)
     else:
+        # registry-defined custom families (and ragged batches) run the
+        # model-generic vmapped engine
         res = batch_solve_swept(z0s_t, coeffs_t, ps, cfg)
     costs = res.cost.reshape(n_weights, n_scenarios)
     term_cte = jnp.abs(res.zs[:, -1, 4]).reshape(n_weights, n_scenarios)

@@ -18,6 +18,7 @@
 // ctypes from runtime.py.
 
 #include <atomic>
+#include <cerrno>
 #include <cmath>
 #include <vector>
 #include <cstdint>
@@ -181,7 +182,11 @@ int64_t rate_sleep(RateLoop* r) {
     r->total_late_ns += late;
     r->next = now;  // re-anchor
   } else {
-    clock_nanosleep(CLOCK_MONOTONIC, TIMER_ABSTIME, &r->next, nullptr);
+    // EINTR wakes the sleep early (SIGPROF/SIGCHLD/...); TIMER_ABSTIME
+    // makes the retry exact — without it the cycle releases pre-deadline
+    while (clock_nanosleep(CLOCK_MONOTONIC, TIMER_ABSTIME, &r->next,
+                           nullptr) == EINTR) {
+    }
   }
   ts_add_ns(&r->next, r->period_ns);
   r->cycles++;

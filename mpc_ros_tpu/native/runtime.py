@@ -124,10 +124,16 @@ class Topic:
         if not self._h:
             raise MemoryError("topic_create failed")
         self.capacity = capacity
+        # the C seqlock is single-writer (readers are lock-free and
+        # unlimited); ctypes releases the GIL during the call, so two
+        # Python publisher threads could otherwise interleave word writes
+        # under a stable-looking even sequence — serialize them here
+        self._wlock = threading.Lock()
 
     def publish(self, payload: bytes) -> None:
         buf = ctypes.create_string_buffer(payload, len(payload))
-        rc = self._lib.topic_publish(self._h, buf, len(payload))
+        with self._wlock:
+            rc = self._lib.topic_publish(self._h, buf, len(payload))
         if rc != 0:
             raise ValueError("payload exceeds topic capacity")
 
@@ -207,7 +213,7 @@ class NativeCsvLogger:
     def row(self, idx: int, cte: float, etheta: float, v: float, w: float):
         self._lib.csv_row(self._h, idx, cte, etheta, v, w)
 
-    def close(self, course_time_s: float) -> int:
+    def close(self, course_time_s: float = 0.0) -> int:
         """Write the tracking-time footer; returns rows written."""
         if self._h:
             sec = int(course_time_s)
@@ -216,3 +222,17 @@ class NativeCsvLogger:
             self._h = None
             return rows
         return 0
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        # exception-safe: flush the buffered rows + a zero-time footer if
+        # the owner never called close(course_time) itself
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -30,20 +30,40 @@ def _ckptr():
 
 def save_checkpoint(path: str, state: Any) -> None:
     """Persist a pytree of arrays at `path` (a directory), atomically
-    replacing any existing checkpoint."""
+    replacing any existing checkpoint: the new state is fully written to a
+    sibling tmp dir first, then swapped in (orbax's force=True would
+    DELETE the old checkpoint before the new one is finalized — a
+    preemption mid-save would lose both, the exact failure this module
+    exists to survive)."""
+    import shutil
+
     import jax
 
     path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    old = path + ".old"
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
     state = jax.tree.map(np.asarray, state)
-    _ckptr().save(path, state, force=True)
+    _ckptr().save(tmp, state)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)       # new checkpoint becomes live
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def restore_checkpoint(path: str) -> Optional[Any]:
-    """Load the pytree saved at `path`; None if absent."""
+    """Load the pytree saved at `path`; falls back to the `.old` sibling
+    if a crash landed between the two renames of save_checkpoint; None if
+    neither exists."""
     path = os.path.abspath(path)
-    if not os.path.exists(path):
-        return None
-    return _ckptr().restore(path)
+    if os.path.exists(path):
+        return _ckptr().restore(path)
+    if os.path.exists(path + ".old"):
+        return _ckptr().restore(path + ".old")
+    return None
 
 
 def serving_state(zs, warm_us, cycle: int) -> dict:

@@ -118,21 +118,17 @@ def run_closed_loop(planner: MPCPlanner, plan: np.ndarray,
     rate executor (mpc_ros_tpu.native.RateLoop) and reports overrun stats —
     the deadline monitoring the reference lacks.
     """
-    dt = float(planner.params.dt)
+    dt = float(np.max(np.asarray(planner.params.dt)))
     if start_pose is None:
         start_pose = plan[0].copy()
     plant = make_plant(planner.solver_cfg.model,
                        np.asarray(start_pose, float), dt, planner.params)
 
-    rate = None
-    if realtime:
-        from ..native import RateLoop
-
-        rate = RateLoop(dt)
-
     planner.initialize()
-    assert planner.set_plan(plan, plant.pose, plant.feedback_vel)
+    if not planner.set_plan(plan, plant.pose, plant.feedback_vel):
+        raise ValueError("planner rejected the plan")
 
+    rate = None
     records = []
     poses = []
     states = []
@@ -140,14 +136,22 @@ def run_closed_loop(planner: MPCPlanner, plan: np.ndarray,
     t_start = time.perf_counter()
     n_cycles = 0
     for cycle in range(1, max_cycles + 1):
+        if realtime and rate is None and cycle > 2:
+            # arm the deadline pacer AFTER the compiling cycles (cycle 1
+            # compiles the cold solve, cycle 2 the warm-started signature):
+            # anchoring earlier guarantees compile-time blown deadlines
+            # that pollute the overrun stats this mode exists to report
+            from ..native import RateLoop
+
+            rate = RateLoop(dt)
         if planner.is_goal_reached(plant.pose, plant.feedback_vel):
             reached = True
             break
-        n_cycles = cycle
         ok, (v_cmd, w_cmd), info = planner.compute_velocity_commands(
             plant.pose, plant.feedback_vel)
         if not ok:
             break
+        n_cycles = cycle
         if info.tracking is not None and info.tracking.solve is not None:
             cte = float(info.tracking.state[4])
             etheta = float(info.tracking.state[5])

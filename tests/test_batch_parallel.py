@@ -141,3 +141,25 @@ def test_extreme_param_regimes_no_nans():
     lb1 = jnp.asarray(regimes["max_throttle"])[:, None]
     assert bool(jnp.all(jnp.abs(res.us[:, :, 0]) <= lb0 + 1e-9))
     assert bool(jnp.all(jnp.abs(res.us[:, :, 1]) <= lb1 + 1e-9))
+
+
+def test_tuning_sweep_custom_family_any_batch():
+    """tuning_sweep dispatches registry-defined custom families to the
+    model-generic vmapped engine even when the batch is a multiple of 128
+    (the lane path is diff_drive/bicycle-only)."""
+    from mpc_ros_tpu.engine.sweep import sample_weight_candidates, tuning_sweep
+    from mpc_ros_tpu.models.base import model_from_step
+    from mpc_ros_tpu.models.diff_drive import step as dd_step
+
+    def step(z, u, coeffs, dt, sign, p):   # model_from_step signature
+        return dd_step(z, u, coeffs, dt, sign)
+
+    model_from_step("testfam_sweep", step,
+                    lambda p, dtype: (jnp.asarray([-1.0, -1.0], dtype),
+                                      jnp.asarray([1.0, 1.0], dtype)))
+    cands = sample_weight_candidates(jax.random.PRNGKey(0), 4, MPCParams(),
+                                     dtype=jnp.float32)
+    cfg = SolverConfig(n_steps=8, max_sqp_iters=4, model="testfam_sweep")
+    sw = tuning_sweep(jax.random.PRNGKey(1), cands, 32, cfg,
+                      dtype=jnp.float32)   # 4*32 = 128: lane-eligible size
+    assert np.isfinite(float(jnp.min(sw.mean_cost)))

@@ -106,3 +106,40 @@ def test_validation_rejects_bad_values():
 def test_nested_wins_over_flat():
     p, _, _ = config_from_dict({"mpc_w_cte": 10.0, "mpc": {"w_cte": 99.0}})
     assert float(p.w_cte) == 99.0
+
+
+def test_reference_defaults_match_cfg():
+    """MPCParams.reference_defaults() is bit-exact to the reference's live
+    dynamic_reconfigure defaults (cfg/MPCPlanner.cfg:23-37 — the only
+    config path that takes effect there)."""
+    from mpc_ros_tpu.config import MPCParams
+
+    r = MPCParams.reference_defaults()
+    assert float(r.w_cte) == 1000.0 and float(r.w_etheta) == 1000.0
+    assert float(r.w_vel) == 100.0 and float(r.w_angvel) == 100.0
+    assert float(r.w_accel) == 50.0 and float(r.w_angvel_d) == 0.0
+    assert float(r.w_accel_d) == 10.0 and float(r.ref_vel) == 1.0
+    assert float(r.max_angvel) == 1.0 and float(r.max_throttle) == 1.0
+    assert float(r.bound_value) == 1000.0
+
+
+def test_nested_sections_coerce_yaml_string_numerics(tmp_path):
+    """YAML 1.1 parses `1e8` (unsigned exponent) as a STRING; nested
+    solver/planner values must still coerce to their field types."""
+    import yaml
+
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "mpc: {w_cte: 300.0}\n"
+        "solver: {mu_max: 1e8, n_steps: '12'}\n"
+        "planner: {max_speed: 1e0, delay_mode: 'true',\n"
+        "          limits: {xy_goal_tolerance: 1e-1}}\n")
+    # precondition: PyYAML really does hand these over as strings
+    raw = yaml.safe_load(p.read_text())
+    assert isinstance(raw["solver"]["mu_max"], str)
+    params, solver, planner = load_config(p)
+    assert isinstance(solver.mu_max, float) and solver.mu_max == 1e8
+    assert solver.n_steps == 12
+    assert isinstance(planner.max_speed, float) and planner.max_speed == 1.0
+    assert planner.delay_mode is True
+    assert planner.limits.xy_goal_tolerance == 0.1

@@ -75,3 +75,45 @@ def test_sweep_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(out["candidates"]["w_cte"]),
                                np.asarray(cands.w_cte))
     assert int(out["n_done"]) == 2
+
+
+def test_checkpoint_atomic_replacement(tmp_path):
+    """save_checkpoint must never destroy the previous checkpoint before
+    the new one is live: a second save over an existing path leaves a
+    restorable state at every step, and the .old fallback covers the
+    rename window."""
+    import os
+    import shutil
+
+    from mpc_ros_tpu.obs.checkpoint import (restore_checkpoint,
+                                            save_checkpoint)
+
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, {"x": np.arange(3.0)})
+    save_checkpoint(path, {"x": np.arange(3.0) + 10.0})
+    got = restore_checkpoint(path)
+    np.testing.assert_array_equal(got["x"], np.arange(3.0) + 10.0)
+    # crash window: live dir missing, only .old present -> fallback
+    shutil.move(path, path + ".old.sim")
+    if os.path.exists(path + ".old"):
+        shutil.rmtree(path + ".old")
+    shutil.move(path + ".old.sim", path + ".old")
+    got = restore_checkpoint(path)
+    np.testing.assert_array_equal(got["x"], np.arange(3.0) + 10.0)
+
+
+def test_csv_logger_context_manager(tmp_path):
+    """NativeCsvLogger honors the documented context-manager contract and
+    flushes buffered rows on exception exit."""
+    import pytest
+
+    from mpc_ros_tpu.native.runtime import NativeCsvLogger
+
+    path = str(tmp_path / "log.csv")
+    with pytest.raises(RuntimeError):
+        with NativeCsvLogger(path) as log:
+            log.row(1, 0.1, 0.2, 0.3, 0.4)
+            raise RuntimeError("mid-run crash")
+    text = open(path).read()
+    assert "0.1" in text            # the buffered row survived
+    assert "tracking time" in text  # footer written by __exit__
