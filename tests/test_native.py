@@ -110,9 +110,10 @@ def test_realtime_closed_loop_meets_deadlines():
     res = run_closed_loop(planner, infinity(n_points=300), max_cycles=60,
                           realtime=True)
     assert res.rate_stats is not None
-    assert res.rate_stats["cycles"] >= 59
-    # after jit warmup the 2ms solve fits the 50ms budget easily; allow the
-    # first-compile cycle to overrun
+    # the pacer arms after the two jit-compiling cycles (so compile time
+    # never pollutes the deadline stats): 60 cycles -> >= 57 paced
+    assert res.rate_stats["cycles"] >= 57
+    # after jit warmup the 2ms solve fits the 50ms budget easily
     assert res.rate_stats["overruns"] <= 2, res.rate_stats
 
 
