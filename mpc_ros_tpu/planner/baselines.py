@@ -43,6 +43,9 @@ class _BaselineTracker:
 
     def reset(self) -> None:
         self.speed = 0.0
+        # DWAPlanner._make_tracker adds `w`; reset it too if present
+        if hasattr(self, "w"):
+            self.w = 0.0
 
     def update_params(self, params: MPCParams) -> None:
         self.params = params
@@ -290,8 +293,10 @@ class DWAPlanner(MPCPlanner):
                 [pts, np.repeat(pts[-1:], cfg.plan_points - len(pts), 0)])
         goal_xy = pts[-1]
 
-        if self.world_obstacles is not None:
-            self.tracker.obstacles = self.world_obstacles.to_frame(pose)
+        # unconditional: set_obstacles(None) must clear the stale snapshot
+        self.tracker.obstacles = (
+            self.world_obstacles.to_frame(pose)
+            if self.world_obstacles is not None else None)
         omap = self.tracker.obstacle_map
         blobs = self.tracker.obstacles
         f = _dwa_eval_jit(cfg, omap is not None, blobs is not None)
@@ -303,8 +308,12 @@ class DWAPlanner(MPCPlanner):
             kw["omap"] = omap
         if blobs is not None:
             kw["blobs"] = blobs
-        v_cmd, w_cmd = f(jnp.float32(self.tracker.speed),
-                         jnp.float32(self.tracker.w),
+        # center the dynamic window on the MEASURED state, not the last
+        # command: after an external stop/safety override the commanded
+        # speed is stale and the window would span dynamically infeasible
+        # candidates (the guarantee DWA is named after)
+        v_cmd, w_cmd = f(jnp.float32(v_fb),
+                         jnp.float32(float(feedback_vel[1])),
                          lim, jnp.asarray(pts, jnp.float32),
                          jnp.asarray(goal_xy, jnp.float32), **kw)
         v_cmd, w_cmd = float(v_cmd), float(w_cmd)

@@ -62,6 +62,11 @@ class PlannerNode:
         self.traj_topic = Topic(n * 3 * 8 + 16)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # serializes planner-state mutation between the loop thread and
+        # callers of set_plan (an unsynchronized set_plan could be
+        # overwritten by the loop's in-flight plan pruning, silently
+        # losing the new goal)
+        self._plan_lock = threading.Lock()
         self.cycles = 0
         self.errors = 0
         self.last_error: Optional[str] = None
@@ -72,20 +77,30 @@ class PlannerNode:
     def set_plan(self, plan: np.ndarray) -> bool:
         raw = self.pose_topic.read()
         pose = np.array(struct.unpack(POSE_FMT, raw)) if raw else plan[0]
-        if self.recovery is not None:
-            return self.recovery.set_plan(plan, pose)
-        return self.planner.set_plan(plan, pose)
+        with self._plan_lock:
+            if self.recovery is not None:
+                return self.recovery.set_plan(plan, pose)
+            return self.planner.set_plan(plan, pose)
 
     def start(self) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            raise RuntimeError("PlannerNode loop already running")
         self._stop.clear()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def stop(self) -> None:
+    def stop(self, timeout: float = 5.0) -> bool:
+        """Stop the loop; returns False if the thread is still alive after
+        `timeout` (e.g. blocked in a multi-minute remote compile) — the
+        handle is kept so a retry can join it and start() cannot spawn a
+        second publisher."""
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=5.0)
+            self._thread.join(timeout=timeout)
+            if self._thread.is_alive():
+                return False
             self._thread = None
+        return True
 
     # -- the loop ----------------------------------------------------------
 
@@ -121,24 +136,38 @@ class PlannerNode:
         raw_fb = self.feedback_topic.read()
         fb = struct.unpack(TWIST_FMT, raw_fb) if raw_fb else (0.0, 0.0)
 
-        if self.planner.is_goal_reached(pose, fb):
-            self.cmd_topic.publish(pack_twist(0.0, 0.0))
-            self.cycles += 1
-            return
-        ok, (v, w), info = self.planner.compute_velocity_commands(pose, fb)
-        if self.recovery is not None:
-            ok, (v, w) = self.recovery.on_cycle(ok, (v, w), pose, fb)
-            # a successful recovery is the operator-ack equivalent: without
-            # this, the safety fault latched during the outage would
-            # permanently override the recovered commands
-            if (ok and self.safety is not None and self.safety.status.fault
-                    and getattr(self.recovery.state, "value", "") == "normal"):
-                self.safety.clear_fault()
+        with self._plan_lock:
+            if self.planner.is_goal_reached(pose, fb):
+                if self.safety is not None:
+                    # keep the monitor's speed memory fresh (the controlled
+                    # stop bleeds from the last observed command)
+                    self.safety.check(True, (0.0, 0.0), None)
+                self.cmd_topic.publish(pack_twist(0.0, 0.0))
+                self.cycles += 1
+                return
+            ok, (v, w), info = self.planner.compute_velocity_commands(
+                pose, fb)
+            if self.recovery is not None:
+                ok, (v, w) = self.recovery.on_cycle(ok, (v, w), pose, fb)
+                # a successful recovery is the operator-ack equivalent:
+                # without this, the safety fault latched during the outage
+                # would permanently override the recovered commands
+                if (ok and self.safety is not None
+                        and self.safety.status.fault
+                        and getattr(self.recovery.state, "value", "")
+                        == "normal"):
+                    self.safety.clear_fault()
         if not ok:
             self.errors += 1
+            # ALWAYS publish something explicit on a failed cycle — with no
+            # monitor the last nonzero command would stay latched in
+            # cmd_topic (e.g. the recovery ladder's rotate command spinning
+            # the robot forever after an abort)
             if self.safety is not None:
                 v, w = self.safety.check(False, (v, w), info)
-                self.cmd_topic.publish(pack_twist(v, w))
+            else:
+                v, w = 0.0, 0.0
+            self.cmd_topic.publish(pack_twist(v, w))
             return
         if self.safety is not None:
             v, w = self.safety.check(True, (v, w), info)

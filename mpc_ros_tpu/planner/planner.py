@@ -109,8 +109,12 @@ class MPCPlanner:
         (cmd, ref_plan, predicted_traj_or_None, TrackingDebug_or_None)."""
         ref_plan = plan_utils.downsample_plan(
             cut, self.planner_cfg.downsample_segments)
-        if self.world_obstacles is not None:
-            self.tracker.obstacles = self.world_obstacles.to_frame(pose)
+        # assign unconditionally: set_obstacles(None) must CLEAR the
+        # tracker's snapshot (a stale robot-frame copy would keep repelling
+        # from phantom offsets glued to the robot)
+        self.tracker.obstacles = (
+            self.world_obstacles.to_frame(pose)
+            if self.world_obstacles is not None else None)
         (v_cmd, w_cmd), tracking_dbg = self.tracker.compute(
             pose, self.goal, feedback_vel[0], ref_plan, raw_plan=cut)
         mpc_traj = None
@@ -146,6 +150,15 @@ class MPCPlanner:
         plan = np.asarray(plan, float)
         if plan.ndim != 2 or len(plan) == 0:
             return False
+        if plan.shape[1] < 3:
+            # synthesize tangent headings: downstream goal-yaw logic
+            # (orientation latch, StopAndRotate) indexes column 2
+            yaw = np.zeros(len(plan))
+            if len(plan) >= 2:
+                d = np.diff(plan[:, :2], axis=0)
+                yaw[:-1] = np.arctan2(d[:, 1], d[:, 0])
+                yaw[-1] = yaw[-2]
+            plan = np.concatenate([plan[:, :2], yaw[:, None]], axis=1)
         self.global_plan = plan
         self.set_new_goal = True
         self.tracker.reset()

@@ -202,8 +202,9 @@ class RecoverySupervisor:
         cut = plan_utils.cutoff_plan(np.asarray(plan, float), pose[:2])
         if len(cut) == 0:
             return 1.0
-        err = plan_utils.path_heading(cut) - float(pose[2])
-        err = (err + np.pi) % (2.0 * np.pi) - np.pi
+        from .fsm import normalize_angle
+
+        err = normalize_angle(plan_utils.path_heading(cut) - float(pose[2]))
         return 1.0 if err >= 0.0 else -1.0
 
     def _back_to_normal(self) -> None:

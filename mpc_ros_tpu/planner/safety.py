@@ -92,9 +92,12 @@ class SafetyMonitor:
             st.healthy = True
 
         if st.fault or reason:
-            # controlled stop: bleed speed at the decel limit, zero rotation
-            v_safe = max(self._last_v - self.cfg.decel_limit * self.period_s,
-                         0.0)
+            # controlled stop: bleed |speed| toward zero at the decel limit
+            # (sign-preserving — a reversing robot ramps to rest instead of
+            # halting instantaneously), zero rotation
+            step = self.cfg.decel_limit * self.period_s
+            mag = max(abs(self._last_v) - step, 0.0)
+            v_safe = mag if self._last_v >= 0.0 else -mag
             self._last_v = v_safe
             return (v_safe, 0.0)
         self._last_v = v

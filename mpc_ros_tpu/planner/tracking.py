@@ -241,7 +241,9 @@ class TrackingController:
         # (0.45-0.84 m excursion). Wrapping to [-pi, pi] commands the short
         # way around; `wrap_etheta=False` reproduces the reference formula.
         if self.planner_cfg.wrap_etheta:
-            etheta = float((etheta + np.pi) % (2.0 * np.pi) - np.pi)
+            from .fsm import normalize_angle
+
+            etheta = normalize_angle(etheta)
 
         # delay-mode one-step prediction (driving_state.cpp:243-253). Under
         # the consistent convention (quirk Q11, cte_vsin_sign=-1) the cte and

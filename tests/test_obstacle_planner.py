@@ -97,3 +97,25 @@ def test_dwa_vetoes_collision_and_holds_clearance():
     assert min_dist_to_blob(res.poses) > 0.35
     # and it makes real progress toward the obstacle before holding off
     assert res.poses[:, 0].max() > 1.5
+
+
+def test_set_obstacles_none_clears():
+    """set_obstacles(None) must actually clear the tracker's robot-frame
+    snapshot: after clearing, the planner drives straight through the old
+    blob site instead of repelling from a phantom glued to the robot."""
+    plan = straight_plan()
+    pl = _setup("mpc")()
+    pl.initialize()
+    pl.set_obstacles(make_blob())
+    res1 = run_closed_loop(pl, plan, max_cycles=200)
+    assert pl.tracker.obstacles is not None
+
+    pl2 = _setup("mpc")()
+    pl2.initialize()
+    pl2.set_obstacles(make_blob())
+    pl2.set_plan(plan, plan[0])
+    pl2.compute_velocity_commands(plan[0], (0.2, 0.0))
+    assert pl2.tracker.obstacles is not None
+    pl2.set_obstacles(None)
+    pl2.compute_velocity_commands(plan[0], (0.2, 0.0))
+    assert pl2.tracker.obstacles is None

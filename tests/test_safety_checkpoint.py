@@ -117,3 +117,14 @@ def test_csv_logger_context_manager(tmp_path):
     text = open(path).read()
     assert "0.1" in text            # the buffered row survived
     assert "tracking time" in text  # footer written by __exit__
+
+
+def test_controlled_stop_preserves_reverse_sign():
+    """A reversing robot ramps to rest at the decel limit instead of
+    halting instantaneously (the old clamp-to-zero)."""
+    m = SafetyMonitor(period_s=0.1, cfg=SafetyConfig(decel_limit=1.0))
+    m.check(True, (-0.5, 0.0))           # commanded reverse
+    v1, w1 = m.check(False, (0.0, 0.0))  # fault -> controlled stop
+    assert w1 == 0.0 and -0.5 < v1 < 0.0, v1
+    v2, _ = m.check(False, (0.0, 0.0))
+    assert v1 < v2 <= 0.0                # monotone ramp toward zero
