@@ -327,9 +327,12 @@ def test_planner_tracking_with_blobs_steers_away():
         planner.initialize()
         planner.set_plan(plan, np.array([0.0, 0.0, 0.0]))
         if with_blobs:
-            planner.tracker.obstacles = GaussianObstacles.from_sigmas(
+            # world-frame via the public API (the tracker snapshot is
+            # re-derived from world_obstacles every cycle; the robot pose
+            # is the origin here, so world == robot frame)
+            planner.set_obstacles(GaussianObstacles.from_sigmas(
                 jnp.asarray([0.6]), jnp.asarray([0.06]),
-                jnp.asarray([0.25]), jnp.asarray([300.0]))
+                jnp.asarray([0.25]), jnp.asarray([300.0])))
         ws = []
         for _ in range(2):   # cold then warm-started cycle
             ok, (v, w), info = planner.compute_velocity_commands(
