@@ -119,3 +119,57 @@ def test_set_obstacles_none_clears():
     pl2.set_obstacles(None)
     pl2.compute_velocity_commands(plan[0], (0.2, 0.0))
     assert pl2.tracker.obstacles is None
+
+
+def test_moving_obstacle_per_cycle_updates():
+    """Dynamic obstacles: set_obstacles is called EVERY cycle with the
+    current world-frame position (constant leaf shapes -> no recompile);
+    the robot yields to a pedestrian crossing its path where the
+    obstacle-blind run would nearly hit them."""
+    import time
+
+    import jax.numpy as jnp
+
+    n = 100
+    plan = np.stack([np.linspace(0, 6, n), np.zeros(n), np.zeros(n)], 1)
+    p = MPCParams(dt=0.1, ref_vel=0.5, max_angvel=1.5,
+                  w_angvel_d=10.0, w_accel_d=10.0)
+
+    def run(avoid):
+        planner = MPCPlanner(params=p, solver_cfg=SolverConfig(n_steps=20),
+                             planner_cfg=PlannerConfig(local_plan_length=2.5))
+        planner.initialize()
+        pose = plan[0].copy()
+        planner.set_plan(plan, pose)
+        vw = (0.0, 0.0)
+        min_d = np.inf
+        t1 = time.perf_counter()
+        cyc_times = []
+        for cyc in range(400):
+            t = cyc * 0.1
+            ped = np.array([3.0, 1.2 - 0.18 * t])  # crosses y=0 at ~6.7 s
+            if avoid:
+                planner.set_obstacles(GaussianObstacles.from_sigmas(
+                    jnp.asarray([ped[0]]), jnp.asarray([ped[1]]),
+                    jnp.asarray([0.3]), jnp.asarray([60.0])))
+            t0 = time.perf_counter()
+            ok, (v, w), _ = planner.compute_velocity_commands(pose, vw)
+            cyc_times.append(time.perf_counter() - t0)
+            assert ok
+            pose = pose + np.array([v * np.cos(pose[2]) * 0.1,
+                                    v * np.sin(pose[2]) * 0.1, w * 0.1])
+            vw = (v, w)
+            min_d = min(min_d, float(np.hypot(pose[0] - ped[0],
+                                              pose[1] - ped[1])))
+            if pose[0] > 5.5:
+                break
+        return min_d, pose, np.asarray(cyc_times)
+
+    d_avoid, pose_a, ct = run(True)
+    d_blind, pose_b, _ = run(False)
+    assert pose_a[0] > 5.5 and pose_b[0] > 5.5     # both complete
+    assert d_blind < 0.35, d_blind                 # near-miss without blobs
+    assert d_avoid > 0.45, d_avoid                 # real clearance with them
+    # per-cycle updates must not recompile: steady cycles stay in the ms
+    # range (a recompile would be seconds even on CPU)
+    assert float(np.median(ct[5:])) < 0.2
