@@ -631,10 +631,16 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         n_small2 = jnp.where(act > 0.5,
                              jnp.where(small_step > 0.5, n_small + 1.0, 0.0),
                              n_small)
+        # tiny predicted decrease = optimum only with the trust region
+        # open; under inflated mu it is a stall (see ilqr.py) — per lane
+        mu_open = (mu <= mu_min * mu_factor).astype(dtype)
         converged_now = jnp.maximum(
             jnp.maximum((pg < tol_grad).astype(dtype),
-                        (n_small2 >= 2.0).astype(dtype)), tiny_model)
-        stalled = (1.0 - accepted) * (mu2 >= mu_max).astype(dtype)
+                        (n_small2 >= 2.0).astype(dtype)),
+            tiny_model * mu_open)
+        stalled = jnp.maximum(
+            (1.0 - accepted) * (mu2 >= mu_max).astype(dtype),
+            tiny_model * (1.0 - mu_open))
         done2 = jnp.where(act > 0.5,
                           jnp.maximum(converged_now, stalled), done)
         conv2 = jnp.where(act > 0.5, converged_now, conv)

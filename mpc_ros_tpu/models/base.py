@@ -152,7 +152,8 @@ def make_jacobians(step: Fn) -> Fn:
 
 def model_from_step(name: str, step: Fn, control_bounds: Fn,
                     control_names: tuple = ("omega", "accel"),
-                    register: bool = True) -> Model:
+                    register: bool = True,
+                    allow_override: bool = False) -> Model:
     """Build (and by default register) a complete Model from just a step
     function — derivatives come from autodiff (`make_jacobians`), the
     rate-cost augmentation from `make_aug`.
@@ -175,14 +176,23 @@ def model_from_step(name: str, step: Fn, control_bounds: Fn,
         control_names=tuple(control_names),
     )
     if register:
-        register_model(mdl)
+        register_model(mdl, allow_override=allow_override)
     return mdl
 
 
 _REGISTRY: Dict[str, Model] = {}
 
 
-def register_model(model: Model) -> Model:
+def register_model(model: Model, allow_override: bool = False) -> Model:
+    """Add a family to the registry. Overwriting an existing name is
+    refused by default — a silent replacement of e.g. 'diff_drive' would
+    reroute every solve (including the Pallas fast-path dispatch keyed on
+    the name) through the new dynamics with no symptom but wrong
+    trajectories."""
+    if model.name in _REGISTRY and not allow_override:
+        raise ValueError(
+            f"model {model.name!r} is already registered; pass "
+            f"allow_override=True to replace it deliberately")
     _REGISTRY[model.name] = model
     return model
 

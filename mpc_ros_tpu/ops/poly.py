@@ -63,14 +63,15 @@ def polyfit(x: jnp.ndarray, y: jnp.ndarray, order: int,
     """
     A = vandermonde(x, order)                      # (..., n, P)
     if weights is not None:
-        w = weights[..., :, None]
-        Aw = A * w
-        yw = y * weights
+        # weighted normal equations A'WA c = A'Wy — the weight applies
+        # exactly ONCE on each side (Aw carries it; y stays raw). Applying
+        # it to y as well would solve A'WA c = A'W^2 y, which is wrong for
+        # any non-binary weight.
+        Aw = A * weights[..., :, None]
     else:
         Aw = A
-        yw = y
     AtA = jnp.einsum("...ni,...nj->...ij", Aw, A)
-    Aty = jnp.einsum("...ni,...n->...i", Aw, yw)
+    Aty = jnp.einsum("...ni,...n->...i", Aw, y)
     # Tikhonov floor keeps padded/degenerate batches solvable.
     eps = jnp.asarray(1e-8, x.dtype)
     AtA = AtA + eps * jnp.eye(order + 1, dtype=x.dtype)

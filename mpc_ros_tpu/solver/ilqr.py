@@ -333,10 +333,20 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             accepted, jnp.abs(cost - cost2) <= tol_cost * (1.0 + jnp.abs(cost))
         )
         n_small2 = jnp.where(small_step, n_small + 1, 0)
+        # a tiny predicted decrease certifies an optimum only while the
+        # trust region is essentially open; under inflated damping (mu
+        # ramped by rejected steps) the Newton step is crushed and a tiny
+        # prediction means STALLED, not converged — the solve still stops
+        # (same done criterion), but the label stays honest
+        mu_open = mu <= mu_min * mu_factor
         converged = jnp.logical_or(
-            jnp.logical_or(pg < tol_grad, n_small2 >= 2), tiny_model
+            jnp.logical_or(pg < tol_grad, n_small2 >= 2),
+            jnp.logical_and(tiny_model, mu_open),
         )
-        stalled = jnp.logical_and(jnp.logical_not(accepted), mu2 >= mu_max)
+        stalled = jnp.logical_or(
+            jnp.logical_and(jnp.logical_not(accepted), mu2 >= mu_max),
+            jnp.logical_and(tiny_model, jnp.logical_not(mu_open)),
+        )
         done2 = jnp.logical_or(converged, stalled)
         return (ss2, us2, cost2, mu2, it + 1, done2, pg, n_small2, converged)
 

@@ -120,12 +120,17 @@ def solve_oracle(z0: np.ndarray, coeffs: np.ndarray, p: MPCParams,
     from ..models.base import get_model
     import jax.numpy as jnp
 
-    u_lb, _ = get_model(cfg.model).control_bounds(p, jnp.float64)
-    ma, mt = -float(u_lb[0]), -float(u_lb[1])
+    u_lb, u_ub = get_model(cfg.model).control_bounds(p, jnp.float64)
     lb = np.concatenate([
-        np.full(6 * N, -bv), np.full(N - 1, -ma), np.full(N - 1, -mt)
+        np.full(6 * N, -bv),
+        np.full(N - 1, float(u_lb[0])), np.full(N - 1, float(u_lb[1])),
     ])
-    ub = -lb
+    # honor asymmetric model boxes (e.g. throttle in [0, 1]); the built-in
+    # families are symmetric, so their NLPs are unchanged
+    ub = np.concatenate([
+        np.full(6 * N, bv),
+        np.full(N - 1, float(u_ub[0])), np.full(N - 1, float(u_ub[1])),
+    ])
 
     # constraint targets: 0 except initial rows pinned to the state
     g_target = np.zeros(6 * N)

@@ -68,6 +68,7 @@ def _register_ad_clone():
         "diff_drive_ad",
         lambda z, u, c, dt, s, p: diff_drive.step(z, u, c, dt, s),
         dd.control_bounds,
+        allow_override=True,   # idempotent across tests in one process
     )
 
 
@@ -101,7 +102,8 @@ def _register_damped():
         return z_next.at[..., diff_drive.V].add(-K_DRAG * v * dt)
 
     return model_from_step(
-        "damped_drive", step, get_model("diff_drive").control_bounds)
+        "damped_drive", step, get_model("diff_drive").control_bounds,
+        allow_override=True)   # idempotent across tests in one process
 
 
 def test_custom_ad_family_end_to_end():
@@ -139,3 +141,18 @@ def test_custom_ad_family_batched():
     # batched == single, lane by lane
     single = solve_jit(z0s[2], coeffs[2], p, cfg)
     np.testing.assert_allclose(res.us[2], single.us, rtol=0, atol=1e-10)
+
+
+def test_registry_refuses_silent_override():
+    """Registering an existing family name raises unless explicitly
+    overridden — a silent replacement of 'diff_drive' would reroute every
+    solve through the new dynamics with no symptom."""
+    import pytest
+
+    from mpc_ros_tpu.models.base import get_model, model_from_step
+
+    with pytest.raises(ValueError, match="already registered"):
+        model_from_step(
+            "diff_drive",
+            lambda z, u, c, dt, s, p: z,
+            get_model("diff_drive").control_bounds)
