@@ -66,7 +66,6 @@ class Model:
 
     def rollout(self, z0, us, coeffs, dt, sign, p):
         """Roll the plant forward: z0 (6,), us (T,2) -> (T+1, 6)."""
-        import jax
 
         def body(z, u):
             z_next = self.step(z, u, coeffs, dt, sign, p)

@@ -31,6 +31,21 @@ from ..config import MPCParams
 from .diff_drive import STATE_DIM, CONTROL_DIM, AUG_STATE_DIM, V, CTE, ETHETA
 
 
+def state_weights(p: MPCParams, dtype):
+    """(wz, ref): the tracked-state weight and setpoint vectors shared by
+    the stage expansion here and the solver's terminal expansion — ONE
+    definition so a new tracked term cannot desynchronize them."""
+    wz = jnp.zeros((STATE_DIM,), dtype)
+    wz = wz.at[V].set(jnp.asarray(p.w_vel, dtype))
+    wz = wz.at[CTE].set(jnp.asarray(p.w_cte, dtype))
+    wz = wz.at[ETHETA].set(jnp.asarray(p.w_etheta, dtype))
+    ref = jnp.zeros((STATE_DIM,), dtype)
+    ref = ref.at[V].set(jnp.asarray(p.ref_vel, dtype))
+    ref = ref.at[CTE].set(jnp.asarray(p.ref_cte, dtype))
+    ref = ref.at[ETHETA].set(jnp.asarray(p.ref_etheta, dtype))
+    return wz, ref
+
+
 def state_cost(z: jnp.ndarray, p: MPCParams) -> jnp.ndarray:
     """Per-knot tracking cost on (cte, etheta, v). z: (..., 6)."""
     return (
@@ -72,14 +87,7 @@ def stage_expansion_aug(s: jnp.ndarray, u: jnp.ndarray, rate_on, p: MPCParams):
     pu = s[..., STATE_DIM:]
     du = u - pu
 
-    wz = jnp.zeros((STATE_DIM,), dtype)
-    wz = wz.at[V].set(jnp.asarray(p.w_vel, dtype))
-    wz = wz.at[CTE].set(jnp.asarray(p.w_cte, dtype))
-    wz = wz.at[ETHETA].set(jnp.asarray(p.w_etheta, dtype))
-    ref = jnp.zeros((STATE_DIM,), dtype)
-    ref = ref.at[V].set(jnp.asarray(p.ref_vel, dtype))
-    ref = ref.at[CTE].set(jnp.asarray(p.ref_cte, dtype))
-    ref = ref.at[ETHETA].set(jnp.asarray(p.ref_etheta, dtype))
+    wz, ref = state_weights(p, dtype)
 
     wu = jnp.stack([jnp.asarray(p.w_angvel, dtype), jnp.asarray(p.w_accel, dtype)])
     wd = rate_on * jnp.stack(

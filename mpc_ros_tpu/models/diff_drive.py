@@ -114,40 +114,30 @@ def step_jacobians(z: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt,
     return A, B
 
 
+# Augmented-state step/Jacobians: s = (z, prev_u) -> (step(z, u), u). The
+# augmentation turns the reference's actuator-rate costs (w_angvel_d,
+# w_accel_d over consecutive controls,
+# /root/reference/mpc_ros/src/mpc_planner.cpp:144-147) into Markov stage
+# costs so the problem keeps the Riccati-factorizable structure. Built by
+# the ONE generic augmentation (base.make_aug) — the former hand copy here
+# had to track every layout change twice. The module-level functions keep
+# their original p-free signatures for the kernels and tests.
+from .base import make_aug as _make_aug
+
+_aug_step_p, _aug_jacs_p = _make_aug(
+    lambda z, u, c, dt, sign, p: step(z, u, c, dt, sign),
+    lambda z, u, c, dt, sign, p: step_jacobians(z, u, c, dt, sign))
+
+
 def aug_step(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt,
              cte_vsin_sign: float = 1.0) -> jnp.ndarray:
-    """Augmented-state step: s = (z, prev_u) -> (step(z, u), u).
-
-    The augmentation turns the reference's actuator-rate costs
-    (w_angvel_d, w_accel_d over consecutive controls,
-    /root/reference/mpc_ros/src/mpc_planner.cpp:144-147) into Markov stage
-    costs so the problem keeps the Riccati-factorizable structure.
-    """
-    z_next = step(s[..., :STATE_DIM], u, coeffs, dt, cte_vsin_sign)
-    return jnp.concatenate([z_next, u], axis=-1)
+    return _aug_step_p(s, u, coeffs, dt, cte_vsin_sign, None)
 
 
-def aug_step_jacobians(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray, dt,
-                       cte_vsin_sign: float = 1.0):
+def aug_step_jacobians(s: jnp.ndarray, u: jnp.ndarray, coeffs: jnp.ndarray,
+                       dt, cte_vsin_sign: float = 1.0):
     """Closed-form Jacobians of `aug_step`; shapes (8,8), (8,2)."""
-    z = s[..., :STATE_DIM]
-    A, B = step_jacobians(z, u, coeffs, dt, cte_vsin_sign)
-    batch = z.shape[:-1]
-    dtype = z.dtype
-    zeros_su = jnp.zeros(batch + (STATE_DIM, CONTROL_DIM), dtype)
-    zeros_us = jnp.zeros(batch + (CONTROL_DIM, STATE_DIM), dtype)
-    zeros_uu = jnp.zeros(batch + (CONTROL_DIM, CONTROL_DIM), dtype)
-    eye_uu = jnp.broadcast_to(jnp.eye(CONTROL_DIM, dtype=dtype),
-                              batch + (CONTROL_DIM, CONTROL_DIM))
-    A_aug = jnp.concatenate(
-        [
-            jnp.concatenate([A, zeros_su], axis=-1),
-            jnp.concatenate([zeros_us, zeros_uu], axis=-1),
-        ],
-        axis=-2,
-    )
-    B_aug = jnp.concatenate([B, eye_uu], axis=-2)
-    return A_aug, B_aug
+    return _aug_jacs_p(s, u, coeffs, dt, cte_vsin_sign, None)
 
 
 def _control_bounds(p, dtype):
@@ -169,9 +159,8 @@ def _register():
         step=lambda z, u, c, dt, sign, p: step(z, u, c, dt, sign),
         step_jacobians=lambda z, u, c, dt, sign, p: step_jacobians(
             z, u, c, dt, sign),
-        aug_step=lambda s, u, c, dt, sign, p: aug_step(s, u, c, dt, sign),
-        aug_step_jacobians=lambda s, u, c, dt, sign, p: aug_step_jacobians(
-            s, u, c, dt, sign),
+        aug_step=_aug_step_p,
+        aug_step_jacobians=_aug_jacs_p,
         control_bounds=_control_bounds,
         control_names=("omega", "accel"),
     ))
@@ -186,12 +175,6 @@ def rollout(z0: jnp.ndarray, us: jnp.ndarray, coeffs: jnp.ndarray, dt,
 
     The kinematic model IS the simulator (SURVEY.md §4): this same function
     drives both the solver's forward pass and the closed-loop test plant.
+    (Delegates to the registry Model's generic scan.)
     """
-    import jax
-
-    def body(z, u):
-        z_next = step(z, u, coeffs, dt, cte_vsin_sign)
-        return z_next, z_next
-
-    _, zs = jax.lax.scan(body, z0, us)
-    return jnp.concatenate([z0[None], zs], axis=0)
+    return MODEL.rollout(z0, us, coeffs, dt, cte_vsin_sign, None)

@@ -91,14 +91,13 @@ def _terminal_expansion(s_T, p: MPCParams, omap=None, blobs=None):
     plus the terminal knot's obstacle gradient when an ObstacleMap is set).
     """
     dtype = s_T.dtype
-    wz = jnp.zeros((_S,), dtype)
-    wz = wz.at[dd.V].set(jnp.asarray(p.w_vel, dtype))
-    wz = wz.at[dd.CTE].set(jnp.asarray(p.w_cte, dtype))
-    wz = wz.at[dd.ETHETA].set(jnp.asarray(p.w_etheta, dtype))
-    ref = jnp.zeros((_S,), dtype)
-    ref = ref.at[dd.V].set(jnp.asarray(p.ref_vel, dtype))
-    ref = ref.at[dd.CTE].set(jnp.asarray(p.ref_cte, dtype))
-    ref = ref.at[dd.ETHETA].set(jnp.asarray(p.ref_etheta, dtype))
+    from ..models.costs import state_weights
+
+    wz6, ref6 = state_weights(p, dtype)
+    # padded to the augmented state (prev-control rows carry no terminal
+    # weight)
+    wz = jnp.zeros((_S,), dtype).at[: dd.STATE_DIM].set(wz6)
+    ref = jnp.zeros((_S,), dtype).at[: dd.STATE_DIM].set(ref6)
     V_s = 2.0 * wz * (s_T - ref)
     V_ss = jnp.diag(2.0 * wz)
     if omap is not None:
