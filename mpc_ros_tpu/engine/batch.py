@@ -39,13 +39,18 @@ class Scenario:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def batch_solve(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                 cfg: SolverConfig,
-                u_init: Optional[jnp.ndarray] = None) -> SolveResult:
-    """Solve B scenarios with shared params. z0s: (B, 6), coeffs: (B, P)."""
-    if u_init is None:
-        return jax.vmap(lambda z, c: ilqr.solve(z, c, p, cfg))(z0s, coeffs)
-    return jax.vmap(lambda z, c, u: ilqr.solve(z, c, p, cfg, u_init=u))(
-        z0s, coeffs, u_init
-    )
+                u_init: Optional[jnp.ndarray] = None,
+                refs: Optional[jnp.ndarray] = None) -> SolveResult:
+    """Solve B scenarios with shared params. z0s: (B, 6), coeffs: (B, P).
+
+    `refs` (B, N, 3) = per-scenario time-indexed setpoint profiles
+    (trajectory-tracking mode; see solver.ilqr.solve)."""
+    u_ax = None if u_init is None else 0
+    r_ax = None if refs is None else 0
+    return jax.vmap(
+        lambda z, c, u, r: ilqr.solve(z, c, p, cfg, u_init=u, refs=r),
+        in_axes=(0, 0, u_ax, r_ax),
+    )(z0s, coeffs, u_init, refs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -31,6 +31,36 @@ from ..config import MPCParams
 from .diff_drive import STATE_DIM, CONTROL_DIM, AUG_STATE_DIM, V, CTE, ETHETA
 
 
+def _ref3_cols(p: MPCParams, ref3):
+    """The three tracked setpoints: scalars from `p`, or per-stage rows.
+
+    `ref3` is an optional (..., 3) array with columns
+    (ref_cte, ref_etheta, ref_vel) — one row per horizon knot. It upgrades
+    the reference's constant setpoints
+    (/root/reference/mpc_ros/src/mpc_planner.cpp:122-130, where ref_cte /
+    ref_etheta / ref_v are scalars for the whole horizon) to time-indexed
+    profiles, which is what direct trajectory tracking (a reference that
+    moves in TIME — the upstream repo's `ref_trajectory_tracking` mode,
+    /root/reference/README.md:43-46) and per-stage speed scheduling need.
+    `None` keeps the scalar FG_eval behavior bit-for-bit.
+    """
+    if ref3 is None:
+        return p.ref_cte, p.ref_etheta, p.ref_vel
+    return ref3[..., 0], ref3[..., 1], ref3[..., 2]
+
+
+def ref_state_vector(p: MPCParams, dtype, ref3=None, batch_shape=()):
+    """(..., 6) setpoint vector: zeros except the tracked (v, cte, etheta)
+    entries. With `ref3` the result carries the per-stage rows."""
+    rc, re, rv = _ref3_cols(p, ref3)
+    shape = (jnp.shape(rc) or batch_shape) + (STATE_DIM,)
+    ref = jnp.zeros(shape, dtype)
+    ref = ref.at[..., V].set(jnp.asarray(rv, dtype))
+    ref = ref.at[..., CTE].set(jnp.asarray(rc, dtype))
+    ref = ref.at[..., ETHETA].set(jnp.asarray(re, dtype))
+    return ref
+
+
 def state_weights(p: MPCParams, dtype):
     """(wz, ref): the tracked-state weight and setpoint vectors shared by
     the stage expansion here and the solver's terminal expansion — ONE
@@ -46,41 +76,50 @@ def state_weights(p: MPCParams, dtype):
     return wz, ref
 
 
-def state_cost(z: jnp.ndarray, p: MPCParams) -> jnp.ndarray:
-    """Per-knot tracking cost on (cte, etheta, v). z: (..., 6)."""
+def state_cost(z: jnp.ndarray, p: MPCParams, ref3=None) -> jnp.ndarray:
+    """Per-knot tracking cost on (cte, etheta, v). z: (..., 6); `ref3`
+    (..., 3) optionally replaces the scalar setpoints per knot."""
+    rc, re, rv = _ref3_cols(p, ref3)
     return (
-        p.w_cte * (z[..., CTE] - p.ref_cte) ** 2
-        + p.w_etheta * (z[..., ETHETA] - p.ref_etheta) ** 2
-        + p.w_vel * (z[..., V] - p.ref_vel) ** 2
+        p.w_cte * (z[..., CTE] - rc) ** 2
+        + p.w_etheta * (z[..., ETHETA] - re) ** 2
+        + p.w_vel * (z[..., V] - rv) ** 2
     )
 
 
-def total_cost(zs: jnp.ndarray, us: jnp.ndarray, p: MPCParams) -> jnp.ndarray:
-    """Full objective over a trajectory. zs: (N, 6), us: (N-1, 2)."""
-    J = jnp.sum(state_cost(zs, p))
+def total_cost(zs: jnp.ndarray, us: jnp.ndarray, p: MPCParams,
+               ref3=None) -> jnp.ndarray:
+    """Full objective over a trajectory. zs: (N, 6), us: (N-1, 2);
+    `ref3` (N, 3) = per-knot (ref_cte, ref_etheta, ref_vel) profile."""
+    J = jnp.sum(state_cost(zs, p, ref3))
     J = J + jnp.sum(p.w_angvel * us[:, 0] ** 2 + p.w_accel * us[:, 1] ** 2)
     du = us[1:] - us[:-1]
     J = J + jnp.sum(p.w_angvel_d * du[:, 0] ** 2 + p.w_accel_d * du[:, 1] ** 2)
     return J
 
 
-def stage_cost_aug(s: jnp.ndarray, u: jnp.ndarray, rate_on, p: MPCParams) -> jnp.ndarray:
+def stage_cost_aug(s: jnp.ndarray, u: jnp.ndarray, rate_on, p: MPCParams,
+                   ref3=None) -> jnp.ndarray:
     """Stage cost on augmented state s = (z, prev_u); `rate_on` masks the
-    rate term off at stage 0 (where prev_u is a placeholder)."""
+    rate term off at stage 0 (where prev_u is a placeholder). `ref3`
+    (..., 3) = this stage's (ref_cte, ref_etheta, ref_vel) row."""
     z = s[..., :STATE_DIM]
     pu = s[..., STATE_DIM:]
     du = u - pu
-    c = state_cost(z, p)
+    c = state_cost(z, p, ref3)
     c = c + p.w_angvel * u[..., 0] ** 2 + p.w_accel * u[..., 1] ** 2
     c = c + rate_on * (p.w_angvel_d * du[..., 0] ** 2 + p.w_accel_d * du[..., 1] ** 2)
     return c
 
 
-def stage_expansion_aug(s: jnp.ndarray, u: jnp.ndarray, rate_on, p: MPCParams):
+def stage_expansion_aug(s: jnp.ndarray, u: jnp.ndarray, rate_on, p: MPCParams,
+                        ref3=None):
     """Exact quadratic expansion of `stage_cost_aug` around (s, u).
 
     Returns (l_s, l_u, l_ss, l_uu, l_us) with shapes
     (8,), (2,), (8,8), (2,2), (2,8). All closed-form (the cost is quadratic).
+    `ref3` (3,) shifts this stage's setpoints; only the gradient moves
+    (the Hessian is setpoint-independent).
     """
     dtype = s.dtype
     z = s[..., :STATE_DIM]
@@ -88,6 +127,8 @@ def stage_expansion_aug(s: jnp.ndarray, u: jnp.ndarray, rate_on, p: MPCParams):
     du = u - pu
 
     wz, ref = state_weights(p, dtype)
+    if ref3 is not None:
+        ref = ref_state_vector(p, dtype, ref3)
 
     wu = jnp.stack([jnp.asarray(p.w_angvel, dtype), jnp.asarray(p.w_accel, dtype)])
     wd = rate_on * jnp.stack(

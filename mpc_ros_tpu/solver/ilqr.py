@@ -55,7 +55,7 @@ def _rollout_aug(z0, us, coeffs, dt, sign, mdl: Model, p: MPCParams):
 
 
 def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign,
-                          mdl: Model, omap=None, blobs=None):
+                          mdl: Model, omap=None, blobs=None, refs=None):
     """Per-stage Jacobians and exact cost quadratics along a trajectory.
 
     With an ObstacleMap, the costmap penalty's analytic (x, y) gradient is
@@ -69,9 +69,14 @@ def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign,
     A, B = jax.vmap(
         lambda s, u: mdl.aug_step_jacobians(s, u, coeffs, dt, sign, p)
     )(ss[:-1], us)
-    l_s, l_u, l_ss, l_uu, l_us = jax.vmap(
-        lambda s, u, r: stage_expansion_aug(s, u, r, p)
-    )(ss[:-1], us, rate_on)
+    if refs is None:
+        l_s, l_u, l_ss, l_uu, l_us = jax.vmap(
+            lambda s, u, r: stage_expansion_aug(s, u, r, p)
+        )(ss[:-1], us, rate_on)
+    else:
+        l_s, l_u, l_ss, l_uu, l_us = jax.vmap(
+            lambda s, u, r, rr: stage_expansion_aug(s, u, r, p, rr)
+        )(ss[:-1], us, rate_on, refs[:-1])
     if omap is not None:
         g = obstacle_grad_xy(omap, ss[:-1, :2])              # (T, 2)
         l_s = l_s.at[:, 0:2].add(g)
@@ -86,14 +91,18 @@ def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign,
     return A, B, l_s, l_u, l_ss, l_uu, l_us
 
 
-def _terminal_expansion(s_T, p: MPCParams, omap=None, blobs=None):
+def _terminal_expansion(s_T, p: MPCParams, omap=None, blobs=None,
+                        ref3_T=None):
     """Gradient/Hessian of the terminal tracking cost (exact, closed form;
     plus the terminal knot's obstacle gradient when an ObstacleMap is set).
+    `ref3_T` (3,) = the last knot's (ref_cte, ref_etheta, ref_vel) row.
     """
     dtype = s_T.dtype
-    from ..models.costs import state_weights
+    from ..models.costs import ref_state_vector, state_weights
 
     wz6, ref6 = state_weights(p, dtype)
+    if ref3_T is not None:
+        ref6 = ref_state_vector(p, dtype, ref3_T)
     # padded to the augmented state (prev-control rows carry no terminal
     # weight)
     wz = jnp.zeros((_S,), dtype).at[: dd.STATE_DIM].set(wz6)
@@ -199,7 +208,7 @@ def backward_pass_parallel(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
 
 def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
                              p: MPCParams, dt, lb, ub, sign, mdl: Model,
-                             omap=None, blobs=None):
+                             omap=None, blobs=None, refs=None):
     """Closed-loop rollouts for ALL candidate step sizes in ONE scan.
 
     A sequential backtracking line search costs up-to-`ls_iters` rollout
@@ -225,15 +234,15 @@ def forward_pass_multi_alpha(ss_bar, us_bar, ks, Ks, alphas, z0, coeffs,
     ss_new = jnp.concatenate([s0_all[None], ss_tail], axis=0)   # (T+1, K, 8)
     ss_new = jnp.swapaxes(ss_new, 0, 1)                          # (K, T+1, 8)
     us_new = jnp.swapaxes(us_new, 0, 1)                          # (K, T, 2)
-    costs = jax.vmap(lambda zs, us: _traj_cost(zs, us, p, omap, blobs))(
+    costs = jax.vmap(lambda zs, us: _traj_cost(zs, us, p, omap, blobs, refs))(
         ss_new[:, :, : dd.STATE_DIM], us_new
     )
     return ss_new, us_new, costs
 
 
-def _traj_cost(zs, us, p: MPCParams, omap=None, blobs=None):
+def _traj_cost(zs, us, p: MPCParams, omap=None, blobs=None, refs=None):
     """FG_eval objective + (optional) obstacle penalties over all knots."""
-    J = total_cost(zs, us, p)
+    J = total_cost(zs, us, p, refs)
     if omap is not None:
         J = J + obstacle_cost(omap, zs[:, :2])
     if blobs is not None:
@@ -245,12 +254,20 @@ def _traj_cost(zs, us, p: MPCParams, omap=None, blobs=None):
 
 def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
           cfg: SolverConfig, u_init: Optional[jnp.ndarray] = None,
-          omap: Optional[ObstacleMap] = None, blobs=None) -> SolveResult:
+          omap: Optional[ObstacleMap] = None, blobs=None,
+          refs: Optional[jnp.ndarray] = None) -> SolveResult:
     """Solve one NMPC problem. z0: (6,), coeffs: (poly_order+1,).
 
     `omap` adds a grid-costmap obstacle penalty over the predicted horizon;
     `blobs` (GaussianObstacles, leaves (K,)) the parametric equivalent
     (absent from the reference NLP; see models/obstacles.py).
+
+    `refs` (N, 3) upgrades the scalar (ref_cte, ref_etheta, ref_vel)
+    setpoints to per-knot profiles — the time-indexed objective behind
+    direct trajectory tracking and per-stage speed scheduling (the
+    reference keeps them constant over the horizon,
+    /root/reference/mpc_ros/src/mpc_planner.cpp:122-130). None = the
+    scalar FG_eval objective, bit-for-bit.
 
     Cold start (u_init=None) rolls the plant under zero controls — the
     feasible analog of the reference's zero initialization
@@ -267,8 +284,10 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     else:
         us0 = jnp.clip(jnp.asarray(u_init, dtype), lb, ub)
     sign = cfg.cte_vsin_sign
+    if refs is not None:
+        refs = jnp.asarray(refs, dtype)
     ss0 = _rollout_aug(z0, us0, coeffs, dt, sign, mdl, p)
-    cost0 = _traj_cost(ss0[:, : dd.STATE_DIM], us0, p, omap, blobs)
+    cost0 = _traj_cost(ss0[:, : dd.STATE_DIM], us0, p, omap, blobs, refs)
 
     tol_grad = jnp.asarray(cfg.tol_grad, dtype)
     # relative cost tolerance can't be tighter than the dtype resolves
@@ -286,9 +305,11 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     def body(state):
         ss, us, cost, mu, it, done, gnorm, n_small, _ = state
         A, B, l_s, l_u, l_ss, l_uu, l_us = _linearize_and_expand(
-            ss, us, coeffs, p, dt, sign, mdl, omap, blobs
+            ss, us, coeffs, p, dt, sign, mdl, omap, blobs, refs
         )
-        V_s, V_ss = _terminal_expansion(ss[-1], p, omap, blobs)
+        V_s, V_ss = _terminal_expansion(
+            ss[-1], p, omap, blobs, None if refs is None else refs[-1]
+        )
         bp = backward_pass_parallel if cfg.horizon_parallel else backward_pass
         ks, Ks, dV1, dV2, pg = bp(
             A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
@@ -306,7 +327,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         alphas = jnp.asarray(0.5, dtype) ** jnp.arange(cfg.ls_iters, dtype=dtype)
         ss_all, us_all, costs_all = forward_pass_multi_alpha(
             ss, us, ks, Ks, alphas, z0, coeffs, p, dt, lb, ub, sign, mdl,
-            omap, blobs
+            omap, blobs, refs
         )
         improved = costs_all < cost
         accepted = jnp.any(improved)
@@ -366,6 +387,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def solve_jit(z0, coeffs, p: MPCParams, cfg: SolverConfig) -> SolveResult:
+def solve_jit(z0, coeffs, p: MPCParams, cfg: SolverConfig,
+              refs=None) -> SolveResult:
     """Jitted single solve (compiled once per SolverConfig)."""
-    return solve(z0, coeffs, p, cfg)
+    return solve(z0, coeffs, p, cfg, refs=refs)

@@ -42,7 +42,7 @@ class OracleResult:
 
 def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int,
                  cte_vsin_sign: float = 1.0, extra_cost=None,
-                 model: str = "diff_drive"):
+                 model: str = "diff_drive", refs=None):
     """Objective/constraints on the flat reference-layout vector (jax f64)."""
     import jax
     import jax.numpy as jnp
@@ -55,6 +55,8 @@ def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int,
     assert jax.config.jax_enable_x64, "oracle requires float64 (enable x64)"
     coeffs = jnp.asarray(coeffs, jnp.float64)
     dt = jnp.asarray(p.dt, jnp.float64)
+    if refs is not None:
+        refs = jnp.asarray(refs, jnp.float64)
 
     def unpack(v):
         zs = jnp.stack([v[i * N:(i + 1) * N] for i in range(6)], axis=-1)
@@ -65,7 +67,7 @@ def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int,
 
     def objective(v):
         zs, us = unpack(v)
-        c = total_cost(zs, us, p)
+        c = total_cost(zs, us, p, refs)
         if extra_cost is not None:
             c = c + extra_cost(zs, us)
         return c
@@ -90,11 +92,14 @@ def _build_funcs(coeffs: np.ndarray, p: MPCParams, N: int,
 def solve_oracle(z0: np.ndarray, coeffs: np.ndarray, p: MPCParams,
                  cfg: SolverConfig, method: str = "SLSQP",
                  u_init: Optional[np.ndarray] = None,
-                 maxiter: int = 500, extra_cost=None) -> OracleResult:
+                 maxiter: int = 500, extra_cost=None,
+                 refs: Optional[np.ndarray] = None) -> OracleResult:
     """Solve the full reference NLP in float64 on CPU.
 
     `extra_cost(zs, us) -> scalar` (jax f64) is added to the objective —
-    used to verify obstacle-penalty solves against the same NLP."""
+    used to verify obstacle-penalty solves against the same NLP.
+    `refs` (N, 3) = per-knot (ref_cte, ref_etheta, ref_vel) profile, the
+    time-indexed objective of the trajectory-tracking mode."""
     from scipy import optimize
 
     N = cfg.n_steps
@@ -103,7 +108,7 @@ def solve_oracle(z0: np.ndarray, coeffs: np.ndarray, p: MPCParams,
 
     obj, grad, con, jac = _build_funcs(np.asarray(coeffs), p, N,
                                        cfg.cte_vsin_sign, extra_cost,
-                                       cfg.model)
+                                       cfg.model, refs)
 
     # cold start: zeros + initial state write-in
     v0 = np.zeros(n_vars)
