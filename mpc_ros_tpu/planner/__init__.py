@@ -7,6 +7,7 @@ from .safety import SafetyMonitor, SafetyConfig, SafetyStatus
 from .recovery import (RecoveryConfig, RecoveryState, RecoveryStats,
                        RecoverySupervisor)
 from .fleet import FleetCycleInfo, FleetPlanner
+from .trajectory import TimedTrajectory, TrajectoryDebug, TrajectoryTracker
 from . import plan_utils
 
 __all__ = [
@@ -27,6 +28,9 @@ __all__ = [
     "RecoveryStats",
     "FleetPlanner",
     "FleetCycleInfo",
+    "TimedTrajectory",
+    "TrajectoryTracker",
+    "TrajectoryDebug",
     "plan_utils",
     "PurePursuitPlanner",
     "PurePursuitConfig",

@@ -39,17 +39,18 @@ from .plan_utils import lookahead_heading
 
 @functools.lru_cache(maxsize=None)
 def _solve_jit(cfg: SolverConfig, warm: bool, with_omap: bool,
-               with_blobs: bool):
+               with_blobs: bool, with_refs: bool = False):
     """Jitted (warm-started) solve, compiled once per SolverConfig and
-    obstacle signature. Call as f(z0, coeffs, p, [u_init], [omap], [blobs])
-    with only the enabled optionals present."""
+    optional-input signature. Call as f(z0, coeffs, p, [u_init], [omap],
+    [blobs], [refs]) with only the enabled optionals present (`refs` is the
+    per-stage setpoint profile of the trajectory-tracking mode)."""
 
     @jax.jit
-    def f(z0, coeffs, p, u_init=None, omap=None, blobs=None):
+    def f(z0, coeffs, p, u_init=None, omap=None, blobs=None, refs=None):
         return ilqr.solve(z0, coeffs, p, cfg, u_init=u_init, omap=omap,
-                          blobs=blobs)
+                          blobs=blobs, refs=refs)
 
-    def call(z0, coeffs, p, u_init=None, omap=None, blobs=None):
+    def call(z0, coeffs, p, u_init=None, omap=None, blobs=None, refs=None):
         kw = {}
         if warm:
             kw["u_init"] = u_init
@@ -57,6 +58,8 @@ def _solve_jit(cfg: SolverConfig, warm: bool, with_omap: bool,
             kw["omap"] = omap
         if with_blobs:
             kw["blobs"] = blobs
+        if with_refs:
+            kw["refs"] = refs
         return f(z0, coeffs, p, **kw)
 
     return call

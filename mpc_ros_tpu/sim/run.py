@@ -20,11 +20,18 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--shape", choices=["infinity", "epitrochoid", "square"],
                     default="infinity")
-    ap.add_argument("--controller", choices=["mpc", "pure_pursuit", "dwa"],
+    ap.add_argument("--controller",
+                    choices=["mpc", "pure_pursuit", "dwa", "trajectory"],
                     default="mpc",
                     help="control law for the A/B comparison (the reference "
                          "benchmarked NMPC vs DWA vs Pure Pursuit, "
-                         "assets/*.csv)")
+                         "assets/*.csv); 'trajectory' runs the direct "
+                         "trajectory-tracking mode (a TIME-parameterized "
+                         "moving reference — the upstream "
+                         "ref_trajectory_tracking workflow)")
+    ap.add_argument("--traj-speed", type=float, default=0.4,
+                    help="trajectory mode: reference speed [m/s] used to "
+                         "time-parameterize the course")
     ap.add_argument("--config", type=str, default=None,
                     help="YAML config file (canonical nested schema or the "
                          "reference's flat mpc_params.yaml keys — see "

@@ -192,3 +192,76 @@ def run_closed_loop(planner: MPCPlanner, plan: np.ndarray,
 
         write_tracking_csv(log_path, result.records, result.course_time_s)
     return result
+
+
+@dataclasses.dataclass
+class TrajectoryLoopResult:
+    records: np.ndarray      # (n, 5): idx, cte, etheta, v_cmd, w_cmd
+    poses: np.ndarray        # (n, 3)
+    ref_points: np.ndarray   # (n, 2) where the reference was at each cycle
+    lags: np.ndarray         # (n,) longitudinal schedule lag [m]
+    reached: bool
+    n_cycles: int
+    wall_time_s: float
+    course_time_s: float
+
+    @property
+    def dist_to_ref(self) -> np.ndarray:
+        """Per-cycle distance to the MOVING reference point — the
+        trajectory-tracking error proper (path trackers are judged on
+        cross-track error; trajectory trackers on this)."""
+        return np.hypot(self.poses[:, 0] - self.ref_points[:, 0],
+                        self.poses[:, 1] - self.ref_points[:, 1])
+
+
+def run_trajectory_tracking(tracker, traj, start_pose: Optional[np.ndarray] = None,
+                            max_cycles: int = 5000,
+                            log_path: Optional[str] = None) -> TrajectoryLoopResult:
+    """Closed loop for the trajectory-tracking mode: the plant chases a
+    TimedTrajectory on its schedule (the upstream
+    `ref_trajectory_tracking` workflow — see planner/trajectory.py).
+    Logs the same (idx, cte, etheta, v, w) CSV schema as the path loop."""
+    from ..planner.trajectory import TimedTrajectory  # noqa: F401 (type)
+
+    dt = float(np.max(np.asarray(tracker.params.dt)))
+    if start_pose is None:
+        start_pose = np.array([traj.xy[0, 0], traj.xy[0, 1], traj.yaw[0]])
+    plant = make_plant(tracker.solver_cfg.model,
+                       np.asarray(start_pose, float), dt, tracker.params)
+    tracker.set_trajectory(traj)
+
+    records, poses, ref_pts, lags = [], [], [], []
+    reached = False
+    n_cycles = 0
+    t_start = time.perf_counter()
+    for cycle in range(1, max_cycles + 1):
+        t_now = (cycle - 1) * dt
+        if tracker.finished(t_now, plant.pose):
+            reached = True
+            break
+        (v_cmd, w_cmd), dbg = tracker.compute(
+            t_now, plant.pose, plant.feedback_vel[0])
+        n_cycles = cycle
+        records.append([cycle, float(dbg.state[4]), float(dbg.state[5]),
+                        v_cmd, w_cmd])
+        poses.append(plant.pose.copy())
+        ref_pts.append(dbg.ref_point.copy())
+        lags.append(dbg.lag)
+        plant.step(v_cmd, w_cmd)
+
+    wall = time.perf_counter() - t_start
+    result = TrajectoryLoopResult(
+        records=np.asarray(records) if records else np.zeros((0, 5)),
+        poses=np.asarray(poses) if poses else np.zeros((0, 3)),
+        ref_points=np.asarray(ref_pts) if ref_pts else np.zeros((0, 2)),
+        lags=np.asarray(lags) if lags else np.zeros((0,)),
+        reached=reached,
+        n_cycles=n_cycles,
+        wall_time_s=wall,
+        course_time_s=n_cycles * dt,
+    )
+    if log_path is not None:
+        from .logger import write_tracking_csv
+
+        write_tracking_csv(log_path, result.records, result.course_time_s)
+    return result
