@@ -89,14 +89,15 @@ def main() -> None:
     # knee (78 ms/batch) before memory/latency outgrow the gain
     batch = args.batch or (256 if args.quick else 131072)
     n_steps = args.n_steps
-    # 12 iterations: >=99.8% of random scenarios converge at the N=30
-    # headline horizon; the vmapped while_loop pays the max trip count over
-    # the batch, so the cap bounds tail lanes without hurting solution
-    # quality (converged_frac reported). Longer horizons genuinely need
-    # more iterations (N=100: p95=23 on random ensembles, conv 0.77 @ 12
-    # vs 0.97 @ 25 — measured; smarter cold starts do NOT reduce this),
-    # so the default cap scales with the horizon.
-    max_iters = args.iters or max(12, round(n_steps / 4))
+    # Horizon-aware iteration cap: longer horizons genuinely need more
+    # iterations (the tail lanes accept alpha=1 steps every iteration but
+    # converge linearly — smarter cold starts do NOT reduce this; measured).
+    # 0.45*N gives conv >= 0.99 at every horizon up to the reference's
+    # cfg max of 100 (N=48: 0.998, N=60: 0.994, N=80: 0.998, N=100: 1.000
+    # on the random ensemble, vs 0.96-0.77 with the old N/4 formula), and
+    # is FREE at short horizons: the per-tile adaptive loop exits when all
+    # tile lanes are done (~12 iters at N=30), the cap only bounds tails.
+    max_iters = args.iters or max(12, round(0.45 * n_steps))
     dev = jax.devices()[0]
     dtype = jnp.float32
 

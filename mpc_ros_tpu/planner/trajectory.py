@@ -16,8 +16,10 @@ Here the mode is built on the solver's per-stage reference profiles
    lookahead window follows the MOVING point, not the robot's progress;
 2. fit the solver's cubic to those future reference positions in the robot
    frame (the same error-state NLP as path tracking — FG_eval semantics,
-   /root/reference/mpc_ros/src/mpc_planner.cpp:122-147 — so the whole
-   solver stack, megakernel included, is reused unchanged);
+   /root/reference/mpc_ros/src/mpc_planner.cpp:122-147 — so the XLA
+   solver path (solver/ilqr.py via tracking._solve_jit) is reused
+   unchanged; the Pallas megakernel does not yet take per-stage
+   reference profiles, so trajectory mode runs the XLA path);
 3. build the per-knot speed profile ref_vel[k] = |dr/dt|(t_now + k*dt) plus
    a proportional catch-up on the longitudinal time lag, so the solver
    speeds up when behind schedule and eases off when ahead;
@@ -74,6 +76,11 @@ class TimedTrajectory:
         speed profile: scalar (constant speed) or (M,) per-waypoint speeds.
         Timestamps follow from arclength: dt_i = ds_i / v_mid_i."""
         plan = np.asarray(plan, float)
+        # planner output frequently repeats waypoints; zero-length segments
+        # would produce dt=0 and fail the strictly-increasing check
+        seg = np.hypot(*np.diff(plan[:, :2], axis=0).T)
+        keep = np.concatenate([[True], seg > 1e-9])
+        plan = plan[keep]
         xy = plan[:, :2]
         if plan.shape[1] >= 3:
             yaw = plan[:, 2]
@@ -132,7 +139,12 @@ class TrajectoryTracker:
 
     def __init__(self, params: MPCParams, solver_cfg: SolverConfig,
                  planner_cfg: PlannerConfig = PlannerConfig(),
-                 dtype=jnp.float64, catchup_gain: float = 0.8):
+                 dtype=None, catchup_gain: float = 0.8):
+        if dtype is None:
+            import jax
+
+            dtype = (jnp.float64 if jax.config.jax_enable_x64
+                     else jnp.float32)
         self.params = params.astype(dtype)
         self.solver_cfg = solver_cfg
         self.planner_cfg = planner_cfg
@@ -187,11 +199,13 @@ class TrajectoryTracker:
         x_veh = dx * ct + dy * st
         y_veh = dy * ct - dx * st
 
-        # the cubic needs spatial spread; when the window collapses (end of
-        # schedule, reference parked) reduce the degree accordingly
-        span = float(np.ptp(x_veh))
-        order = min(cfg.poly_order, N - 1)
-        if span < 1e-3:
+        # the cubic needs spatial spread; near the schedule end sample()
+        # clamps trailing knots onto the final waypoint, so cap the degree
+        # by the number of DISTINCT abscissae (not just the total span) to
+        # keep the fit well-conditioned (no RankWarning cubics on 2 points)
+        n_distinct = int(np.sum(np.abs(np.diff(np.sort(x_veh))) > 1e-6)) + 1
+        order = min(cfg.poly_order, N - 1, max(n_distinct - 1, 0))
+        if float(np.ptp(x_veh)) < 1e-3:
             order = 0
         c = np.polyfit(x_veh, y_veh, order)[::-1]
         coeffs = np.zeros(cfg.n_coeffs)

@@ -103,6 +103,37 @@ def main() -> None:
         scfg = _dc.replace(scfg, n_steps=args.n_steps)
     if args.model is not None:
         scfg = _dc.replace(scfg, model=args.model)
+    if args.controller == "trajectory":
+        # direct trajectory tracking: time-parameterize the course at
+        # --traj-speed and chase the moving reference point (the upstream
+        # ref_trajectory_tracking workflow, /root/reference/README.md:43-46)
+        from ..planner.trajectory import TimedTrajectory, TrajectoryTracker
+        from .simulator import run_trajectory_tracking
+
+        traj = TimedTrajectory.from_path(plan, args.traj_speed)
+        tracker = TrajectoryTracker(p, scfg, pcfg)
+        res = run_trajectory_tracking(tracker, traj,
+                                      max_cycles=args.max_cycles,
+                                      log_path=args.log)
+        d = res.dist_to_ref if len(res.poses) else np.zeros(1)
+        out = {
+            "shape": args.shape,
+            "controller": "trajectory",
+            "traj_speed": args.traj_speed,
+            "reached": res.reached,
+            "cycles": res.n_cycles,
+            "course_time_s": res.course_time_s,
+            "schedule_s": round(traj.duration, 2),
+            "wall_time_s": round(res.wall_time_s, 2),
+            "mean_abs_cte": (round(float(np.abs(res.records[:, 1]).mean()), 4)
+                             if len(res.records) else None),
+            "dist_to_ref_mean_m": round(float(d.mean()), 4),
+            "dist_to_ref_max_m": round(float(d.max()), 4),
+            "lag_mean_m": (round(float(res.lags.mean()), 4)
+                           if len(res.lags) else None),
+        }
+        print(json.dumps(out))
+        return
     if args.controller == "mpc":
         planner = MPCPlanner(params=p, solver_cfg=scfg, planner_cfg=pcfg)
     elif args.controller == "pure_pursuit":

@@ -165,41 +165,29 @@ def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
 
 
 def backward_pass_parallel(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
-                           us, lb, ub, mu):
-    """Horizon-parallel backward pass: O(log T) associative-scan Riccati
-    (solver/riccati.py) for the value functions, then every stage's box-QP
-    solved simultaneously under `vmap`.
+                           us, lb, ub, mu, n_sweeps: int = 8):
+    """EXACT control-limited horizon-parallel backward pass: O(log T)
+    associative-scan Riccati with clamped-dimension elimination, iterated
+    to an active-set fixed point (solver/riccati.parallel_gains_boxed).
 
-    Equivalent to the sequential pass while the box bounds are inactive AND
-    mu is small: here mu is folded into l_uu for the WHOLE value recursion
-    (the associative elements need an invertible control Hessian up front),
-    whereas the sequential pass regularizes only each stage's QP — so with
-    a ramped mu (after rejected steps) gains and the expected-improvement
-    terms differ by O(mu). Under saturation the value functions also ignore
-    the clamping (the sequential pass folds it in). Both are why the
-    default stays sequential and this path is opt-in for long horizons
-    (SolverConfig.horizon_parallel).
+    Matches the sequential control-limited pass under saturation once the
+    clamp pattern stabilizes (the sweep loop exits early on a stable
+    pattern — MPC-family problems pay 2-3 sweeps, n_sweeps caps it;
+    equality pinned by tests/test_riccati.py::test_boxed_parallel_*). The
+    one remaining divergence is inflated mu after rejected steps: the value
+    recursion folds mu into l_uu (the elements need SPD R up front) while
+    the sequential pass regularizes only each stage QP — an O(mu)
+    difference that vanishes at the mu_init floor where convergence is
+    declared. Depth O(n_sweeps log T) vs the sequential O(T); opt in for
+    long horizons (SolverConfig.horizon_parallel).
     """
-    from .riccati import parallel_value_functions
+    from .riccati import parallel_gains_boxed
 
-    dtype = A.dtype
-    l_uu_reg = l_uu + mu * jnp.eye(_M, dtype=dtype)[None]
-    Ps, ps = parallel_value_functions(
-        A, B, l_s, l_u, l_ss, l_uu_reg, l_us, V_s, V_ss)
-    P_next = Ps[1:]
-    p_next = ps[1:]
-    Bt = jnp.swapaxes(B, -1, -2)
-    Q_u = l_u + jnp.einsum("tmn,tn->tm", Bt, p_next)
-    Q_uu = l_uu_reg + Bt @ P_next @ B
-    Q_uu = 0.5 * (Q_uu + jnp.swapaxes(Q_uu, -1, -2))
-    Q_us = l_us + Bt @ P_next @ A
-
-    def stage_qp(Quu_t, Qu_t, Qus_t, u_t):
-        k, free, Minv = solve_boxqp_2d(Quu_t, Qu_t, lb - u_t, ub - u_t)
-        K = Minv @ (-(free[:, None] * Qus_t))
-        return k, K
-
-    ks, Ks = jax.vmap(stage_qp)(Q_uu, Q_u, Q_us, us)
+    lbd = lb[None, :] - us
+    ubd = ub[None, :] - us
+    ks, Ks, Q_u, Q_uu, _ = parallel_gains_boxed(
+        A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, lbd, ubd, mu=mu,
+        n_sweeps=n_sweeps)
     dV1 = jnp.sum(jnp.einsum("tm,tm->t", ks, Q_u))
     dV2 = 0.5 * jnp.sum(jnp.einsum("tm,tmk,tk->t", ks, Q_uu, ks))
     pg = jnp.max(jnp.abs(us - jnp.clip(us - Q_u, lb, ub)))

@@ -77,7 +77,7 @@ def combine(e2: LQRElement, e1: LQRElement) -> LQRElement:
 
 
 def make_elements(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
-                  ridge: float = 1e-9) -> LQRElement:
+                  ridge: float = 1e-9, free=None, d_c=None) -> LQRElement:
     """Build per-stage elements (T+1 of them; the last is the terminal).
 
     Shapes: A (T,n,n), B (T,n,m), l_ss (T,n,n), l_uu (T,m,m), l_us (T,m,n),
@@ -87,14 +87,38 @@ def make_elements(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
     a caller hands in a singular control Hessian (e.g. a zero control
     weight with no regularization), instead of silently flooding every
     downstream value function with NaNs.
+
+    Clamped-dimension elimination (the control-limited extension): with
+    `free` (T, m) a 0/1 mask and `d_c` (T, m) the FIXED du values on
+    clamped dims (zero on free dims), each stage is rebuilt with the
+    clamped controls held constant at their bound offsets — they become
+    affine dynamics/cost terms — and the square is completed over the free
+    dims only. This is the exact per-stage elimination the sequential
+    control-limited pass performs (ilqr.backward_pass: K rows of clamped
+    dims are zero, k holds the box-QP value), expressed as scan elements.
     """
     T, n, m = B.shape
     assert m == 2, "inv2 fast path expects control dim 2"
     eye_m = jnp.eye(m, dtype=l_uu.dtype)
+    if free is not None:
+        # du = du_F + d_c with du_C fixed: fold the constant into the
+        # linear terms, restrict the quadratic to the free block (clamped
+        # rows/cols of R become identity so inv2 stays finite; their
+        # l_u_eff is zero so they contribute nothing), zero clamped B cols.
+        l_s = l_s + jnp.einsum("tmn,tm->tn", l_us, d_c)
+        l_u = free * (l_u + jnp.einsum("tmk,tk->tm", l_uu, d_c))
+        l_us = free[:, :, None] * l_us
+        # F R F + diag(1 - free): clamped rows/cols become identity
+        l_uu = (free[:, :, None] * free[:, None, :] * l_uu
+                + (1.0 - free)[:, :, None] * eye_m)
+        b0 = jnp.einsum("tnm,tm->tn", B, d_c)
+        B = B * free[:, None, :]
+    else:
+        b0 = 0.0
     Rinv = inv2(l_uu + ridge * eye_m)                  # (T, m, m)
     BRinv = B @ Rinv                                   # (T, n, m)
     A_hat = A - BRinv @ l_us
-    b_hat = -jnp.einsum("tnm,tm->tn", BRinv, l_u)
+    b_hat = b0 - jnp.einsum("tnm,tm->tn", BRinv, l_u)
     C = BRinv @ jnp.swapaxes(B, -1, -2)
     X_hat = l_ss - jnp.swapaxes(l_us, -1, -2) @ Rinv @ l_us
     r_hat = l_s - jnp.einsum("tmn,tmk,tk->tn",
@@ -139,3 +163,89 @@ def parallel_gains(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss):
     ks = -jnp.einsum("tmk,tk->tm", Quu_inv, Q_u)
     Ks = -(Quu_inv @ Q_us)
     return ks, Ks, Ps, ps
+
+
+def parallel_gains_boxed(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
+                         lb_du, ub_du, mu=0.0, n_sweeps: int = 8):
+    """EXACT control-limited horizon-parallel backward pass.
+
+    Active-set iteration around the associative scan: guess each stage's
+    clamp pattern (sweep 0: all free — the unconstrained scan), rebuild the
+    stage elements with the clamped control dims ELIMINATED (held constant
+    at their box-QP values — `make_elements(free=..., d_c=...)`), rescan
+    in O(log T) depth, re-solve every stage's 2-dim box QP against the new
+    value functions, and repeat. At a fixed point of the pattern the value
+    functions equal the sequential control-limited pass's exactly
+    (envelope argument: on the free block K'(Q_u + Q_uu k) = 0 at mu = 0,
+    so the sequential Vs/Vss updates reduce to the exact partial
+    minimization this elimination performs; tested under saturation in
+    tests/test_riccati.py).
+
+    mu regularizes each stage's box QP exactly like ilqr.backward_pass
+    (Q_uu + mu I); for the VALUE recursion it is folded into l_uu (the
+    elements need an SPD R up front), so at inflated mu gains differ from
+    the sequential pass by O(mu) — same caveat as the unconstrained path.
+
+    lb_du, ub_du: (T, m) box bounds ON THE STEP du = u - u_bar.
+    Each sweep costs one scan + T box QPs; total depth O(sweeps log T).
+    `n_sweeps` is a CAP: the loop exits early once the clamp pattern is
+    stable (the sweep that re-derives its own pattern certifies the fixed
+    point). MPC-family problems stabilize in 2-3 sweeps; adversarial
+    random problems with ~2/3 of all control dims clamped were measured
+    needing up to 7.
+
+    Returns (ks, Ks, Q_u, Q_uu, free): feedforwards with clamped dims at
+    their bound offsets, gains with zero clamped rows, and the final Q
+    expansion for expected-improvement/projected-gradient bookkeeping.
+    """
+    from .boxqp import solve_boxqp_2d
+
+    T, n, m = B.shape
+    dtype = A.dtype
+    eye_m = jnp.eye(m, dtype=dtype)
+    l_uu_mu = l_uu + mu * eye_m
+    Bt = jnp.swapaxes(B, -1, -2)
+
+    def qp_stage(Quu_t, Qu_t, Qus_t, lbd_t, ubd_t):
+        # regularize the QP only (like ilqr.backward_pass: Q_uu_reg in the
+        # box QP / gains, unregularized Q_uu in the dV bookkeeping)
+        k, f, Minv = solve_boxqp_2d(Quu_t + mu * eye_m, Qu_t, lbd_t, ubd_t)
+        K = Minv @ (-(f[:, None] * Qus_t))
+        return k, f, K
+
+    def sweep(free, d_c):
+        elems = make_elements(A, B, l_s, l_u, l_ss, l_uu_mu, l_us,
+                              V_s, V_ss, free=free, d_c=d_c)
+        acc = jax.lax.associative_scan(combine, elems, reverse=True)
+        P_next = acc.J[1:]
+        p_next = -acc.eta[1:]
+        # Q expansion with the ORIGINAL (unmasked) stage quantities — the
+        # per-stage QP sees the true problem, only the value functions
+        # carry the elimination
+        Q_u = l_u + jnp.einsum("tmn,tn->tm", Bt, p_next)
+        Q_uu = l_uu + Bt @ P_next @ B
+        Q_uu = 0.5 * (Q_uu + jnp.swapaxes(Q_uu, -1, -2))
+        Q_us = l_us + Bt @ P_next @ A
+        ks, free_n, Ks = jax.vmap(qp_stage)(Q_uu, Q_u, Q_us, lb_du, ub_du)
+        return ks, Ks, Q_u, Q_uu, free_n
+
+    def cond(carry):
+        it, changed, *_ = carry
+        return jnp.logical_and(it < n_sweeps, changed)
+
+    def body(carry):
+        it, _, free, d_c, _, _, _, _ = carry
+        ks, Ks, Q_u, Q_uu, free_n = sweep(free, d_c)
+        d_c_n = (1.0 - free_n) * ks
+        # pattern stability must include WHICH bound (lo->hi flips keep
+        # free at 0 but move d_c), hence the d_c comparison
+        changed = jnp.logical_or(jnp.any(free_n != free),
+                                 jnp.any(d_c_n != d_c))
+        return (it + 1, changed, free_n, d_c_n, ks, Ks, Q_u, Q_uu)
+
+    init = (jnp.asarray(0, jnp.int32), jnp.asarray(True),
+            jnp.ones((T, m), dtype), jnp.zeros((T, m), dtype),
+            jnp.zeros((T, m), dtype), jnp.zeros((T, m, n), dtype),
+            jnp.zeros((T, m), dtype), jnp.zeros((T, m, m), dtype))
+    (_, _, free, _, ks, Ks, Q_u, Q_uu) = jax.lax.while_loop(cond, body, init)
+    return ks, Ks, Q_u, Q_uu, free

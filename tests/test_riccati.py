@@ -104,3 +104,76 @@ def test_solver_with_horizon_parallel_matches_sequential():
     assert bool(r_par.converged)
     np.testing.assert_allclose(np.asarray(r_par.us), np.asarray(r_seq.us),
                                atol=1e-6)
+
+
+def test_boxed_parallel_matches_sequential_under_saturation():
+    """VERDICT r1 item 5: the exact control-limited horizon-parallel pass
+    must equal the sequential pass WITH SATURATED BOUNDS (clamp patterns
+    engaged), not just on interior problems. mu=0, f64."""
+    T = 33
+    prob = random_lqr(T, seed=7)
+    A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss = prob
+    # tight box around a nonzero current iterate -> many stages clamp
+    lb = jnp.asarray([-0.3, -0.2])
+    ub = jnp.asarray([0.25, 0.35])
+    rng = np.random.default_rng(3)
+    us = jnp.asarray(rng.uniform(-0.3, 0.35, size=(T, 2)))
+    mu = jnp.asarray(0.0)
+    ks_seq, Ks_seq, dV1_s, dV2_s, pg_s = ilqr.backward_pass(
+        A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu)
+    ks_par, Ks_par, dV1_p, dV2_p, pg_p = ilqr.backward_pass_parallel(
+        A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu,
+        n_sweeps=12)
+    # the test must actually exercise saturation
+    at_bound = np.logical_or(
+        np.isclose(np.asarray(ks_seq), np.asarray(lb - us)),
+        np.isclose(np.asarray(ks_seq), np.asarray(ub - us)))
+    assert at_bound.sum() >= 5, "test problem not saturated enough"
+    np.testing.assert_allclose(np.asarray(ks_par), np.asarray(ks_seq),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Ks_par), np.asarray(Ks_seq),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(float(dV1_p), float(dV1_s), rtol=1e-8)
+    np.testing.assert_allclose(float(dV2_p), float(dV2_s), rtol=1e-8)
+    np.testing.assert_allclose(float(pg_p), float(pg_s), rtol=1e-8)
+
+
+@pytest.mark.parametrize("T", [2, 9, 50])
+def test_boxed_parallel_saturation_sizes(T):
+    prob = random_lqr(T, seed=100 + T)
+    A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss = prob
+    lb = jnp.asarray([-0.2, -0.2])
+    ub = jnp.asarray([0.2, 0.2])
+    us = jnp.zeros((T, 2))
+    mu = jnp.asarray(0.0)
+    ks_seq, Ks_seq, *_ = ilqr.backward_pass(
+        A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu)
+    ks_par, Ks_par, *_ = ilqr.backward_pass_parallel(
+        A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu,
+        n_sweeps=12)
+    np.testing.assert_allclose(np.asarray(ks_par), np.asarray(ks_seq),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Ks_par), np.asarray(Ks_seq),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_solver_horizon_parallel_matches_on_saturated_problem():
+    """Full SOLVE equality with active control bounds: an aggressive curve
+    with a tight angular-velocity limit saturates omega for much of the
+    horizon; horizon_parallel must land on the same solution."""
+    from mpc_ros_tpu.config import MPCParams, SolverConfig
+
+    coeffs = jnp.asarray([0.5, 1.0, 0.3, 0.0])
+    z0 = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.5, float(np.arctan(1.0))])
+    p = MPCParams(w_cte=300.0, w_vel=100.0, w_angvel_d=1.0,
+                  w_accel_d=1.0, max_angvel=0.3,
+                  max_throttle=0.2).astype(jnp.float64)
+    cfg_seq = SolverConfig(n_steps=40, tol_grad=1e-9)
+    cfg_par = SolverConfig(n_steps=40, tol_grad=1e-9, horizon_parallel=True)
+    r_seq = ilqr.solve(z0, coeffs, p, cfg_seq)
+    r_par = ilqr.solve(z0, coeffs, p, cfg_par)
+    assert bool(r_seq.converged) and bool(r_par.converged)
+    us = np.asarray(r_seq.us)
+    assert (np.abs(us[:, 0]) > 0.3 - 1e-9).sum() >= 10, "omega not saturated"
+    assert (np.abs(us[:, 1]) > 0.2 - 1e-9).sum() >= 10, "accel not saturated"
+    np.testing.assert_allclose(np.asarray(r_par.us), us, atol=1e-6)

@@ -187,6 +187,27 @@ def test_long_horizon_n100_converges():
                                    atol=1e-10)
 
 
+def test_n100_production_cap_convergence():
+    """Pins VERDICT r1 item 2: at the reference's max horizon
+    (/root/reference/mpc_ros/cfg/MPCPlanner.cfg:22, mpc_steps max 100) the
+    PRODUCTION iteration cap (bench default max(12, 0.45*N) = 45) must
+    converge >= 99% of the random scenario ensemble in f32 — no hand-raised
+    per-run cap."""
+    from mpc_ros_tpu.engine import batch_solve, make_random_scenarios
+
+    B = 512
+    p = MPCParams().astype(jnp.float32)
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B,
+                                        jnp.float32)
+    cap = max(12, round(0.45 * 100))  # the bench.py default formula
+    cfg = SolverConfig(n_steps=100, max_sqp_iters=cap, ls_iters=5,
+                       tol_grad=1e-4)
+    res = batch_solve(z0s, coeffs, p, cfg)
+    conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+    assert conv >= 0.99, f"N=100 converged fraction {conv:.4f} < 0.99"
+    assert bool(jnp.all(jnp.isfinite(res.cost)))
+
+
 def test_lane_solver_n100():
     from mpc_ros_tpu.engine import batch_solve_lane
 
