@@ -163,3 +163,69 @@ def test_tuning_sweep_custom_family_any_batch():
     sw = tuning_sweep(jax.random.PRNGKey(1), cands, 32, cfg,
                       dtype=jnp.float32)   # 4*32 = 128: lane-eligible size
     assert np.isfinite(float(jnp.min(sw.mean_cost)))
+
+
+def test_sharded_horizon_solve_matches_batch_solve():
+    """The (data x time)-sharded FULL solve (VERDICT r1 item 5: the time
+    axis doing real work in a real solve) must match the per-scenario
+    batched solver on the virtual 8-device mesh."""
+    from mpc_ros_tpu.parallel import sharded_horizon_solve
+
+    mesh = make_mesh(n_data=4, n_time=2)
+    cfg = SolverConfig(n_steps=17, max_sqp_iters=25, tol_grad=1e-6,
+                       horizon_parallel=True)
+    p = MPCParams().astype(jnp.float32)
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), 16,
+                                        jnp.float32)
+    res = sharded_horizon_solve(mesh, z0s, coeffs, p, cfg)
+    ref = batch_solve(z0s, coeffs, p, cfg)
+    assert float(jnp.mean(res.converged.astype(jnp.float32))) == 1.0
+    np.testing.assert_allclose(np.asarray(res.us), np.asarray(ref.us),
+                               atol=2e-4)
+
+
+def test_sharded_horizon_solve_saturated():
+    """Time-sharded solve with ACTIVE control bounds (the exact boxed
+    parallel pass under sharding)."""
+    from mpc_ros_tpu.parallel import sharded_horizon_solve
+
+    mesh = make_mesh(n_data=4, n_time=2)
+    cfg = SolverConfig(n_steps=16, max_sqp_iters=25, tol_grad=1e-6)
+    p = MPCParams(max_angvel=0.3, max_throttle=0.2,
+                  w_cte=300.0).astype(jnp.float32)
+    B = 16
+    rng = np.random.default_rng(5)
+    coeffs = jnp.asarray(
+        np.stack([0.4 * rng.normal(size=B), 0.8 * rng.normal(size=B),
+                  0.3 * rng.normal(size=B), np.zeros(B)], axis=-1),
+        jnp.float32)
+    z0s = jnp.zeros((B, 6), jnp.float32).at[:, 4].set(coeffs[:, 0]).at[
+        :, 5].set(jnp.arctan(coeffs[:, 1]))
+    res = sharded_horizon_solve(mesh, z0s, coeffs, p, cfg)
+    ref = batch_solve(z0s, coeffs, p, cfg)
+    us = np.asarray(ref.us)
+    assert (np.abs(us[:, :, 0]) > 0.3 - 1e-7).sum() >= 10, "not saturated"
+    # f32 + different iteration orders: 1e-3 is the framework's control
+    # deviation spec (BASELINE.md)
+    np.testing.assert_allclose(np.asarray(res.us), us, atol=1e-3)
+
+
+def test_sharded_receding_rollout_matches_unsharded():
+    """Sharded fleet serving (warm-start banks resident per device) equals
+    the single-device receding rollout."""
+    from mpc_ros_tpu.engine.receding import receding_horizon_rollout
+    from mpc_ros_tpu.parallel import sharded_receding_rollout
+
+    mesh = make_mesh(n_data=4, n_time=2)
+    cfg = SolverConfig(n_steps=10, max_sqp_iters=8, tol_grad=1e-4)
+    p = MPCParams().astype(jnp.float32)
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(2), 16,
+                                        jnp.float32)
+    tr, mean_cost, warm_iters = sharded_receding_rollout(
+        mesh, z0s, coeffs, p, cfg, n_cycles=6)
+    ref = receding_horizon_rollout(z0s, coeffs, p, cfg, n_cycles=6)
+    np.testing.assert_allclose(np.asarray(tr.us), np.asarray(ref.us),
+                               atol=1e-5)
+    # warm starts actually engage: iterations after the cold cycle drop
+    assert float(warm_iters) < float(jnp.mean(
+        ref.iters[0].astype(jnp.float32)))
