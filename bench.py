@@ -89,15 +89,22 @@ def main() -> None:
     # knee (78 ms/batch) before memory/latency outgrow the gain
     batch = args.batch or (256 if args.quick else 131072)
     n_steps = args.n_steps
-    # Horizon-aware iteration cap: longer horizons genuinely need more
-    # iterations (the tail lanes accept alpha=1 steps every iteration but
-    # converge linearly — smarter cold starts do NOT reduce this; measured).
+    # Horizon/ensemble-aware iteration cap: longer horizons and harder
+    # ensembles genuinely need more iterations — the tail lanes accept
+    # alpha=1 steps every iteration and converge linearly (no stalls: reg
+    # stays at mu_init; smarter cold starts do NOT reduce this; measured).
     # 0.45*N gives conv >= 0.99 at every horizon up to the reference's
     # cfg max of 100 (N=48: 0.998, N=60: 0.994, N=80: 0.998, N=100: 1.000
-    # on the random ensemble, vs 0.96-0.77 with the old N/4 formula), and
-    # is FREE at short horizons: the per-tile adaptive loop exits when all
-    # tile lanes are done (~12 iters at N=30), the cap only bounds tails.
-    max_iters = args.iters or max(12, round(0.45 * n_steps))
+    # on the random ensemble, vs 0.96-0.77 with the old N/4 formula).
+    # N=30 diff-drive keeps the 12 cap (conv 0.9985; nearly every tile
+    # contains a tail lane, so raising the cap is NOT free there — the
+    # per-tile adaptive loop pays the tile max). The bicycle and obstacle
+    # ensembles have longer tails (conv 0.985/0.943 @ 12 on CPU, full
+    # convergence by 40) — they get a 30-iteration floor.
+    hard = args.obstacles or args.obstacles_grid or args.model == "bicycle"
+    max_iters = args.iters or max(12 if not hard else 30,
+                                  round(0.45 * n_steps) if n_steps > 32
+                                  else 0)
     dev = jax.devices()[0]
     dtype = jnp.float32
 

@@ -250,3 +250,40 @@ def test_lane_solver_noncubic_reference_matches_vmapped():
         r_ln = batch_solve_lane(z0s, coeffs, p, cfg)
         np.testing.assert_allclose(np.asarray(r_ln.us), np.asarray(r_vm.us),
                                    atol=1e-6)
+
+
+def test_straggler_ensembles_converge_at_production_caps():
+    """VERDICT r1 item 7: the bicycle and obstacle ensembles' tails are
+    slow (accepting alpha=1 every iteration, linear convergence — not
+    stalls: reg stays at mu_init), so their production cap is 30 (bench.py
+    `hard` floor). Pins conv >= 0.99 for both at that cap, f32."""
+    from mpc_ros_tpu.engine import batch_solve, make_random_scenarios
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+    B = 512
+    dtype = jnp.float32
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B, dtype)
+
+    cfg = SolverConfig(n_steps=30, max_sqp_iters=30, ls_iters=5,
+                       tol_grad=1e-4, model="bicycle")
+    p_bike = MPCParams(lf=0.25, max_steer=0.6).astype(dtype)
+    res = batch_solve(z0s, coeffs, p_bike, cfg)
+    conv = float(jnp.mean(res.converged.astype(dtype)))
+    assert conv >= 0.99, f"bicycle conv {conv:.4f} < 0.99 @ 30 iters"
+
+    K = 4
+    centers = jax.random.uniform(jax.random.PRNGKey(1), (B, 2), dtype,
+                                 0.3, 1.2)
+    blobs = GaussianObstacles.from_sigmas(
+        jnp.concatenate([centers[:, :1],
+                         jnp.full((B, K - 1), 50.0, dtype)], axis=1),
+        jnp.concatenate([centers[:, 1:],
+                         jnp.full((B, K - 1), 50.0, dtype)], axis=1),
+        jnp.full((B, K), 0.3, dtype), jnp.full((B, K), 100.0, dtype))
+    cfg_o = SolverConfig(n_steps=30, max_sqp_iters=30, ls_iters=5,
+                         tol_grad=1e-4)
+    p = MPCParams().astype(dtype)
+    res_o = jax.vmap(lambda z, c, bl: ilqr.solve(z, c, p, cfg_o, blobs=bl))(
+        z0s, coeffs, blobs)
+    conv_o = float(jnp.mean(res_o.converged.astype(dtype)))
+    assert conv_o >= 0.99, f"obstacles conv {conv_o:.4f} < 0.99 @ 30 iters"
