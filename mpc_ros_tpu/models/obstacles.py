@@ -245,14 +245,26 @@ def blob_terms_bl(bx, by, bg, bw, x, y):
 
 
 def fit_gaussians_to_map(omap: ObstacleMap, n_blobs: int = 4,
-                         min_peak: float = 1e-3) -> GaussianObstacles:
-    """Fit K Gaussian blobs to a grid costmap by greedy peak peeling.
+                         min_peak: float = 1e-3,
+                         refine: bool = True) -> GaussianObstacles:
+    """Fit K Gaussian blobs to a grid costmap: greedy peak peeling, then a
+    bounded least-squares refinement.
 
-    Repeatedly takes the residual grid's peak cell, estimates sigma from the
-    second difference at the peak (a Gaussian's log-curvature:
-    d2/dx2 log g = -1/sigma^2), subtracts the fitted blob, and repeats.
-    Host-side prep (numpy); the result feeds the megakernel fast path.
-    Peaks below `min_peak` produce zero-weight blobs (padding).
+    Greedy init: repeatedly take the residual grid's peak cell, estimate
+    sigma from the second difference at the peak (a Gaussian's
+    log-curvature: d2/dx2 log g = -1/sigma^2), subtract, repeat. With
+    `refine` (default), all K blobs' (cx, cy, gamma, w) are then jointly
+    least-squares fitted to the full grid under box bounds (centers inside
+    the map, w >= 0) — on costmap_2d-style inflated maps (plateau +
+    exponential decay, the reference's native obstacle representation,
+    /root/reference/mpc_ros/src/mpc_planner_ros.cpp:47-49) this drops the
+    max fit error from 44-77% of the peak to <= ~12% and the on-support
+    mean error to <= ~2% (bound pinned by tests/test_obstacle_fit.py).
+
+    Host-side prep (numpy/scipy) at map-update rate, not per cycle; the
+    result feeds the megakernel fast path (~1500x faster than the grid
+    bilinear-gather path, see BENCH_NOTES.md). Peaks below `min_peak`
+    produce zero-weight blobs (padding).
     """
     import numpy as np
 
@@ -290,9 +302,65 @@ def fit_gaussians_to_map(omap: ObstacleMap, n_blobs: int = 4,
         grid = np.maximum(grid - blob, 0.0)
         cxs.append(cx), cys.append(cy), sigmas.append(sigma)
         ws.append(peak * wmul)
-    return GaussianObstacles.from_sigmas(
+    blobs = GaussianObstacles.from_sigmas(
         jnp.asarray(cxs, dtype), jnp.asarray(cys, dtype),
         jnp.asarray(sigmas, dtype), jnp.asarray(ws, dtype))
+    if not refine:
+        return blobs
+    return _refine_blobs_lsq(omap, blobs, dtype)
+
+
+def _refine_blobs_lsq(omap: ObstacleMap, blobs: GaussianObstacles,
+                      dtype) -> GaussianObstacles:
+    """Joint bounded least-squares refinement of all K blobs against the
+    full grid (scipy trf). Parameters: centers (inside the map), log gamma
+    (in [1e-2, 1e3] 1/m^2), amplitude (in [0, 2*peak] grid units)."""
+    import numpy as np
+    from scipy.optimize import least_squares
+
+    grid = np.asarray(omap.grid, np.float64)
+    H, W = grid.shape
+    res = float(omap.resolution)
+    ox, oy = float(omap.origin[0]), float(omap.origin[1])
+    wmul = float(omap.weight)
+    xf = (ox + np.arange(W) * res)[None, :].repeat(H, 0).ravel()
+    yf = (oy + np.arange(H) * res)[:, None].repeat(W, 1).ravel()
+    tgt = grid.ravel()
+    peak = float(tgt.max())
+    if peak <= 0.0 or wmul == 0.0:
+        return blobs
+
+    cx = np.asarray(blobs.cx, float)
+    cy = np.asarray(blobs.cy, float)
+    g_ = np.asarray(blobs.gamma, float)
+    w_ = np.asarray(blobs.w, float) / wmul
+    K = len(cx)
+    x_hi, y_hi = ox + (W - 1) * res, oy + (H - 1) * res
+    p0 = np.concatenate([np.clip(cx, ox, x_hi), np.clip(cy, oy, y_hi),
+                         np.log(np.clip(g_, 1e-2, 1e3)),
+                         np.clip(w_, 0.0, 2.0 * peak)])
+    lo = np.concatenate([np.full(K, ox), np.full(K, oy),
+                         np.full(K, np.log(1e-2)), np.zeros(K)])
+    hi = np.concatenate([np.full(K, x_hi), np.full(K, y_hi),
+                         np.full(K, np.log(1e3)),
+                         np.full(K, 2.0 * peak + 1e-9)])
+
+    def resid(p):
+        cxk, cyk, lg, wk = p[:K], p[K:2 * K], p[2 * K:3 * K], p[3 * K:]
+        gam = np.exp(lg)
+        f = np.zeros_like(tgt)
+        for k in range(K):
+            f += wk[k] * np.exp(-gam[k] * ((xf - cxk[k]) ** 2
+                                           + (yf - cyk[k]) ** 2))
+        return f - tgt
+
+    r = least_squares(resid, p0, bounds=(lo, hi), max_nfev=120,
+                      method="trf")
+    p = r.x
+    return GaussianObstacles(
+        cx=jnp.asarray(p[:K], dtype), cy=jnp.asarray(p[K:2 * K], dtype),
+        gamma=jnp.asarray(np.exp(p[2 * K:3 * K]), dtype),
+        w=jnp.asarray(p[3 * K:] * wmul, dtype))
 
 
 def gaussian_blob_map(center, sigma: float = 0.4, extent: float = 4.0,

@@ -1,0 +1,110 @@
+"""Accuracy bound for the costmap -> Gaussian-blob conversion (VERDICT r1
+item 6): the parametric path is the documented canonical obstacle route,
+so its representation error vs the grid truth must be measured and pinned.
+
+Representative maps are costmap_2d-style inflations — a plateau of peak
+cost inside the inscribed radius with exponential decay outside
+(the reference wires costmap_2d as its native obstacle representation,
+/root/reference/mpc_ros/src/mpc_planner_ros.cpp:47-49).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_ros_tpu.config import MPCParams, SolverConfig
+from mpc_ros_tpu.models.obstacles import (ObstacleMap, blob_cost,
+                                          fit_gaussians_to_map,
+                                          obstacle_cost)
+from mpc_ros_tpu.solver import ilqr
+
+
+def costmap2d_style(obstacles, extent=4.0, cells=96, r_ins=0.15,
+                    decay=3.0):
+    """Plateau + exponential-decay inflation, peak 1.0 per obstacle cell,
+    combined by max (costmap_2d semantics)."""
+    xs = np.linspace(-extent / 2, extent / 2, cells)
+    X, Y = np.meshgrid(xs, xs)
+    g = np.zeros_like(X)
+    for (ox, oy) in obstacles:
+        d = np.hypot(X - ox, Y - oy)
+        c = np.where(d <= r_ins, 1.0, np.exp(-decay * (d - r_ins)))
+        g = np.maximum(g, c)
+    return ObstacleMap(grid=jnp.asarray(g, jnp.float64),
+                      origin=jnp.asarray([-extent / 2, -extent / 2]),
+                      resolution=jnp.asarray(extent / (cells - 1)),
+                      weight=jnp.asarray(100.0))
+
+
+CASES = {
+    "single": [(0.6, 0.3)],
+    "two": [(0.6, 0.3), (1.4, -0.4)],
+    "three": [(0.5, 0.2), (1.2, 0.8), (1.8, -0.3)],
+}
+
+
+def fit_errors(omap, blobs):
+    xs = np.linspace(-2.0, 2.0, 81)
+    X, Y = np.meshgrid(xs, xs)
+    pts = jnp.asarray(np.stack([X.ravel(), Y.ravel()], -1))
+    g = np.asarray(jax.vmap(lambda q: obstacle_cost(omap, q[None]))(pts))
+    b = np.asarray(jax.vmap(lambda q: blob_cost(blobs, q[None]))(pts))
+    g, b = g.ravel(), b.ravel()
+    peak = g.max()
+    err = np.abs(g - b)
+    support = g > 0.01 * peak
+    return err.max() / peak, err[support].mean() / peak
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_refined_fit_error_bound(name):
+    """The bound the README advertises: refined K-blob fit holds
+    max error <= 15% of peak, on-support mean <= 3%."""
+    omap = costmap2d_style(CASES[name])
+    K = 4 if len(CASES[name]) < 3 else 8
+    blobs = fit_gaussians_to_map(omap, n_blobs=K)
+    mx, mean = fit_errors(omap, blobs)
+    assert mx <= 0.15, f"{name}: max fit error {mx:.3f} of peak"
+    assert mean <= 0.03, f"{name}: mean on-support error {mean:.4f}"
+
+
+def test_refinement_actually_helps():
+    omap = costmap2d_style(CASES["two"])
+    raw = fit_gaussians_to_map(omap, n_blobs=4, refine=False)
+    ref = fit_gaussians_to_map(omap, n_blobs=4, refine=True)
+    mx_raw, mean_raw = fit_errors(omap, raw)
+    mx_ref, mean_ref = fit_errors(omap, ref)
+    assert mx_ref < 0.5 * mx_raw, (mx_raw, mx_ref)
+    assert mean_ref < 0.5 * mean_raw, (mean_raw, mean_ref)
+
+
+def test_grid_vs_blob_solution_agreement():
+    """Downstream bound: the SOLUTION with the fitted blobs stays close to
+    the grid-truth solution — same avoidance side, bounded first-control
+    deviation — on scenarios steering past the obstacle."""
+    omap = costmap2d_style(CASES["single"])
+    blobs = fit_gaussians_to_map(omap, n_blobs=4)
+    p = MPCParams(w_cte=100.0, w_etheta=100.0, w_vel=100.0,
+                  w_angvel_d=10.0, w_accel_d=10.0).astype(jnp.float64)
+    cfg = SolverConfig(n_steps=20, max_sqp_iters=60, tol_grad=1e-8)
+    devs = []
+    for cte0 in (-0.2, 0.0, 0.2):
+        z0 = jnp.asarray([0.0, 0.0, 0.0, 0.4, cte0, 0.0], jnp.float64)
+        coeffs = jnp.asarray([cte0, 0.0, 0.0, 0.0], jnp.float64)
+        rg = ilqr.solve(z0, coeffs, p, cfg, omap=omap)
+        rb = ilqr.solve(z0, coeffs, p, cfg, blobs=blobs)
+        assert bool(rg.converged) and bool(rb.converged)
+        # both must steer the same way on the first command
+        w_g, w_b = float(rg.us[0, 0]), float(rb.us[0, 0])
+        if abs(w_g) > 0.05:
+            assert np.sign(w_g) == np.sign(w_b), (w_g, w_b)
+        devs.append(np.abs(np.asarray(rg.us[0]) - np.asarray(rb.us[0])))
+    dev = np.max(devs)
+    assert dev < 0.25, f"first-control deviation grid vs blobs: {dev:.3f}"
+
+
+def test_refine_empty_map_is_noop():
+    omap = ObstacleMap.empty()
+    blobs = fit_gaussians_to_map(omap, n_blobs=4)
+    assert float(jnp.max(jnp.abs(blobs.w))) == 0.0
