@@ -36,6 +36,9 @@ def main() -> None:
     # 5 candidates (alpha down to 0.5^4) measured identical convergence and
     # iteration counts to the SolverConfig default of 8 on every bench
     # ensemble (plain/obstacles/N=100) while cutting forward-pass work ~11%
+    ap.add_argument("--schedule", choices=["auto", "single", "sorted",
+                    "compact"], default="auto",
+                    help="megakernel iteration schedule (see SolverConfig)")
     ap.add_argument("--ls-iters", type=int, default=5,
                     help="parallel line-search candidate count")
     ap.add_argument("--repeats", type=int, default=5)
@@ -110,6 +113,7 @@ def main() -> None:
 
     cfg = SolverConfig(n_steps=n_steps, max_sqp_iters=max_iters,
                        ls_iters=args.ls_iters, model=args.model,
+                       schedule=args.schedule,
                        tol_grad=1e-4 if dtype == jnp.float32 else 1e-7)
     p = MPCParams().astype(dtype)
     z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), batch, dtype)

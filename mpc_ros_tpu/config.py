@@ -142,9 +142,18 @@ class SolverConfig:
     # across lanes, and pass 2 re-pays the initial rollout + full output
     # writeback — more than the saved iterations. Kept as an opt-in for
     # ensembles with far heavier per-lane heterogeneity than ours.
+    # "compact" runs one pass with per-tile early exit at `compact_frac`
+    # done, then gathers ONLY the straggler lanes (padded to tile
+    # granularity, <= compact_tail of the batch) into a tiny resume pass
+    # and scatters back — the sorted schedule's iteration savings without
+    # its full-batch permutation gathers (only ~compact_tail of the lanes
+    # move). Stragglers past the tail budget keep pass-1 results and
+    # report unconverged (honest conv accounting).
     # "auto" = best known schedule for the config (currently: single pass).
     schedule: str = "auto"
     presolve_iters: int = 3
+    compact_frac: float = 0.97   # pass-1 per-tile done fraction
+    compact_tail: float = 0.06   # straggler-pass size as a fraction of B
     # megakernel rollout trigonometry:
     #   "fast"  -> transcendental-free rollouts. Exploits two identities:
     #              (1) theta and etheta advance by the SAME u0*dt each step

@@ -836,6 +836,9 @@ def solve_pallas_scheduled(zT, cT, params_pack, lb, ub, u0, cfg, *,
     resolves to the single pass.
     """
     total = cfg.max_sqp_iters
+    if cfg.schedule == "compact":
+        return _solve_compact(zT, cT, params_pack, lb, ub, u0, cfg,
+                              dtype=dtype, interpret=interpret, blobs=blobs)
     k1 = cfg.presolve_iters
     # a second pass needs at least one iteration of budget left after the
     # presolve
@@ -861,6 +864,65 @@ def solve_pallas_scheduled(zT, cT, params_pack, lb, ub, u0, cfg, *,
     ss, us, cost, conv, it2, gnorm, mu, done = (
         jnp.take(a, inv_perm, axis=-1) for a in outs)
     return ss, us, cost, conv, it1 + it2, gnorm, mu, done
+
+
+def _solve_compact(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype,
+                   interpret, blobs):
+    """Compact straggler schedule (VERDICT r1 item 3: close the tile-max
+    iteration waste WITHOUT the sorted schedule's full-batch gathers).
+
+    The kernel's per-tile adaptive loop pays the MAX iteration count over
+    each (sub x 128)-lane tile: at B=131072 the per-lane mean is ~5 but
+    every tile contains a tail lane, so every tile runs ~12 iterations —
+    the single largest inefficiency in the megakernel's executed-work
+    accounting. The sorted two-pass schedule attacked this and LOST 2x to
+    full-batch cross-lane permutation gathers. This schedule moves ONLY
+    the stragglers:
+
+      pass 1: whole batch, per-tile early exit once `compact_frac` of the
+              tile's lanes are done (tiles stop at ~the p97 lane, not the
+              max);
+      gather: the not-done lanes (argsort of the done flag — stable, so
+              at most ~(1-compact_frac) of each tile), padded with done
+              lanes to a static `compact_tail * B` tile-granular batch;
+      pass 2: resume-solve the tiny compact batch to completion (fresh
+              iteration budget — these are exactly the lanes that need
+              it); done pad lanes exit before their first iteration;
+      scatter: results back into the pass-1 outputs.
+
+    Only ~compact_tail of the lanes pay gather/scatter traffic. Stragglers
+    beyond the tail budget (possible when a tile hits max_iters with more
+    than compact_tail not done) keep their pass-1 iterate and report
+    unconverged — conv accounting stays honest. Line-search/trust-region
+    state (mu, small-step counter) restarts at the boundary exactly like
+    the sorted schedule (tested equivalence)."""
+    B = zT.shape[-1]
+    T = cfg.n_controls
+    sub = _pick_sub(B, T, cfg.ls_iters)
+    tile = sub * _LANES
+    n_tail = int(-(-B * cfg.compact_tail // tile)) * tile
+    n_tail = max(tile, min(n_tail, B))
+    if n_tail >= B:
+        # batch too small for a compaction win — single pass
+        return solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg,
+                            dtype=dtype, interpret=interpret, blobs=blobs)
+    cfg1 = dataclasses.replace(cfg, done_frac=cfg.compact_frac)
+    ss1, us1, cost1, conv1, it1, gn1, mu1, done1 = solve_pallas(
+        zT, cT, params_pack, lb, ub, u0, cfg1, dtype=dtype,
+        interpret=interpret, blobs=blobs)
+    # stable argsort: stragglers (done=0) first, original order otherwise
+    sel = jnp.argsort(done1, stable=True)[:n_tail]
+    tk = lambda a: jnp.take(a, sel, axis=-1)
+    blobs2 = None if blobs is None else tuple(tk(a) for a in blobs)
+    cfg2 = dataclasses.replace(cfg, done_frac=1.0)
+    (ss2, us2, cost2, conv2, it2, gn2, mu2, done2) = solve_pallas(
+        tk(zT), tk(cT), tk(params_pack), tk(lb), tk(ub), tk(us1), cfg2,
+        dtype=dtype, interpret=interpret, blobs=blobs2,
+        resume=(tk(done1), tk(conv1), tk(mu1), tk(gn1)))
+    scat = lambda full, tail: full.at[..., sel].set(tail)
+    return (scat(ss1, ss2), scat(us1, us2), scat(cost1, cost2),
+            scat(conv1, conv2), it1.at[sel].add(it2), scat(gn1, gn2),
+            scat(mu1, mu2), scat(done1, done2))
 
 
 def _pick_sub(B: int, T: int, ls_iters: int) -> int:

@@ -1,3 +1,3 @@
-from .runtime import Topic, RateLoop, NativeCsvLogger, get_lib
+from .runtime import Topic, ShmTopic, RateLoop, NativeCsvLogger, get_lib
 
-__all__ = ["Topic", "RateLoop", "NativeCsvLogger", "get_lib"]
+__all__ = ["Topic", "ShmTopic", "RateLoop", "NativeCsvLogger", "get_lib"]

@@ -19,6 +19,10 @@
 
 #include <atomic>
 #include <cerrno>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #include <cmath>
 #include <vector>
 #include <cstdint>
@@ -124,6 +128,83 @@ int topic_read(TopicSlot* t, void* out, uint32_t out_capacity) {
 uint64_t topic_publish_count(TopicSlot* t) {
   return t ? t->publish_count.load(std::memory_order_relaxed) : 0;
 }
+
+// ---------------------------------------------------- cross-process topics
+// The same seqlock TopicSlot placed in a POSIX shared-memory object: a real
+// PROCESS boundary for the planner node (the reference exchanged
+// feedback_vel/cmd_vel across processes over TCPROS pub/sub; here the
+// robot-side process and the planner process share wait-free latest-value
+// slots with zero serialization beyond the payload word copy). The struct
+// is stored by value in the mapping; std::atomic<uint64_t> is
+// address-free/lock-free on x86-64 and aarch64, so the seqlock protocol is
+// valid across address spaces. `capacity` doubles as the readiness flag:
+// the creator publishes it LAST with release ordering, attachers spin on
+// it with acquire.
+
+TopicSlot* topic_shm_create(const char* name, uint32_t capacity) {
+  const uint32_t n_words = (capacity + 7) / 8;
+  const size_t bytes = sizeof(TopicSlot) + n_words * 8;
+  int fd = shm_open(name, O_CREAT | O_RDWR, 0600);
+  if (fd < 0) return nullptr;
+  if (ftruncate(fd, (off_t)bytes) != 0) {
+    close(fd);
+    shm_unlink(name);
+    return nullptr;
+  }
+  void* mem = mmap(nullptr, bytes, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
+  close(fd);
+  if (mem == MAP_FAILED) return nullptr;
+  auto* t = new (mem) TopicSlot();
+  t->seq.store(0, std::memory_order_relaxed);
+  t->n_words = n_words;
+  t->size.store(0, std::memory_order_relaxed);
+  t->publish_count.store(0, std::memory_order_relaxed);
+  for (uint32_t i = 0; i < n_words; ++i)
+    t->data[i].store(0, std::memory_order_relaxed);
+  __atomic_store_n(&t->capacity, capacity, __ATOMIC_RELEASE);
+  return t;
+}
+
+TopicSlot* topic_shm_attach(const char* name, int timeout_ms) {
+  int fd = -1;
+  for (int i = 0; i <= timeout_ms; ++i) {
+    fd = shm_open(name, O_RDWR, 0600);
+    if (fd >= 0) break;
+    usleep(1000);
+  }
+  if (fd < 0) return nullptr;
+  struct stat st {};
+  bool sized = false;
+  for (int i = 0; i <= timeout_ms; ++i) {
+    if (fstat(fd, &st) == 0 && st.st_size >= (off_t)sizeof(TopicSlot)) {
+      sized = true;
+      break;
+    }
+    usleep(1000);
+  }
+  if (!sized) {
+    close(fd);
+    return nullptr;
+  }
+  void* mem =
+      mmap(nullptr, (size_t)st.st_size, PROT_READ | PROT_WRITE, MAP_SHARED,
+           fd, 0);
+  close(fd);
+  if (mem == MAP_FAILED) return nullptr;
+  auto* t = reinterpret_cast<TopicSlot*>(mem);
+  for (int i = 0; i <= timeout_ms; ++i) {
+    if (__atomic_load_n(&t->capacity, __ATOMIC_ACQUIRE) != 0) return t;
+    usleep(1000);
+  }
+  munmap(mem, (size_t)st.st_size);
+  return nullptr;
+}
+
+void topic_shm_close(TopicSlot* t) {
+  if (t) munmap(t, sizeof(TopicSlot) + (size_t)t->n_words * 8);
+}
+
+int topic_shm_unlink(const char* name) { return shm_unlink(name); }
 
 // ------------------------------------------------------------- rate loop --
 

@@ -47,6 +47,13 @@ def get_lib() -> ctypes.CDLL:
                                    ctypes.c_uint32]
         lib.topic_publish_count.restype = ctypes.c_uint64
         lib.topic_publish_count.argtypes = [ctypes.c_void_p]
+        lib.topic_shm_create.restype = ctypes.c_void_p
+        lib.topic_shm_create.argtypes = [ctypes.c_char_p, ctypes.c_uint32]
+        lib.topic_shm_attach.restype = ctypes.c_void_p
+        lib.topic_shm_attach.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.topic_shm_close.argtypes = [ctypes.c_void_p]
+        lib.topic_shm_unlink.restype = ctypes.c_int
+        lib.topic_shm_unlink.argtypes = [ctypes.c_char_p]
         # rate loop
         lib.rate_create.restype = ctypes.c_void_p
         lib.rate_create.argtypes = [ctypes.c_int64]
@@ -160,6 +167,65 @@ class Topic:
 
     def __exit__(self, *a):
         self.close()
+
+
+class ShmTopic:
+    """Cross-PROCESS seqlock topic in POSIX shared memory.
+
+    The real process boundary of the planner node — the role the
+    reference's TCPROS pub/sub played for feedback_vel/cmd_vel
+    (/root/reference/mpc_ros/src/mpc_planner_ros.cpp:78,122-124) — with
+    wait-free latest-value semantics: the robot-side process and the
+    planner process publish/read fixed-size payloads with zero
+    serialization beyond a word copy. Same interface as `Topic`, so a
+    `PlannerNode` wired with ShmTopics serves another OS process
+    unchanged (tests/test_native.py::test_shm_topic_cross_process).
+
+    One process calls `ShmTopic(name, capacity, create=True)` (and should
+    `unlink` at teardown); others attach with `ShmTopic(name)`.
+    """
+
+    def __init__(self, name: str, capacity: int = 256,
+                 create: bool = False, attach_timeout_ms: int = 2000):
+        self._lib = get_lib()
+        self.name = name
+        self._created = create
+        if create:
+            self._h = self._lib.topic_shm_create(name.encode(), capacity)
+            self.capacity = capacity
+        else:
+            self._h = self._lib.topic_shm_attach(name.encode(),
+                                                 attach_timeout_ms)
+            if self._h:
+                # capacity is the creator-published readiness word at
+                # offset sizeof(atomic u64) in the slot header
+                cap = ctypes.c_uint32.from_address(self._h + 8)
+                self.capacity = int(cap.value)
+        if not self._h:
+            raise OSError(f"shm topic {name!r}: "
+                          + ("create" if create else "attach") + " failed")
+        self._wlock = threading.Lock()
+
+    publish = Topic.publish
+    read = Topic.read
+    publish_count = Topic.publish_count
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.topic_shm_close(self._h)
+            self._h = None
+
+    def unlink(self) -> None:
+        """Remove the shared-memory object name (creator-side teardown)."""
+        self._lib.topic_shm_unlink(self.name.encode())
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+        if self._created:
+            self.unlink()
 
 
 class RateLoop:

@@ -46,20 +46,26 @@ class PlannerNode:
     """
 
     def __init__(self, planner: MPCPlanner, period_s: Optional[float] = None,
-                 recovery=None, safety=None):
+                 recovery=None, safety=None, topics: Optional[dict] = None):
         """`recovery`: optional RecoverySupervisor (planner/recovery.py) —
         the move_base recovery-ladder role; `safety`: optional SafetyMonitor
         (planner/safety.py) — command validation + controlled stop. Both
-        default off, preserving the bare reference-plugin behavior."""
+        default off, preserving the bare reference-plugin behavior.
+
+        `topics`: optional {"pose": t, "feedback": t, "cmd": t, "traj": t}
+        overrides — pass `native.ShmTopic` instances to serve another OS
+        process over shared memory (the reference's cross-process TCPROS
+        boundary); omitted keys get in-process `Topic` slots."""
         self.planner = planner
         self.recovery = recovery
         self.safety = safety
         self.period_s = period_s or float(planner.params.dt)
-        self.pose_topic = Topic(64)
-        self.feedback_topic = Topic(64)
-        self.cmd_topic = Topic(64)
+        topics = topics or {}
         n = planner.solver_cfg.n_steps
-        self.traj_topic = Topic(n * 3 * 8 + 16)
+        self.pose_topic = topics.get("pose") or Topic(64)
+        self.feedback_topic = topics.get("feedback") or Topic(64)
+        self.cmd_topic = topics.get("cmd") or Topic(64)
+        self.traj_topic = topics.get("traj") or Topic(n * 3 * 8 + 16)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         # serializes planner-state mutation between the loop thread and

@@ -229,3 +229,114 @@ int main() {
     assert "ThreadSanitizer" not in out, out[:3000]
     assert run.returncode == 0, out[:3000]
     assert "ok" in out
+
+
+def test_shm_topic_cross_process():
+    """REAL two-OS-process transport: a subprocess attaches to a POSIX
+    shared-memory topic and publishes counter payloads while this process
+    reads concurrently — every read must be tear-free (all 8 words equal)
+    and monotonically fresh, and the final publish count must arrive."""
+    import os
+    import struct
+    import subprocess
+    import sys
+    import time
+
+    from mpc_ros_tpu.native import ShmTopic
+
+    name = f"/mpcrt_xproc_{os.getpid()}"
+    n = 20000
+    topic = ShmTopic(name, 64, create=True)
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "_shm_worker.py"), name, str(n)],
+            env=env, cwd="/root/repo", stdout=subprocess.PIPE)
+        last = 0
+        reads = 0
+        deadline = time.time() + 60.0
+        while time.time() < deadline:
+            raw = topic.read()
+            if raw is not None:
+                words = struct.unpack("<8Q", raw)
+                assert len(set(words)) == 1, f"torn read: {words}"
+                assert words[0] >= last, "stale value after fresher one"
+                last = words[0]
+                reads += 1
+                if last == n:
+                    break
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out
+        assert last == n, (last, n)
+        assert reads > 100, f"reader starved: {reads} reads"
+        assert topic.publish_count == n
+    finally:
+        topic.close()
+        topic.unlink()
+
+
+def test_shm_topic_attach_missing_times_out():
+    import pytest
+
+    from mpc_ros_tpu.native import ShmTopic
+
+    with pytest.raises(OSError):
+        ShmTopic("/mpcrt_definitely_missing", attach_timeout_ms=50)
+
+
+def test_planner_node_serves_over_shm_cross_process():
+    """End-to-end cross-process control loop: the PLANT runs here, the
+    PlannerNode runs in a subprocess, pose/feedback/cmd flow over POSIX
+    shared-memory seqlock topics (the reference's TCPROS process boundary,
+    /root/reference/mpc_ros/src/mpc_planner_ros.cpp:78)."""
+    import os
+    import struct
+    import subprocess
+    import sys
+    import time
+
+    import numpy as np
+
+    from mpc_ros_tpu.native import ShmTopic
+
+    prefix = f"/mpcrt_node_{os.getpid()}"
+    pose_t = ShmTopic(prefix + "_pose", 64, create=True)
+    fb_t = ShmTopic(prefix + "_fb", 64, create=True)
+    cmd_t = ShmTopic(prefix + "_cmd", 64, create=True)
+    traj_t = ShmTopic(prefix + "_traj", 4096, create=True)
+    topics = [pose_t, fb_t, cmd_t, traj_t]
+    try:
+        pose = np.array([0.0, 0.1, 0.0])
+        vel = (0.0, 0.0)
+        pose_t.publish(struct.pack("<3d", *pose))
+        fb_t.publish(struct.pack("<2d", *vel))
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo")
+        proc = subprocess.Popen(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__),
+                          "_node_shm_worker.py"), prefix, "6.0"],
+            env=env, cwd="/root/repo", stdout=subprocess.PIPE)
+        deadline = time.time() + 60.0
+        applied = 0
+        while time.time() < deadline and proc.poll() is None:
+            raw = cmd_t.read()
+            if raw is not None:
+                v, w = struct.unpack("<2d", raw)
+                pose = pose + 0.02 * np.array(
+                    [v * np.cos(pose[2]), v * np.sin(pose[2]), w])
+                vel = (v, w)
+                applied += 1
+            pose_t.publish(struct.pack("<3d", *pose))
+            fb_t.publish(struct.pack("<2d", *vel))
+            time.sleep(0.004)
+        out, _ = proc.communicate(timeout=120)
+        assert proc.returncode == 0, out
+        assert applied > 20, f"no commands crossed the process boundary: {applied}"
+        assert pose[0] > 0.2, f"robot did not advance: {pose}"
+        assert abs(pose[1]) < 0.2, f"lateral error grew: {pose}"
+    finally:
+        for t in topics:
+            t.close()
+            t.unlink()

@@ -613,3 +613,44 @@ def test_bicycle_fast_trig_extended_domain():
                                   interpret=True)
     ds = float(jnp.max(jnp.abs(outs["fast"][0] - outs["exact"][0])))
     assert ds < 1e-3, ds
+
+
+def test_megakernel_compact_schedule_interpret():
+    """Compact straggler schedule vs one long pass: same solution on lanes
+    converged under both, conv fraction preserved (the straggler pass gets
+    a fresh budget, so it can only help), lane order restored."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas_scheduled
+
+    dtype = jnp.float32
+    B = 512
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(7), B, dtype)
+    p = MPCParams().astype(dtype)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+
+    def run(schedule):
+        cfg = SolverConfig(n_steps=12, max_sqp_iters=10, tol_grad=1e-3,
+                           schedule=schedule, compact_frac=0.9,
+                           compact_tail=0.25)
+        u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+        return solve_pallas_scheduled(zT, cT, pp, lb, -lb, u0, cfg,
+                                      interpret=True)
+
+    ss1, us1, cost1, conv1, it1, gn1, mu1, done1 = run("single")
+    ss2, us2, cost2, conv2, it2, gn2, mu2, done2 = run("compact")
+
+    f1 = float(jnp.mean(conv1))
+    f2 = float(jnp.mean(conv2))
+    assert f2 >= f1 - 1e-6, (f1, f2)
+    both = (conv1 > 0.5) & (conv2 > 0.5)
+    assert float(jnp.sum(both)) > 0.8 * B
+    du = float(jnp.max(jnp.where(both[None, None, :],
+                                 jnp.abs(us1 - us2), 0.0)))
+    assert du < 2e-3, du
+    assert bool(jnp.all(jnp.isfinite(us2)))
+    dc = float(jnp.max(jnp.where(both, jnp.abs(cost1 - cost2), 0.0)))
+    assert dc < 1e-2 * (1.0 + float(jnp.max(jnp.abs(cost1)))), dc
