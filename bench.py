@@ -66,6 +66,11 @@ def main() -> None:
                     help="FleetPlanner serving metric: full planner "
                          "lifecycle (world plans, host path pipeline, FSM) "
                          "for --batch robots, one batched solve per cycle")
+    ap.add_argument("--fleet-pipelined", action="store_true",
+                    help="with --fleet: overlap cycle k+1's host pipeline "
+                         "with cycle k's in-flight solve (begin/finish "
+                         "split; commands lag one period, which delay_mode "
+                         "compensates) — the steady-state serving rate")
     ap.add_argument("--roofline", action="store_true",
                     help="also print speed-of-light accounting (extra line)")
     ap.add_argument("--engine", choices=["lane", "vmap"], default="lane",
@@ -193,13 +198,27 @@ def main() -> None:
         fp.compute_velocity_commands(poses, vw)
         compile_s = time.time() - t0
         laps = []
-        for _ in range(max(5, args.repeats * 2)):
-            t0 = time.time()
-            _, cmds, info = fp.compute_velocity_commands(poses, vw)
-            laps.append(time.time() - t0)
+        if args.fleet_pipelined:
+            # steady-state pipelined rate: finish cycle k while k+1's host
+            # pipeline runs against the in-flight solve
+            h = fp.begin_cycle(poses, vw)
+            for _ in range(max(5, args.repeats * 2)):
+                t0 = time.time()
+                h_next = fp.begin_cycle(poses, vw)
+                _, cmds, info = fp.finish_cycle(h)
+                h = h_next
+                laps.append(time.time() - t0)
+            _, cmds, info = fp.finish_cycle(h)
+        else:
+            for _ in range(max(5, args.repeats * 2)):
+                t0 = time.time()
+                _, cmds, info = fp.compute_velocity_commands(poses, vw)
+                laps.append(time.time() - t0)
         lap = np.asarray(laps)
         p50 = float(np.percentile(lap, 50))
         fsuffix = "" if args.model == "diff_drive" else f"_{args.model}"
+        if args.fleet_pipelined:
+            fsuffix += "_pipelined"
         print(json.dumps({
             "metric": f"fleet_serving_robot_cycles_per_s_per_chip_n20{fsuffix}",
             "value": round(B / p50, 1),

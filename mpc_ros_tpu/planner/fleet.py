@@ -515,6 +515,32 @@ class FleetPlanner:
                                   feedback: np.ndarray):
         """One fleet control cycle. poses (B, 3); feedback (B, 2) measured
         (v, yaw_rate). Returns (ok (B,), cmds (B, 2), FleetCycleInfo)."""
+        return self.finish_cycle(self.begin_cycle(poses, feedback))
+
+    def begin_cycle(self, poses: np.ndarray, feedback: np.ndarray) -> dict:
+        """Pipelined serving, phase 1: run the host path pipeline + FSM and
+        DISPATCH the batched solve without waiting for it; returns the
+        pending-cycle handle for `finish_cycle`.
+
+        The split exists because the only cross-cycle data dependency that
+        needs a device->host sync is the fetched first controls — the
+        warm-start bank feeds the next solve ON DEVICE (lazy jax value)
+        and the host pipeline depends only on world inputs and cursors. A
+        serving loop that calls begin(k+1) right after finish(k) overlaps
+        cycle k+1's host pipeline with nothing, but a loop structured as
+
+            h = fp.begin_cycle(poses, fb)
+            ...                                # robot I/O, logging, etc.
+            ok, cmds, info = fp.finish_cycle(h)
+
+        hides the solve + tunnel round-trip behind whatever host work runs
+        in between. bench.py --fleet --fleet-pipelined interleaves
+        begin(k+1) BEFORE finish(k) — cycle k+1's host pipeline runs while
+        solve k is in flight — so commands lag one control period and the
+        delay-mode actuation state (w, throttle) is one cycle stale;
+        `delay_mode`'s one-step actuation prediction is built to
+        compensate exactly this kind of latency. Sequential callers (the
+        plain compute_velocity_commands) are unaffected."""
         assert self._initialized
         poses = np.asarray(poses, float)
         feedback = np.asarray(feedback, float)
@@ -551,8 +577,9 @@ class FleetPlanner:
         cmds[rp, 1] = cfg.rotate_p_gain * _wrap(head[rp] - poses[rp, 2])
 
         if not track.any():
-            info = self._info(cmds, cte_out, eth_out, refv_out, None, track)
-            return ok, cmds, info
+            return {"ok": ok, "cmds": cmds, "cte": cte_out, "eth": eth_out,
+                    "refv": refv_out, "track": track, "res": None,
+                    "states": self.states.copy()}
 
         # 3. batched fit + error-state extraction for the tracking robots
         idx = np.nonzero(track)[0]
@@ -566,8 +593,25 @@ class FleetPlanner:
 
         # 4. ONE batched solve for the whole fleet (fixed shape B: robots
         # not tracking get benign zero problems so the jit cache never
-        # sees a data-dependent batch size)
+        # sees a data-dependent batch size) — DISPATCHED, not fetched: jax
+        # async dispatch returns immediately, the chip works in the gap
         res = self._solve_fleet(idx, z0s, coeffs, refv, poses)
+        self._warm = res.us                       # device-resident bank
+        self._has_warm[:] = False
+        self._has_warm[idx] = True
+        return {"ok": ok, "cmds": cmds, "cte": cte_out, "eth": eth_out,
+                "refv": refv_out, "track": track, "res": res, "idx": idx,
+                "refv_sub": refv, "v_meas": feedback[idx, 0],
+                "states": self.states.copy()}
+
+    def finish_cycle(self, h: dict):
+        """Pipelined serving, phase 2: sync the dispatched solve, fetch the
+        first controls + stats (ONE transfer), update the cross-cycle
+        actuation state, return (ok, cmds, info)."""
+        if h["res"] is None:
+            info = self._info(h["cmds"], h["cte"], h["eth"], h["refv"],
+                              None, h["track"], states=h["states"])
+            return h["ok"], h["cmds"], info
 
         # ONE device->host transfer for everything the host needs — the
         # warm-start bank itself STAYS ON DEVICE (res.us, (B, T, 2)): only
@@ -575,23 +619,24 @@ class FleetPlanner:
         # 1.3 MB at B=8192 over the ~27 ms-RTT tunnel)
         import jax
 
+        res = h["res"]
+        idx = h["idx"]
+        cmds = h["cmds"]
         u0_all, cost_d, conv_d, iters_d = jax.device_get(
             (res.us[:, 0, :], res.cost, res.converged, res.n_iters))
-        self._warm = res.us                       # device-resident bank
-        self._has_warm[:] = False
-        self._has_warm[idx] = True
         dt = self._leaf("dt", idx)
         u0 = np.asarray(u0_all, float)[idx]
         self.w[idx] = u0[:, 0]
         self.throttle[idx] = u0[:, 1]
-        v_meas = feedback[idx, 0]
-        self.speed[idx] = np.minimum(v_meas + u0[:, 1] * dt, refv)
+        self.speed[idx] = np.minimum(h["v_meas"] + u0[:, 1] * dt,
+                                     h["refv_sub"])
         cmds[idx, 0] = self.speed[idx]
         cmds[idx, 1] = self.w[idx]
 
-        info = self._info(cmds, cte_out, eth_out, refv_out,
-                          (cost_d, conv_d, iters_d), track)
-        return ok, cmds, info
+        info = self._info(cmds, h["cte"], h["eth"], h["refv"],
+                          (cost_d, conv_d, iters_d), h["track"],
+                          states=h["states"])
+        return h["ok"], cmds, info
 
     # -- internals -------------------------------------------------------------
 
@@ -739,8 +784,10 @@ class FleetPlanner:
             jnp.asarray(z0s, self.dtype), jnp.asarray(coeffs, self.dtype),
             p, self.solver_cfg, u_init=warm, blobs=blobs)
 
-    def _info(self, cmds, cte, eth, refv, fetched, track):
-        """`fetched`: host-side (cost, converged, n_iters) arrays or None."""
+    def _info(self, cmds, cte, eth, refv, fetched, track, states=None):
+        """`fetched`: host-side (cost, converged, n_iters) arrays or None.
+        `states`: FSM snapshot taken at begin_cycle (pipelined serving may
+        have advanced self.states for the NEXT cycle already)."""
         B = self.B
         nan = np.full(B, np.nan)
         false = np.zeros(B, bool)
@@ -752,7 +799,9 @@ class FleetPlanner:
             iters = np.where(track, np.asarray(iters_d, np.int32), 0)
         else:
             cost, conv, iters = nan, false, zero
-        return FleetCycleInfo(states=self.states.copy(), cmds=cmds.copy(),
+        if states is None:
+            states = self.states.copy()
+        return FleetCycleInfo(states=states, cmds=cmds.copy(),
                               ref_vel=refv, cte=cte, etheta=eth, cost=cost,
                               converged=conv, n_iters=iters)
 
