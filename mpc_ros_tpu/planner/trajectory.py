@@ -254,3 +254,171 @@ class TrajectoryTracker:
             coeffs=coeffs, state=state, refs=refs, ref_point=pts[0],
             lag=lag, solve=res, cost=float(res.cost))
         return (self.speed, self.w), dbg
+
+
+class FleetTrajectoryTracker:
+    """B robots chasing B timed references with ONE batched solve/cycle.
+
+    The fleet twin of `TrajectoryTracker` (same per-cycle math,
+    vectorized): trajectories live in padded (B, M) buffers, the horizon
+    sampling is one flat searchsorted over all robots, the cubic fits are
+    batched normal equations, and the per-stage setpoint profiles go
+    through `engine.batch_solve(refs=...)` in a single program. Extends
+    the upstream ref_trajectory_tracking capability
+    (/root/reference/README.md:43-46) to fleet serving.
+    """
+
+    def __init__(self, params: MPCParams, solver_cfg: SolverConfig,
+                 planner_cfg: PlannerConfig = PlannerConfig(),
+                 dtype=None, catchup_gain: float = 0.8):
+        if dtype is None:
+            import jax
+
+            dtype = (jnp.float64 if jax.config.jax_enable_x64
+                     else jnp.float32)
+        self.params = params.astype(dtype)
+        self.solver_cfg = solver_cfg
+        self.planner_cfg = planner_cfg
+        self.dtype = dtype
+        self.catchup_gain = float(catchup_gain)
+        self.model = get_model(solver_cfg.model)
+        self.B = 0
+        self._warm_us: Optional[np.ndarray] = None
+
+    def set_trajectories(self, trajs: list) -> None:
+        """Install B `TimedTrajectory` objects (padded internally)."""
+        B = len(trajs)
+        self.B = B
+        M = max(len(tr.t) for tr in trajs)
+        self._xy = np.zeros((B, M, 2))
+        self._yawu = np.zeros((B, M))
+        self._t = np.full((B, M), np.inf)
+        self._len = np.zeros(B, np.int64)
+        self._vseg = np.zeros((B, max(M - 1, 1)))
+        for i, tr in enumerate(trajs):
+            n = len(tr.t)
+            self._len[i] = n
+            self._xy[i, :n] = tr.xy
+            # pad with the final waypoint so clamped samples park there
+            self._xy[i, n:] = tr.xy[-1]
+            self._yawu[i, :n] = tr._yaw_unwrapped
+            self._yawu[i, n:] = tr._yaw_unwrapped[-1]
+            self._t[i, :n] = tr.t
+            ds = np.hypot(*np.diff(tr.xy, axis=0).T)
+            dt_ = np.diff(tr.t)
+            self._vseg[i, :n - 1] = ds / dt_
+        self._t_end = np.array([tr.t[-1] for tr in trajs])
+        self._goal = np.stack([tr.xy[-1] for tr in trajs])
+        self._warm_us = None
+
+    def finished(self, t_now: float, poses: np.ndarray) -> np.ndarray:
+        """(B,) flags: past the schedule end AND inside the xy tolerance."""
+        d = np.hypot(poses[:, 0] - self._goal[:, 0],
+                     poses[:, 1] - self._goal[:, 1])
+        return ((t_now >= self._t_end)
+                & (d <= self.planner_cfg.limits.xy_goal_tolerance))
+
+    def _sample(self, times: np.ndarray):
+        """Vectorized TimedTrajectory.sample over the fleet.
+        times (B, K) -> (xy (B, K, 2), yaw (B, K), speed (B, K))."""
+        B, M = self._t.shape
+        K = times.shape[1]
+        t0 = self._t[:, 0]
+        tN = np.take_along_axis(self._t, (self._len - 1)[:, None], 1)[:, 0]
+        tc = np.clip(times, t0[:, None], tN[:, None])
+        # one flat searchsorted across all rows: offset each row's (sorted)
+        # timeline by i*C with C above every finite time value
+        fin = np.isfinite(self._t)
+        tmax = float(self._t[fin].max()) if fin.any() else 1.0
+        C = tmax + 2.0
+        tpad = np.where(fin, self._t, tmax + 1.0)
+        base = np.arange(B)[:, None] * C
+        flat = (tpad + base).ravel()
+        k = np.searchsorted(flat, (tc + base).ravel(), side="right")
+        k = (k - (np.arange(B) * M).repeat(K)).reshape(B, K)
+        k0 = np.clip(k - 1, 0, M - 2)
+        g = lambda a: np.take_along_axis(a, k0, 1)
+        t_lo = g(self._t)
+        t_hi = np.take_along_axis(self._t, k0 + 1, 1)
+        w = np.where(t_hi > t_lo, (tc - t_lo) / np.maximum(t_hi - t_lo,
+                                                           1e-12), 0.0)
+        w = np.clip(w, 0.0, 1.0)
+        x = g(self._xy[..., 0]) * (1 - w) + np.take_along_axis(
+            self._xy[..., 0], k0 + 1, 1) * w
+        y = g(self._xy[..., 1]) * (1 - w) + np.take_along_axis(
+            self._xy[..., 1], k0 + 1, 1) * w
+        yaw = g(self._yawu) * (1 - w) + np.take_along_axis(
+            self._yawu, k0 + 1, 1) * w
+        v = np.take_along_axis(self._vseg,
+                               np.clip(k0, 0, self._vseg.shape[1] - 1), 1)
+        v = np.where((times > tN[:, None]) | (times < t0[:, None]), 0.0, v)
+        return np.stack([x, y], -1), yaw, v
+
+    def compute(self, t_now: float, poses: np.ndarray,
+                feedback_v: np.ndarray):
+        """One fleet cycle: poses (B, 3), feedback_v (B,).
+        Returns (cmds (B, 2) = (v, w), lags (B,))."""
+        assert self.B, "set_trajectories first"
+        cfg = self.solver_cfg
+        N = cfg.n_steps
+        B = self.B
+        dt = float(np.max(np.asarray(self.params.dt)))
+        times = t_now + dt * np.arange(N)[None, :].repeat(B, 0)
+        pts, yaws, speeds = self._sample(times)
+
+        th = poses[:, 2]
+        ct, st = np.cos(th), np.sin(th)
+        dx = pts[..., 0] - poses[:, 0, None]
+        dy = pts[..., 1] - poses[:, 1, None]
+        x_veh = dx * ct[:, None] + dy * st[:, None]
+        y_veh = dy * ct[:, None] - dx * st[:, None]
+
+        # batched cubic fit (normal equations; degree capped by distinct
+        # abscissae like the single-robot tracker)
+        n_distinct = (np.abs(np.diff(np.sort(x_veh, axis=1), axis=1))
+                      > 1e-6).sum(axis=1) + 1
+        order = np.minimum(np.minimum(cfg.poly_order, N - 1),
+                           np.maximum(n_distinct - 1, 0))
+        order = np.where(np.ptp(x_veh, axis=1) < 1e-3, 0, order)
+        coeffs = np.zeros((B, cfg.n_coeffs))
+        for kk in np.unique(order):
+            sel = order == kk
+            xs = x_veh[sel]
+            V = np.empty((xs.shape[0], N, kk + 1))
+            V[:, :, 0] = 1.0
+            for q in range(1, kk + 1):
+                V[:, :, q] = V[:, :, q - 1] * xs
+            Vt = V.transpose(0, 2, 1)
+            G = Vt @ V + 1e-12 * np.eye(kk + 1)
+            b = Vt @ y_veh[sel][:, :, None]
+            coeffs[sel, : kk + 1] = np.linalg.solve(G, b)[..., 0]
+
+        cte = coeffs[:, 0]
+        etheta = (th - yaws[:, 0] + np.pi) % (2.0 * np.pi) - np.pi
+        hx, hy = np.cos(yaws[:, 0]), np.sin(yaws[:, 0])
+        lag = dx[:, 0] * hx + dy[:, 0] * hy
+
+        v_ref = np.clip(speeds + self.catchup_gain * lag[:, None], 0.0,
+                        self.planner_cfg.max_speed)
+        refs = np.stack([np.zeros((B, N)), np.zeros((B, N)), v_ref], -1)
+        z0s = np.stack([np.zeros(B), np.zeros(B), np.zeros(B),
+                        np.asarray(feedback_v, float), cte, etheta], -1)
+
+        from ..engine.batch import batch_solve
+
+        u_init = None
+        if self._warm_us is not None:
+            u_init = jnp.asarray(np.concatenate(
+                [self._warm_us[:, 1:], self._warm_us[:, -1:]], axis=1),
+                self.dtype)
+        res = batch_solve(jnp.asarray(z0s, self.dtype),
+                          jnp.asarray(coeffs, self.dtype), self.params,
+                          cfg, u_init=u_init,
+                          refs=jnp.asarray(refs, self.dtype))
+        import jax
+
+        us = np.asarray(jax.device_get(res.us), float)
+        self._warm_us = us
+        v_cmd = np.clip(np.asarray(feedback_v, float) + us[:, 0, 1] * dt,
+                        0.0, self.planner_cfg.max_speed)
+        return np.stack([v_cmd, us[:, 0, 0]], -1), lag

@@ -153,3 +153,53 @@ def test_trajectory_csv_log_schema(tmp_path):
     rec, course_time = read_tracking_csv(path)
     assert rec.shape[1] == 5
     assert abs(course_time - res.course_time_s) < 1e-6
+
+
+def test_fleet_trajectory_tracker_closed_loop():
+    """B robots chase B timed references with ONE batched solve per cycle
+    (FleetTrajectoryTracker); every robot must finish on schedule with a
+    bounded distance to its moving reference point."""
+    from mpc_ros_tpu.planner.trajectory import FleetTrajectoryTracker
+
+    B = 6
+    base = get_shape("infinity")[:240]
+    trajs = []
+    for i in range(B):
+        pl = base.copy()
+        pl[:, :2] += 3.0 * i
+        trajs.append(TimedTrajectory.from_path(pl, 0.35 + 0.02 * i))
+
+    p = MPCParams(dt=0.1, max_angvel=1.5, w_cte=300.0,
+                  w_angvel_d=10.0, w_accel_d=10.0)
+    tr = FleetTrajectoryTracker(p, SolverConfig(n_steps=20),
+                                PlannerConfig(local_plan_length=2.5))
+    tr.set_trajectories(trajs)
+
+    poses = np.stack([t.xy[0] for t in trajs])
+    poses = np.concatenate([poses, np.array([[t.yaw[0]] for t in trajs])], 1)
+    vs = np.zeros(B)
+    dt = 0.1
+    max_d = np.zeros(B)
+    sum_d = np.zeros(B)
+    n = 0
+    for cycle in range(3000):
+        t_now = cycle * dt
+        fin = tr.finished(t_now, poses)
+        if fin.all():
+            break
+        cmds, lags = tr.compute(t_now, poses, vs)
+        ref_now, _, _ = tr._sample(np.full((B, 1), t_now))
+        d = np.hypot(poses[:, 0] - ref_now[:, 0, 0],
+                     poses[:, 1] - ref_now[:, 0, 1])
+        max_d = np.maximum(max_d, d)
+        sum_d += d
+        n += 1
+        v, w = cmds[:, 0], cmds[:, 1]
+        poses[:, 0] += dt * v * np.cos(poses[:, 2])
+        poses[:, 1] += dt * v * np.sin(poses[:, 2])
+        poses[:, 2] += dt * w
+        vs = v
+    assert fin.all(), f"not all robots finished: {fin}"
+    mean_d = sum_d / max(n, 1)
+    assert mean_d.max() < 0.3, f"mean dist_to_ref per robot: {mean_d}"
+    assert max_d.max() < 0.7, f"max dist_to_ref per robot: {max_d}"
