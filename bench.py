@@ -71,6 +71,11 @@ def main() -> None:
                          "with cycle k's in-flight solve (begin/finish "
                          "split; commands lag one period, which delay_mode "
                          "compensates) — the steady-state serving rate")
+    ap.add_argument("--fleet-trajectory", action="store_true",
+                    help="FleetTrajectoryTracker serving metric: B robots "
+                         "chasing timed references, one batched "
+                         "per-stage-refs solve per cycle (megakernel "
+                         "refs path on TPU)")
     ap.add_argument("--roofline", action="store_true",
                     help="also print speed-of-light accounting (extra line)")
     ap.add_argument("--engine", choices=["lane", "vmap"], default="lane",
@@ -167,6 +172,62 @@ def main() -> None:
             "mean_iters_min_max": [
                 round(float(jnp.min(sw.mean_iters)), 2),
                 round(float(jnp.max(sw.mean_iters)), 2)],
+        }))
+        return
+
+    if args.fleet_trajectory:
+        from mpc_ros_tpu.config import PlannerConfig
+        from mpc_ros_tpu.planner.trajectory import (FleetTrajectoryTracker,
+                                                    TimedTrajectory)
+        from mpc_ros_tpu.sim import get_shape
+
+        B = args.batch or (64 if args.quick else 1024)
+        base = get_shape("infinity")
+        trajs = []
+        for i in range(B):
+            pl2 = base.copy()
+            pl2[:, :2] += 10.0 * (i % 64)
+            trajs.append(TimedTrajectory.from_path(pl2, 0.3 + 0.002 * (i % 64)))
+        ft_params = MPCParams(dt=0.1, max_angvel=1.5, w_cte=300.0,
+                              w_angvel_d=10.0, w_accel_d=10.0)
+        ft = FleetTrajectoryTracker(
+            ft_params,
+            SolverConfig(n_steps=20, ls_iters=args.ls_iters,
+                         model=args.model),
+            PlannerConfig(local_plan_length=2.5))
+        ft.set_trajectories(trajs)
+        poses = np.stack([t.xy[0] for t in trajs])
+        poses = np.concatenate(
+            [poses, np.array([[t.yaw[0]] for t in trajs])], 1)
+        vs = np.zeros(B)
+        t0 = time.time()
+        ft.compute(0.0, poses, vs)
+        compile_s = time.time() - t0
+        laps = []
+        t_now = 0.0
+        for _ in range(max(5, args.repeats * 2)):
+            t0 = time.time()
+            cmds, _lags = ft.compute(t_now, poses, vs)
+            laps.append(time.time() - t0)
+            # advance the plant so cycles stay representative (mid-course)
+            v, w = cmds[:, 0], cmds[:, 1]
+            poses[:, 0] += 0.1 * v * np.cos(poses[:, 2])
+            poses[:, 1] += 0.1 * v * np.sin(poses[:, 2])
+            poses[:, 2] += 0.1 * w
+            vs = v
+            t_now += 0.1
+        lap = np.asarray(laps)
+        p50 = float(np.percentile(lap, 50))
+        print(json.dumps({
+            "metric": "fleet_trajectory_robot_cycles_per_s_per_chip_n20",
+            "value": round(B / p50, 1),
+            "unit": "robot-cycles/s",
+            "vs_baseline": round(B / p50 / (10000.0 / 8.0), 3),
+            "batch": B,
+            "device": str(dev),
+            "compile_s": round(compile_s, 2),
+            "cycle_ms_p50": round(p50 * 1e3, 2),
+            "cycle_ms_p99": round(float(np.percentile(lap, 99)) * 1e3, 2),
         }))
         return
 
@@ -384,6 +445,16 @@ def main() -> None:
         "p50_single_solve_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
         "p99_single_solve_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
     }
+    # per-lane iteration distribution — sizes the tile-max scheduling waste
+    # (a tile's while loop runs to its slowest lane)
+    it_arr = np.asarray(res.n_iters, dtype=np.float64)
+    out["iters_pcts"] = {
+        q: round(float(np.percentile(it_arr, qq)), 1)
+        for q, qq in [("p50", 50), ("p90", 90), ("p97", 97),
+                      ("p99", 99), ("p999", 99.9)]}
+    out["iters_max"] = int(it_arr.max())
+    out["unconverged_ppm"] = int(round(
+        1e6 * (1.0 - float(np.mean(res.converged)))))
     print(json.dumps(out))
 
     if args.roofline:
@@ -401,6 +472,25 @@ def main() -> None:
         per_batch = best_pipe / n_pipe   # steady-state: RTT amortized away
         acct["measured_ms"] = round(per_batch * 1e3, 2)
         acct["speed_of_light_frac"] = round(efficiency(per_batch, acct), 4)
+        if mega:
+            # executed-work decomposition: the model charges the per-lane
+            # MEAN iteration count, but each (sub x 128) tile's while loop
+            # runs to its slowest lane — the kernel physically executes
+            # mean-over-tiles(max-in-tile) iterations. The ratio separates
+            # "iteration waste" (scheduling) from per-op efficiency.
+            from mpc_ros_tpu.kernels.solve_pallas import _pick_sub
+
+            iters = np.asarray(res.n_iters, dtype=np.float64)
+            sub = _pick_sub(batch, n_steps - 1, cfg.ls_iters)
+            tile = sub * 128
+            if batch % tile == 0:
+                tmax = iters.reshape(batch // tile, tile).max(axis=1)
+                exec_iters = float(np.mean(tmax))
+                acct_exec = make(batch, n_steps - 1, n_alpha=cfg.ls_iters,
+                                 n_iters=exec_iters)
+                acct["mean_tile_max_iters"] = round(exec_iters, 2)
+                acct["per_executed_iter_frac"] = round(
+                    efficiency(per_batch, acct_exec), 4)
         print(json.dumps(acct))
 
 

@@ -13,10 +13,14 @@ instruction advances 1024 scenarios — the (128,)-vector layout this
 replaced occupied 1 of 8 sublanes per vreg and left ~8x VPU throughput on
 the table.
 
-Beyond removing all inter-kernel traffic, the other decisive win is
+Beyond removing all inter-kernel traffic, the other structural win is
 PER-TILE adaptive iteration: each batch tile's while-loop exits when ITS
 lanes are done, instead of the whole batch paying the globally slowest
-lane (global max ~12 iterations vs per-tile ~6-8 at default tolerances).
+lane. Measured at B=131072/N=30 the win is small (mean tile-max 11.77 of
+cap 12 — the slow tail is sprinkled into nearly every 1024-lane tile;
+see BENCH_NOTES "Roofline closure"), but it is what makes the kernel
+robust across batch compositions: homogeneous/easy ensembles exit early
+per tile with no host round-trip.
 
 The per-stage math is the same as kernels/backward_fused_pallas.py and
 kernels/forward_pallas.py (structured-sparsity Jacobian products, exact
@@ -50,13 +54,17 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             tol_grad: float, tol_cost_eff: float, mu_min: float,
             mu_max: float, mu_factor: float, dtype, n_blobs: int,
             sub: int, n_done_needed: int, unroll_bwd: bool,
-            has_resume: bool, fast_trig: bool, model: str, *refs):
+            has_resume: bool, has_setp: bool, fast_trig: bool,
+            model: str, *refs):
     # Per-lane values are (sub, 128) tiles. With sub=8 each value fills a
     # native f32 vreg (8 sublanes x 128 lanes): one vector op processes
     # 1024 scenarios. sub=1 wastes 7/8 of the VPU rows — it exists only as
     # the fallback for batches not divisible by 1024.
     (z0_ref, c_ref, par_ref, lb_ref, ub_ref, u0_ref) = refs[:6]
     i = 6
+    if has_setp:
+        setp_ref = refs[i]          # (T+1, 3, sub, 128) per-knot setpoints
+        i += 1
     if has_resume:
         resume_ref = refs[i]
         i += 1
@@ -112,6 +120,18 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
     ww2 = 2.0 * par[P_WANG]
     wa2 = 2.0 * par[P_WACC]
 
+    # per-knot (ref_cte, ref_etheta, ref_vel) setpoints: a time-indexed
+    # VMEM profile in trajectory-tracking mode (solver/ilqr.py `refs`),
+    # the per-lane scalar params otherwise (FG_eval keeps them constant
+    # over the horizon, /root/reference/mpc_ros/src/mpc_planner.cpp:122-130)
+    if has_setp:
+        def ref3(t):
+            r = setp_ref[t]
+            return r[0], r[1], r[2]
+    else:
+        def ref3(t):
+            return par[P_RCTE], par[P_RETH], par[P_RVEL]
+
     # ---------------- model-family heading kinematics --------------------
     # diff_drive: theta/etheta advance by u0*dt (u0 = omega).
     # bicycle:    by (v / lf) * u0 * dt (u0 = delta; models/bicycle.py) —
@@ -146,12 +166,13 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             u1,
         ])
 
-    def stage_cost(s_rows, u0, u1, rate):
+    def stage_cost(s_rows, u0, u1, rate, t):
         du0 = u0 - s_rows[6]
         du1 = u1 - s_rows[7]
-        c = (par[P_WCTE] * (s_rows[4] - par[P_RCTE]) ** 2
-             + par[P_WETH] * (s_rows[5] - par[P_RETH]) ** 2
-             + par[P_WVEL] * (s_rows[3] - par[P_RVEL]) ** 2
+        rc, re, rv = ref3(t)
+        c = (par[P_WCTE] * (s_rows[4] - rc) ** 2
+             + par[P_WETH] * (s_rows[5] - re) ** 2
+             + par[P_WVEL] * (s_rows[3] - rv) ** 2
              + par[P_WANG] * u0 ** 2 + par[P_WACC] * u1 ** 2
              + rate * (par[P_WDANG] * du0 ** 2 + par[P_WDACC] * du1 ** 2))
         if n_blobs:
@@ -159,9 +180,10 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         return c
 
     def term_cost(s_rows):
-        c = (par[P_WCTE] * (s_rows[4] - par[P_RCTE]) ** 2
-             + par[P_WETH] * (s_rows[5] - par[P_RETH]) ** 2
-             + par[P_WVEL] * (s_rows[3] - par[P_RVEL]) ** 2)
+        rc, re, rv = ref3(T)
+        c = (par[P_WCTE] * (s_rows[4] - rc) ** 2
+             + par[P_WETH] * (s_rows[5] - re) ** 2
+             + par[P_WVEL] * (s_rows[3] - rv) ** 2)
         if n_blobs:
             c = c + obs_val(s_rows[0], s_rows[1])
         return c
@@ -238,7 +260,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         u1 = u0_ref[t, 1]
         traj_u[0, t] = jnp.stack([u0, u1])
         rate = jnp.where(t >= 1, 1.0, 0.0).astype(dtype)
-        acc = acc + stage_cost(s_a, u0, u1, rate)
+        acc = acc + stage_cost(s_a, u0, u1, rate, t)
         # cache the stage trig for the backward pass
         se = se_of(ct, st, s_a)
         traj_g[0, t] = jnp.stack([ct, st, se, ce_of(ct, st, s_a)])
@@ -280,11 +302,12 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             ogxT, ogyT, ohxxT, ohxyT, ohyyT = obs_terms(sT[0], sT[1])
         else:
             ogxT = ogyT = ohxxT = ohxyT = ohyyT = zeros
+        rcT, reT, rvT = ref3(T)
         Vs0 = jnp.stack([
             ogxT, ogyT, zeros,
-            wv2 * (sT[3] - par[P_RVEL]),
-            wc2 * (sT[4] - par[P_RCTE]),
-            we2 * (sT[5] - par[P_RETH]),
+            wv2 * (sT[3] - rvT),
+            wc2 * (sT[4] - rcT),
+            we2 * (sT[5] - reT),
             zeros, zeros,
         ])
         diagT = [ohxxT, ohyyT, zeros, wv2, wc2, we2, zeros, zeros]
@@ -359,11 +382,12 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                 ogx, ogy, ohxx, ohxy, ohyy = obs_terms(s_t[0], s_t[1])
             else:
                 ogx = ogy = ohxx = ohxy = ohyy = zeros
+            rc_t, re_t, rv_t = ref3(t)
             ls = jnp.stack([
                 ogx, ogy, zeros,
-                wv2 * (v - par[P_RVEL]),
-                wc2 * (s_t[4] - par[P_RCTE]),
-                we2 * (eth - par[P_RETH]),
+                wv2 * (v - rv_t),
+                wc2 * (s_t[4] - rc_t),
+                we2 * (eth - re_t),
                 -wdw2 * du0,
                 -wda2 * du1,
             ])
@@ -555,7 +579,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                     K[1, j] * ds[j] for j in range(_N) if j != 4)
                 u0 = jnp.clip(u0, lb[0], ub[0])
                 u1 = jnp.clip(u1, lb[1], ub[1])
-                new_accs.append(accs[a] + stage_cost(s_a, u0, u1, rate))
+                new_accs.append(accs[a] + stage_cost(s_a, u0, u1, rate, t))
                 se = se_of(cts[a], sts[a], s_a)
                 s_n = dyn_step(s_a, u0, u1, (cts[a], sts[a], se))
                 s_scr[pl.ds(a * _N, _N)] = s_n
@@ -692,9 +716,15 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
 
 def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
-                 interpret: bool = False, blobs=None, resume=None):
+                 interpret: bool = False, blobs=None, resume=None,
+                 refs=None):
     """Whole-solve megakernel. Batch-last inputs: zT (6,B), cT (4,B),
     params_pack (12,B), lb/ub (2,B), u0 (T,2,B) initial controls.
+
+    `refs`: optional lane-major (T+1, 3, B) per-knot
+    (ref_cte, ref_etheta, ref_vel) setpoint profiles — the time-indexed
+    objective behind trajectory tracking (solver/ilqr.py `refs`). None =
+    the scalar FG_eval setpoints from params_pack, bit-for-bit.
 
     `cfg.model` selects the vehicle family ("diff_drive" or "bicycle") —
     a static specialization: the bicycle's heading rows read the traced
@@ -719,7 +749,8 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
     assert B % _LANES == 0
     tol_cost_eff = max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps))
     n_blobs = 0 if blobs is None else blobs[0].shape[0]
-    sub = _pick_sub(B, T, cfg.ls_iters)
+    sub = _pick_sub(B, T, cfg.ls_iters,
+                    extra=0 if refs is None else (T + 1) * 3)
     n_prog = B // (sub * _LANES)
     grid = (n_prog,)
 
@@ -750,7 +781,9 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         # interpret mode (tests) and at long horizons it only bloats
         # trace/compile time
         n_done_needed, bool(T <= 48 and not interpret),
-        resume is not None, cfg.trig == "fast", cfg.model)
+        resume is not None, refs is not None, cfg.trig == "fast", cfg.model)
+    setp_inputs = [] if refs is None else [rsh(refs)]
+    setp_specs = [] if refs is None else [lane_spec(T + 1, 3)]
     resume_inputs = [] if resume is None else [rsh(jnp.stack(resume))]
     resume_specs = [] if resume is None else [lane_spec(4)]
     blob_inputs = [] if n_blobs == 0 else [rsh(a) for a in blobs]
@@ -765,7 +798,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
             lane_spec(_M),           # lb
             lane_spec(_M),           # ub
             lane_spec(T, _M),        # u_init
-        ] + resume_specs + blob_specs,
+        ] + setp_specs + resume_specs + blob_specs,
         out_specs=[
             lane_spec(T + 1, _N),
             lane_spec(T, _M),
@@ -796,7 +829,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         ],
         interpret=interpret,
     )(rsh(zT), rsh(cT), rsh(params_pack), rsh(lb), rsh(ub), rsh(u0),
-      *resume_inputs, *blob_inputs)
+      *setp_inputs, *resume_inputs, *blob_inputs)
     ss, us, cost, conv, iters, gnorm, mu, done = [
         a.reshape(a.shape[:-3] + (B,)) for a in out]
     return (ss, us, cost[0], conv[0], iters[0], gnorm[0], mu[0], done[0])
@@ -804,7 +837,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
 
 def solve_pallas_scheduled(zT, cT, params_pack, lb, ub, u0, cfg, *,
                            dtype=jnp.float32, interpret: bool = False,
-                           blobs=None):
+                           blobs=None, refs=None):
     """Megakernel solve under the SolverConfig iteration schedule.
 
     The kernel's per-tile adaptive while loop pays the MAX iteration count
@@ -838,28 +871,31 @@ def solve_pallas_scheduled(zT, cT, params_pack, lb, ub, u0, cfg, *,
     total = cfg.max_sqp_iters
     if cfg.schedule == "compact":
         return _solve_compact(zT, cT, params_pack, lb, ub, u0, cfg,
-                              dtype=dtype, interpret=interpret, blobs=blobs)
+                              dtype=dtype, interpret=interpret, blobs=blobs,
+                              refs=refs)
     k1 = cfg.presolve_iters
     # a second pass needs at least one iteration of budget left after the
     # presolve
     two_pass = cfg.schedule == "sorted" and 1 <= k1 < total
     if not two_pass:
         return solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg,
-                            dtype=dtype, interpret=interpret, blobs=blobs)
+                            dtype=dtype, interpret=interpret, blobs=blobs,
+                            refs=refs)
 
     cfg1 = dataclasses.replace(cfg, max_sqp_iters=k1)
     cfg2 = dataclasses.replace(cfg, max_sqp_iters=total - k1)
     ss1, us1, cost1, conv1, it1, gn1, mu1, done1 = solve_pallas(
         zT, cT, params_pack, lb, ub, u0, cfg1, dtype=dtype,
-        interpret=interpret, blobs=blobs)
+        interpret=interpret, blobs=blobs, refs=refs)
     key = jnp.where(done1 > 0.5, jnp.asarray(-1.0, dtype), gn1)
     perm = jnp.argsort(key)
     inv_perm = jnp.argsort(perm)
     tk = lambda a: jnp.take(a, perm, axis=-1)
     blobs2 = None if blobs is None else tuple(tk(a) for a in blobs)
+    refs2 = None if refs is None else tk(refs)
     outs = solve_pallas(
         tk(zT), tk(cT), tk(params_pack), tk(lb), tk(ub), tk(us1), cfg2,
-        dtype=dtype, interpret=interpret, blobs=blobs2,
+        dtype=dtype, interpret=interpret, blobs=blobs2, refs=refs2,
         resume=(tk(done1), tk(conv1), tk(mu1), tk(gn1)))
     ss, us, cost, conv, it2, gnorm, mu, done = (
         jnp.take(a, inv_perm, axis=-1) for a in outs)
@@ -867,7 +903,7 @@ def solve_pallas_scheduled(zT, cT, params_pack, lb, ub, u0, cfg, *,
 
 
 def _solve_compact(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype,
-                   interpret, blobs):
+                   interpret, blobs, refs=None):
     """Compact straggler schedule (VERDICT r1 item 3: close the tile-max
     iteration waste WITHOUT the sorted schedule's full-batch gathers).
 
@@ -898,26 +934,29 @@ def _solve_compact(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype,
     the sorted schedule (tested equivalence)."""
     B = zT.shape[-1]
     T = cfg.n_controls
-    sub = _pick_sub(B, T, cfg.ls_iters)
+    sub = _pick_sub(B, T, cfg.ls_iters,
+                    extra=0 if refs is None else (T + 1) * 3)
     tile = sub * _LANES
     n_tail = int(-(-B * cfg.compact_tail // tile)) * tile
     n_tail = max(tile, min(n_tail, B))
     if n_tail >= B:
         # batch too small for a compaction win — single pass
         return solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg,
-                            dtype=dtype, interpret=interpret, blobs=blobs)
+                            dtype=dtype, interpret=interpret, blobs=blobs,
+                            refs=refs)
     cfg1 = dataclasses.replace(cfg, done_frac=cfg.compact_frac)
     ss1, us1, cost1, conv1, it1, gn1, mu1, done1 = solve_pallas(
         zT, cT, params_pack, lb, ub, u0, cfg1, dtype=dtype,
-        interpret=interpret, blobs=blobs)
+        interpret=interpret, blobs=blobs, refs=refs)
     # stable argsort: stragglers (done=0) first, original order otherwise
     sel = jnp.argsort(done1, stable=True)[:n_tail]
     tk = lambda a: jnp.take(a, sel, axis=-1)
     blobs2 = None if blobs is None else tuple(tk(a) for a in blobs)
+    refs2 = None if refs is None else tk(refs)
     cfg2 = dataclasses.replace(cfg, done_frac=1.0)
     (ss2, us2, cost2, conv2, it2, gn2, mu2, done2) = solve_pallas(
         tk(zT), tk(cT), tk(params_pack), tk(lb), tk(ub), tk(us1), cfg2,
-        dtype=dtype, interpret=interpret, blobs=blobs2,
+        dtype=dtype, interpret=interpret, blobs=blobs2, refs=refs2,
         resume=(tk(done1), tk(conv1), tk(mu1), tk(gn1)))
     scat = lambda full, tail: full.at[..., sel].set(tail)
     return (scat(ss1, ss2), scat(us1, us2), scat(cost1, cost2),
@@ -925,12 +964,14 @@ def _solve_compact(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype,
             scat(mu1, mu2), scat(done1, done2))
 
 
-def _pick_sub(B: int, T: int, ls_iters: int) -> int:
+def _pick_sub(B: int, T: int, ls_iters: int, extra: int = 0) -> int:
     """Largest sublane tiling (scenarios per program = sub * 128) that
     divides the batch and keeps the per-program VMEM scratch under budget.
-    sub=8 fills f32 vregs exactly; smaller subs only when forced."""
+    sub=8 fills f32 vregs exactly; smaller subs only when forced.
+    `extra` = additional per-lane floats (e.g. the (T+1, 3) setpoint
+    profiles in trajectory-tracking mode)."""
     per_lane_floats = (2 * (T + 1) * _N + 2 * T * _M + 2 * T * 4 + T * _M
-                       + T * _M * _N + ls_iters * _N)
+                       + T * _M * _N + ls_iters * _N + extra)
     for sub in (8, 4, 2, 1):
         if B % (sub * _LANES):
             continue

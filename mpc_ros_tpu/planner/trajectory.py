@@ -16,10 +16,11 @@ Here the mode is built on the solver's per-stage reference profiles
    lookahead window follows the MOVING point, not the robot's progress;
 2. fit the solver's cubic to those future reference positions in the robot
    frame (the same error-state NLP as path tracking — FG_eval semantics,
-   /root/reference/mpc_ros/src/mpc_planner.cpp:122-147 — so the XLA
-   solver path (solver/ilqr.py via tracking._solve_jit) is reused
-   unchanged; the Pallas megakernel does not yet take per-stage
-   reference profiles, so trajectory mode runs the XLA path);
+   /root/reference/mpc_ros/src/mpc_planner.cpp:122-147 — so the whole
+   solver stack is reused: the single-robot tracker runs the XLA path via
+   tracking._solve_jit, and the fleet tracker's batched solve runs the
+   Pallas megakernel's native per-stage setpoint profiles on TPU
+   (kernels/solve_pallas.py `refs`));
 3. build the per-knot speed profile ref_vel[k] = |dr/dt|(t_now + k*dt) plus
    a proportional catch-up on the longitudinal time lag, so the solver
    speeds up when behind schedule and eases off when ahead;
@@ -263,7 +264,8 @@ class FleetTrajectoryTracker:
     vectorized): trajectories live in padded (B, M) buffers, the horizon
     sampling is one flat searchsorted over all robots, the cubic fits are
     batched normal equations, and the per-stage setpoint profiles go
-    through `engine.batch_solve(refs=...)` in a single program. Extends
+    through `batch_solve_lane(refs=...)` in a single program (the Pallas
+    megakernel path on TPU). Extends
     the upstream ref_trajectory_tracking capability
     (/root/reference/README.md:43-46) to fleet serving.
     """
@@ -404,17 +406,22 @@ class FleetTrajectoryTracker:
         z0s = np.stack([np.zeros(B), np.zeros(B), np.zeros(B),
                         np.asarray(feedback_v, float), cte, etheta], -1)
 
-        from ..engine.batch import batch_solve
-
         u_init = None
         if self._warm_us is not None:
             u_init = jnp.asarray(np.concatenate(
                 [self._warm_us[:, 1:], self._warm_us[:, -1:]], axis=1),
                 self.dtype)
-        res = batch_solve(jnp.asarray(z0s, self.dtype),
-                          jnp.asarray(coeffs, self.dtype), self.params,
-                          cfg, u_init=u_init,
-                          refs=jnp.asarray(refs, self.dtype))
+        if cfg.model in ("diff_drive", "bicycle"):
+            # lane-major path: the megakernel evaluates the per-stage
+            # setpoint profiles natively on TPU (falls back to the vmap
+            # path off-kernel)
+            from ..solver.batch_lane import batch_solve_lane as _solve
+        else:
+            from ..engine.batch import batch_solve as _solve
+        res = _solve(jnp.asarray(z0s, self.dtype),
+                     jnp.asarray(coeffs, self.dtype), self.params,
+                     cfg, u_init=u_init,
+                     refs=jnp.asarray(refs, self.dtype))
         import jax
 
         us = np.asarray(jax.device_get(res.us), float)

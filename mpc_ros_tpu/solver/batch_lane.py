@@ -405,7 +405,8 @@ def _forward_multi_alpha_bl(ss_bar, us_bar, ks, Ks, alphas, coeffs, dt, sign,
 def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                      cfg: SolverConfig,
                      u_init: Optional[jnp.ndarray] = None,
-                     omaps=None, blobs=None) -> SolveResult:
+                     omaps=None, blobs=None,
+                     refs: Optional[jnp.ndarray] = None) -> SolveResult:
     """Lane-major batched solve. z0s (B, 6), coeffs (B, P>=4); returns
     batch-major SolveResult identical (within fp tolerance) to
     engine.batch_solve. Per-scenario MPCParams leaves of shape (B,) are
@@ -417,7 +418,14 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     `blobs`: optional batched GaussianObstacles (leaves (B, K)) — the
     parametric obstacle fast path: smooth analytic gradient + Gauss-Newton
     curvature, runs inside the Pallas megakernel at full speed. Use
-    `models.obstacles.fit_gaussians_to_map` to convert grids."""
+    `models.obstacles.fit_gaussians_to_map` to convert grids.
+
+    `refs`: optional (B, n_steps, 3) per-scenario time-indexed
+    (ref_cte, ref_etheta, ref_vel) setpoint profiles (trajectory-tracking
+    mode; see solver.ilqr.solve). The megakernel evaluates them natively;
+    the XLA lane stages do not carry per-stage setpoints, so non-kernel
+    configurations delegate to engine.batch_solve (identical semantics,
+    vmap path)."""
     dtype = z0s.dtype
     B = z0s.shape[0]
     T = cfg.n_controls
@@ -479,16 +487,33 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     use_pallas = (not use_mega) and kernels_ok and bl is None \
         and cfg.backward == "pallas" and model == "diff_drive"
 
+    if refs is not None and not use_mega:
+        # the XLA lane stages keep the scalar FG_eval setpoints; per-stage
+        # profiles run on the registry vmap path off-kernel
+        if omaps is not None or blobs is not None:
+            raise ValueError(
+                "batch_solve_lane(refs=...) with obstacles requires the "
+                "megakernel path (TPU or cfg.backward='mega'); the vmap "
+                "fallback does not carry batched obstacle terms")
+        from ..engine.batch import batch_solve
+
+        u_bm = None if u_init is None else jnp.asarray(u_init, dtype)
+        return batch_solve(z0s, coeffs, p, cfg, u_init=u_bm,
+                           refs=jnp.asarray(refs, dtype))
+
     if use_mega:
         # the megakernel does its own VMEM-resident rollout; return before
         # tracing the XLA rollout below (it would be dead code)
         from ..kernels.backward_fused_pallas import pack_params
         from ..kernels.solve_pallas import solve_pallas_scheduled
 
+        refsT = (None if refs is None
+                 else jnp.moveaxis(jnp.asarray(refs, dtype), 0, -1))
         pp = pack_params(p, B, dtype)
         (ss_f, us_f, cost_f, conv_f, iters_f, gnorm_f, mu_f,
          _done_f) = solve_pallas_scheduled(
-            zT, cT, pp, lb, ub, us0, cfg, dtype=dtype, blobs=bl)
+            zT, cT, pp, lb, ub, us0, cfg, dtype=dtype, blobs=bl,
+            refs=refsT)
         return SolveResult(
             us=jnp.moveaxis(us_f, -1, 0),
             zs=jnp.moveaxis(ss_f[:, :6, :], -1, 0),

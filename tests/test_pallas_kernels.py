@@ -654,3 +654,103 @@ def test_megakernel_compact_schedule_interpret():
     assert bool(jnp.all(jnp.isfinite(us2)))
     dc = float(jnp.max(jnp.where(both, jnp.abs(cost1 - cost2), 0.0)))
     assert dc < 1e-2 * (1.0 + float(jnp.max(jnp.abs(cost1)))), dc
+
+
+def test_megakernel_refs_constant_profile_matches_scalar_setpoints():
+    """A per-stage setpoint profile that just broadcasts the scalar
+    (ref_cte, ref_etheta, ref_vel) params must reproduce the no-refs
+    megakernel solve EXACTLY — the kernel reads the same values from the
+    VMEM profile instead of the params pack."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+
+    dtype = jnp.float32
+    B = 256
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(11), B, dtype)
+    p = MPCParams().astype(dtype)
+    cfg = SolverConfig(n_steps=10, max_sqp_iters=6, tol_grad=1e-3,
+                       backward="xla", trig="exact")
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+    u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+    base = solve_pallas(zT, cT, pp, lb, -lb, u0, cfg, interpret=True)
+    ref_row = jnp.asarray([p.ref_cte, p.ref_etheta, p.ref_vel], dtype)
+    refs = jnp.broadcast_to(ref_row[None, :, None],
+                            (cfg.n_steps, 3, B)).astype(dtype)
+    with_refs = solve_pallas(zT, cT, pp, lb, -lb, u0, cfg, interpret=True,
+                             refs=refs)
+    for a, b in zip(base, with_refs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_megakernel_refs_matches_vmap_ilqr_refs():
+    """Megakernel per-stage setpoint profiles (interpret mode) vs the
+    registry vmap path (engine.batch_solve(refs=...), which is
+    oracle-tested in test_traj_refs.py): same controls on a ramped
+    per-stage speed/cte profile."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.engine.batch import batch_solve
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+
+    dtype = jnp.float32
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(12), B, dtype)
+    p = MPCParams().astype(dtype)
+    cfg = SolverConfig(n_steps=10, max_sqp_iters=8, tol_grad=1e-3,
+                       backward="xla", trig="exact")
+    N = cfg.n_steps
+    # ramped speed schedule + a slewing cte setpoint, different per lane
+    tgrid = jnp.linspace(0.0, 1.0, N, dtype=dtype)
+    v_prof = 0.2 + 0.6 * tgrid[None, :] * jnp.linspace(
+        0.5, 1.0, B, dtype=dtype)[:, None]
+    cte_prof = 0.1 * jnp.sin(3.0 * tgrid)[None, :] * jnp.ones((B, 1), dtype)
+    refs_bm = jnp.stack(
+        [cte_prof, jnp.zeros((B, N), dtype), v_prof], axis=-1)  # (B, N, 3)
+    r_ref = batch_solve(z0s, coeffs, p, cfg, refs=refs_bm)
+
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+    u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+    refsT = jnp.moveaxis(refs_bm, 0, -1)                        # (N, 3, B)
+    ss, us, cost, conv, iters, gnorm, mu, _done = solve_pallas(
+        zT, cT, pp, lb, -lb, u0, cfg, interpret=True, refs=refsT)
+    du = float(jnp.max(jnp.abs(jnp.moveaxis(us, -1, 0) - r_ref.us)))
+    assert du < 2e-3, du
+    # the profile must actually matter: controls differ from the scalar-
+    # setpoint solve
+    base = solve_pallas(zT, cT, pp, lb, -lb, u0, cfg, interpret=True)
+    assert float(jnp.max(jnp.abs(base[1] - us))) > 1e-3
+
+
+def test_batch_solve_lane_refs_fallback_matches_vmap():
+    """On non-kernel configurations batch_solve_lane(refs=...) delegates
+    to engine.batch_solve — identical results; with obstacles it must
+    refuse instead of silently dropping terms."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.engine.batch import batch_solve
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+    dtype = jnp.float32
+    B = 16
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(13), B, dtype)
+    p = MPCParams().astype(dtype)
+    cfg = SolverConfig(n_steps=8, max_sqp_iters=6, backward="xla")
+    N = cfg.n_steps
+    refs = jnp.stack([jnp.zeros((B, N), dtype), jnp.zeros((B, N), dtype),
+                      jnp.full((B, N), 0.4, dtype)], axis=-1)
+    r_lane = bl.batch_solve_lane(z0s, coeffs, p, cfg, refs=refs)
+    r_vmap = batch_solve(z0s, coeffs, p, cfg, refs=refs)
+    np.testing.assert_allclose(np.asarray(r_lane.us), np.asarray(r_vmap.us),
+                               atol=1e-6)
+    blobs = GaussianObstacles(cx=jnp.zeros((B, 1), dtype),
+                              cy=jnp.zeros((B, 1), dtype),
+                              gamma=jnp.ones((B, 1), dtype),
+                              w=jnp.ones((B, 1), dtype))
+    with pytest.raises(ValueError, match="megakernel"):
+        bl.batch_solve_lane(z0s, coeffs, p, cfg, refs=refs, blobs=blobs)
