@@ -209,11 +209,18 @@ def main() -> None:
             t0 = time.time()
             cmds, _lags = ft.compute(t_now, poses, vs)
             laps.append(time.time() - t0)
-            # advance the plant so cycles stay representative (mid-course)
-            v, w = cmds[:, 0], cmds[:, 1]
+            # advance the plant so cycles stay representative (mid-course);
+            # heading advances per the commanded family's kinematics — for
+            # bicycle cmds[:, 1] is a STEERING ANGLE, not a yaw rate
+            # (models/bicycle.py: psi' = psi + v/lf * delta * dt)
+            from mpc_ros_tpu.models.base import get_model
+            v = cmds[:, 0]
+            yaw_rate = np.asarray(
+                get_model(args.model).yaw_rate(v, cmds[:, 1], ft_params),
+                float)
             poses[:, 0] += 0.1 * v * np.cos(poses[:, 2])
             poses[:, 1] += 0.1 * v * np.sin(poses[:, 2])
-            poses[:, 2] += 0.1 * w
+            poses[:, 2] += 0.1 * yaw_rate
             vs = v
             t_now += 0.1
         lap = np.asarray(laps)
@@ -472,7 +479,12 @@ def main() -> None:
         per_batch = best_pipe / n_pipe   # steady-state: RTT amortized away
         acct["measured_ms"] = round(per_batch * 1e3, 2)
         acct["speed_of_light_frac"] = round(efficiency(per_batch, acct), 4)
-        if mega:
+        acct["schedule"] = args.schedule
+        # the executed-work decomposition reshapes n_iters into contiguous
+        # (sub*128) tiles — valid only for the single-pass schedule (sorted/
+        # compact run pass 2 on a permuted/compacted batch with a fresh
+        # budget, so the tiling would be wrong and silently misleading)
+        if mega and args.schedule in ("auto", "single"):
             # executed-work decomposition: the model charges the per-lane
             # MEAN iteration count, but each (sub x 128) tile's while loop
             # runs to its slowest lane — the kernel physically executes

@@ -37,6 +37,9 @@ class SafetyStatus:
     healthy: bool = True
     fault: bool = False
     consecutive_failures: int = 0
+    # worst failure streak observed over the run (the live streak resets to
+    # 0 on success, so end-of-run assertions need the historical max)
+    max_consecutive_failures: int = 0
     total_failures: int = 0
     overruns: int = 0
     last_reason: str = ""
@@ -82,6 +85,8 @@ class SafetyMonitor:
         st = self.status
         if reason:
             st.consecutive_failures += 1
+            st.max_consecutive_failures = max(
+                st.max_consecutive_failures, st.consecutive_failures)
             st.total_failures += 1
             st.last_reason = reason
             st.healthy = False

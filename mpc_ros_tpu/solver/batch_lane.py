@@ -495,11 +495,30 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                 "batch_solve_lane(refs=...) with obstacles requires the "
                 "megakernel path (TPU or cfg.backward='mega'); the vmap "
                 "fallback does not carry batched obstacle terms")
-        from ..engine.batch import batch_solve
+        import dataclasses as _dc
 
         u_bm = None if u_init is None else jnp.asarray(u_init, dtype)
-        return batch_solve(z0s, coeffs, p, cfg, u_init=u_bm,
-                           refs=jnp.asarray(refs, dtype))
+        refs_bm = jnp.asarray(refs, dtype)
+        per_lane = {f.name: jnp.ndim(getattr(p, f.name)) >= 1
+                    for f in _dc.fields(MPCParams)}
+        if not any(per_lane.values()):
+            from ..engine.batch import batch_solve
+
+            return batch_solve(z0s, coeffs, p, cfg, u_init=u_bm,
+                               refs=refs_bm)
+        # per-scenario (B,)-shaped params leaves: map them through the vmap
+        # (closing p over the vmap un-mapped would leak (B,) leaves into a
+        # single-scenario solve and fail with an obscure trace error)
+        from ..solver import ilqr
+
+        p_axes = MPCParams(**{n: (0 if b else None)
+                              for n, b in per_lane.items()})
+        u_ax = None if u_bm is None else 0
+        return jax.vmap(
+            lambda z, c, pp, u, r: ilqr.solve(z, c, pp, cfg, u_init=u,
+                                              refs=r),
+            in_axes=(0, 0, p_axes, u_ax, 0),
+        )(z0s, coeffs, p, u_bm, refs_bm)
 
     if use_mega:
         # the megakernel does its own VMEM-resident rollout; return before
