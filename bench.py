@@ -66,6 +66,16 @@ def main() -> None:
                     help="FleetPlanner serving metric: full planner "
                          "lifecycle (world plans, host path pipeline, FSM) "
                          "for --batch robots, one batched solve per cycle")
+    ap.add_argument("--fleet-device", action="store_true",
+                    help="with --fleet: run the WHOLE per-cycle pipeline "
+                         "(cutoff, window, FSM, fit, scheduling, solve) as "
+                         "one jitted device program — the host does one "
+                         "upload and one fetch per cycle "
+                         "(planner.fleet_device.DeviceFleetPlanner)")
+    ap.add_argument("--fleet-obs-every", type=int, default=1,
+                    help="with --fleet-device: fetch the per-robot "
+                         "observability tile every K cycles (0 = commands "
+                         "only on the wire — the lean 20 Hz serving loop)")
     ap.add_argument("--fleet-pipelined", action="store_true",
                     help="with --fleet: overlap cycle k+1's host pipeline "
                          "with cycle k's in-flight solve (begin/finish "
@@ -257,7 +267,13 @@ def main() -> None:
             fp_params = fp_params.replace(lf=0.25, max_steer=0.6)
         fcfg = SolverConfig(n_steps=20, ls_iters=args.ls_iters,
                             model=args.model)
-        fp = FleetPlanner(params=fp_params, solver_cfg=fcfg)
+        if args.fleet_device:
+            from mpc_ros_tpu.planner.fleet_device import DeviceFleetPlanner
+
+            fp = DeviceFleetPlanner(params=fp_params, solver_cfg=fcfg,
+                                    obs_every=args.fleet_obs_every)
+        else:
+            fp = FleetPlanner(params=fp_params, solver_cfg=fcfg)
         fp.initialize(B)
         poses = np.stack([pl[0] for pl in plans])
         assert fp.set_plans(plans, poses).all()
@@ -282,9 +298,15 @@ def main() -> None:
                 t0 = time.time()
                 _, cmds, info = fp.compute_velocity_commands(poses, vw)
                 laps.append(time.time() - t0)
+        if args.fleet_device and args.fleet_obs_every != 1:
+            # collect convergence stats with one unmeasured full-obs cycle
+            fp.obs_every, fp._cycle_count = 1, 0
+            _, _, info = fp.compute_velocity_commands(poses, vw)
         lap = np.asarray(laps)
         p50 = float(np.percentile(lap, 50))
         fsuffix = "" if args.model == "diff_drive" else f"_{args.model}"
+        if args.fleet_device:
+            fsuffix += "_device"
         if args.fleet_pipelined:
             fsuffix += "_pipelined"
         print(json.dumps({

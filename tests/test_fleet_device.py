@@ -1,0 +1,162 @@
+"""DeviceFleetPlanner == FleetPlanner, robot by robot, cycle by cycle.
+
+The device planner runs the whole per-cycle pipeline (cutoff, window, FSM,
+latches, downsample, fit, error extraction, scheduling, solve, commands) as
+one jitted program; these tests drive it against the host-pipeline planner
+on identical inputs and pin the agreement. The fit runs f32-scaled on
+device vs f64 on host, and the solver is f32 on both — commands agree to
+solver noise (~1e-3), FSM codes and cursors exactly.
+"""
+
+import numpy as np
+import pytest
+
+from mpc_ros_tpu.config import MPCParams, PlannerConfig, SolverConfig
+from mpc_ros_tpu.planner import FleetPlanner
+from mpc_ros_tpu.planner.fleet_device import DeviceFleetPlanner
+from mpc_ros_tpu.sim import get_shape
+
+
+def _make_pair(B=12, model="diff_drive", curvature=False, **pkw):
+    params = MPCParams(max_angvel=1.5, w_cte=300.0, w_angvel_d=10.0,
+                       w_accel_d=10.0, **pkw)
+    if model == "bicycle":
+        params = params.replace(lf=0.25, max_steer=0.6)
+    cfg = SolverConfig(n_steps=12, model=model, max_sqp_iters=25)
+    pc = PlannerConfig(local_plan_length=2.5, curvature_slowdown=curvature)
+    host = FleetPlanner(params=params, solver_cfg=cfg, planner_cfg=pc)
+    dev = DeviceFleetPlanner(params=params, solver_cfg=cfg, planner_cfg=pc)
+    host.initialize(B)
+    dev.initialize(B)
+    return host, dev
+
+
+def _plans(B, stagger=True):
+    base = get_shape("infinity")
+    plans = []
+    for i in range(B):
+        pl = base.copy()
+        pl[:, :2] += 3.0 * i
+        if stagger:  # heterogeneous lengths exercise the padding masks
+            pl = pl[: len(pl) - 37 * (i % 3)]
+        plans.append(pl)
+    return plans
+
+
+def _drive(host, dev, plans, n_cycles=6, rng_seed=0):
+    B = host.B
+    poses = np.stack([pl[0] for pl in plans]).astype(float)
+    rng = np.random.default_rng(rng_seed)
+    poses[:, :2] += rng.normal(0, 0.05, (B, 2))
+    fb = np.zeros((B, 2))
+    assert host.set_plans(plans, poses).all()
+    assert dev.set_plans(plans, poses).all()
+    devs = []
+    for cyc in range(n_cycles):
+        ok_h, cmd_h, info_h = host.compute_velocity_commands(poses, fb)
+        ok_d, cmd_d, info_d = dev.compute_velocity_commands(poses, fb)
+        np.testing.assert_array_equal(ok_h, ok_d)
+        np.testing.assert_array_equal(info_h.states, info_d.states,
+                                      err_msg=f"cycle {cyc}")
+        np.testing.assert_array_equal(np.asarray(host._start),
+                                      np.asarray(dev._carry["start"]),
+                                      err_msg=f"cycle {cyc} cursors")
+        dcmd = np.max(np.abs(cmd_h - cmd_d))
+        devs.append(dcmd)
+        assert dcmd < 2e-3, f"cycle {cyc}: command dev {dcmd}"
+        # error states agree to fit noise (device fit is f32-scaled)
+        tr = info_h.states == 0
+        if tr.any():
+            assert np.nanmax(np.abs(info_h.cte[tr] - info_d.cte[tr])) < 1e-3
+            assert np.nanmax(np.abs(info_h.etheta[tr]
+                                    - info_d.etheta[tr])) < 1e-3
+            assert np.nanmax(np.abs(info_h.ref_vel[tr]
+                                    - info_d.ref_vel[tr])) < 1e-5
+        # advance the plant with the HOST commands so both see identical
+        # inputs every cycle (divergence would compound otherwise)
+        v, w = cmd_h[:, 0], cmd_h[:, 1]
+        dt = 0.1
+        poses[:, 0] += dt * v * np.cos(poses[:, 2])
+        poses[:, 1] += dt * v * np.sin(poses[:, 2])
+        poses[:, 2] += dt * w
+        fb = cmd_h.copy()
+    return devs
+
+
+def test_device_matches_host_diff_drive():
+    host, dev = _make_pair(B=12)
+    _drive(host, dev, _plans(12), n_cycles=6)
+
+
+def test_device_matches_host_bicycle_curvature():
+    host, dev = _make_pair(B=8, model="bicycle", curvature=True)
+    _drive(host, dev, _plans(8), n_cycles=4)
+
+
+def test_device_goal_latches_and_reach():
+    """Goal consume-once latches behave identically through the device
+    twin of is_goal_reached."""
+    host, dev = _make_pair(B=4)
+    plans = _plans(4, stagger=False)
+    # park every robot at its goal, stopped
+    poses = np.stack([pl[-1] for pl in plans]).astype(float)
+    fb = np.zeros((4, 2))
+    host.set_plans(plans, poses)
+    dev.set_plans(plans, poses)
+    for _ in range(3):
+        rh = host.is_goal_reached(poses, fb)
+        rd = dev.is_goal_reached(poses, fb)
+        np.testing.assert_array_equal(rh, rd)
+        np.testing.assert_array_equal(host.latch_xy,
+                                      np.asarray(dev._carry["latch_xy"]))
+        np.testing.assert_array_equal(host.latch_yaw,
+                                      np.asarray(dev._carry["latch_yaw"]))
+    assert rh.all()
+
+
+def test_device_midrun_replan_keeps_live_state():
+    """set_plans on a running fleet must merge the LIVE device state (warm
+    bank, latches, actuation), not the stale host mirrors."""
+    host, dev = _make_pair(B=6)
+    plans = _plans(6)
+    devs = _drive(host, dev, plans, n_cycles=3)
+    # replan robots 0..2 mid-run (new goals), keep 3..5 on their course
+    poses = np.stack([pl[3] for pl in plans]).astype(float)
+    new_plans = [pl[::-1].copy() if i < 3 else None
+                 for i, pl in enumerate(plans)]
+    # reversed plans need their heading column re-synthesized
+    for i in range(3):
+        d = np.diff(new_plans[i][:, :2], axis=0)
+        new_plans[i][:-1, 2] = np.arctan2(d[:, 1], d[:, 0])
+        new_plans[i][-1, 2] = new_plans[i][-2, 2]
+    ok_h = host.set_plans(new_plans, poses)
+    ok_d = dev.set_plans(new_plans, poses)
+    np.testing.assert_array_equal(ok_h, ok_d)
+    np.testing.assert_array_equal(host.states,
+                                  np.asarray(dev._carry["states"]))
+    # carried robots keep their warm bank on both sides
+    np.testing.assert_array_equal(host._has_warm,
+                                  np.asarray(dev._carry["has_warm"]))
+    fb = np.zeros((6, 2))
+    _, cmd_h, ih = host.compute_velocity_commands(poses, fb)
+    _, cmd_d, id_ = dev.compute_velocity_commands(poses, fb)
+    np.testing.assert_array_equal(ih.states, id_.states)
+    assert np.max(np.abs(cmd_h - cmd_d)) < 2e-3
+
+
+def test_device_state_dict_roundtrip():
+    """Device checkpoints interoperate with the host planner."""
+    host, dev = _make_pair(B=6)
+    plans = _plans(6)
+    _drive(host, dev, plans, n_cycles=2)
+    sd = dev.state_dict()
+    host2, dev2 = _make_pair(B=6)
+    host2.initialize(6)
+    dev2.initialize(6)
+    host2.load_state_dict(sd)   # host planner resumes a device checkpoint
+    dev2.load_state_dict(sd)
+    poses = np.stack([pl[2] for pl in plans]).astype(float)
+    fb = np.full((6, 2), 0.1)
+    _, cmd_h, _ = host2.compute_velocity_commands(poses, fb)
+    _, cmd_d, _ = dev2.compute_velocity_commands(poses, fb)
+    assert np.max(np.abs(cmd_h - cmd_d)) < 2e-3
