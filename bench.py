@@ -41,6 +41,11 @@ def main() -> None:
                     help="megakernel iteration schedule (see SolverConfig)")
     ap.add_argument("--ls-iters", type=int, default=5,
                     help="parallel line-search candidate count")
+    ap.add_argument("--no-ddp", dest="ddp", action="store_false",
+                    help="disable the hybrid GN->DDP second-order backward "
+                         "pass (SolverConfig.ddp). DDP collapses the "
+                         "iteration tail (census max 28 -> 6 at N=30) — "
+                         "the default since round 3")
     ap.add_argument("--repeats", type=int, default=5)
     # a fixed ~27 ms tunnel-RTT sync dominates a single timed batch (half of
     # the 54 ms batch wall time at B=128k); steady-state throughput enqueues
@@ -125,15 +130,26 @@ def main() -> None:
     # ensembles have longer tails (conv 0.985/0.943 @ 12 on CPU, full
     # convergence by 40) — they get a 30-iteration floor.
     hard = args.obstacles or args.obstacles_grid or args.model == "bicycle"
+    if args.ddp and not (args.obstacles or args.obstacles_grid):
+        # the hybrid GN->DDP pass collapses the plain/bicycle tails
+        # (census max 28 -> 6); obstacle ensembles keep the long-tail cap
+        hard = False
     max_iters = args.iters or max(12 if not hard else 30,
                                   round(0.45 * n_steps) if n_steps > 32
                                   else 0)
+    if args.obstacles and args.schedule == "auto" and args.iters is None:
+        # measured on v5e (B=128k, cap 30): the compact straggler schedule
+        # wins the obstacle ensemble on BOTH axes (4.00M solves/s @ conv
+        # 0.9991 vs 2.67M @ 0.9971 single-pass) — its ~3%-of-lanes 14-46
+        # iteration tail is exactly the shape compaction targets. Plain
+        # ensembles keep the single pass (tail collapsed by DDP).
+        args.schedule = "compact"
     dev = jax.devices()[0]
     dtype = jnp.float32
 
     cfg = SolverConfig(n_steps=n_steps, max_sqp_iters=max_iters,
                        ls_iters=args.ls_iters, model=args.model,
-                       schedule=args.schedule,
+                       schedule=args.schedule, ddp=args.ddp,
                        tol_grad=1e-4 if dtype == jnp.float32 else 1e-7)
     p = MPCParams().astype(dtype)
     z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), batch, dtype)

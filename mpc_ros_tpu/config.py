@@ -123,6 +123,37 @@ class SolverConfig:
     # (solver/riccati.py) instead of the O(N) sequential scan — exact while
     # control bounds are inactive; opt in for long horizons
     horizon_parallel: bool = False
+    # full-DDP second-order dynamics terms in the backward pass: add
+    # sum_k Vs_k * d2f_k/ds2 to Qss (and the bicycle's v-delta coupling to
+    # Qus). The Gauss-Newton (iLQR) pass drops these and converges only
+    # LINEARLY on large-residual scenarios (high heading error at speed on
+    # curved references — the census class behind the iteration-count tail,
+    # BENCH_NOTES); the exact Hessian restores local quadratic convergence
+    # for a handful of extra FMAs per stage. Same fixed point either way.
+    # The terms engage PER LANE once the projected gradient falls below
+    # `ddp_gate` (hybrid GN->DDP): applied from a cold start they make the
+    # early quadratic model indefinite and burn ~6 rejected-step
+    # iterations per hard lane while mu ramps (measured on the census
+    # lanes); gated, they only accelerate the endgame.
+    # Gate calibration (None = horizon-aware auto). pg (max projected
+    # gradient over controls) SATURATES at ~the control-bound width while
+    # steps clip, so an "engage early" gate must sit just above that
+    # plateau: 2.5 (> 2*max_angvel default) engages DDP from the second
+    # iteration and measured conv 1.000 / max 6 iters at N<=30. LONG
+    # horizons invert the calculus — the second-order terms compound over
+    # T backward stages and an early-engaged DDP model goes indefinite
+    # (N=100 @ gate 2.5: conv 0.68); a conservative 0.75 engages only
+    # once real progress exists and BEATS GN convergence there (N=60:
+    # 0.9984, N=100: 0.9984 vs GN 0.9968). Auto picks 2.5 for
+    # n_steps <= 32, 0.75 above — measured best at every probed horizon.
+    ddp: bool = False
+    ddp_gate: "float | None" = None
+
+    @property
+    def ddp_gate_eff(self) -> float:
+        if self.ddp_gate is not None:
+            return float(self.ddp_gate)
+        return 2.5 if self.n_steps <= 32 else 0.75
     # cte/etheta coupling sign: +1.0 = reference-exact (default, FG_eval
     # parity); -1.0 = the internally-consistent yaw-minus-path convention
     # (reference quirk Q11 — see models/diff_drive.py docstring; closed-loop

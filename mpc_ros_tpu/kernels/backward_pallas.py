@@ -48,6 +48,18 @@ def _polyder_tile(c, x):
     return jnp.broadcast_to(acc, x.shape)
 
 
+def _polyder2_tile(c, x):
+    """f''(x) — the cte row's exact state curvature for the DDP
+    second-order backward pass (SolverConfig.ddp)."""
+    P = c.shape[0]
+    if P <= 2:
+        return jnp.zeros_like(x)
+    acc = float((P - 1) * (P - 2)) * c[P - 1]
+    for i in range(P - 2, 1, -1):
+        acc = float(i * (i - 1)) * c[i] + x * acc
+    return jnp.broadcast_to(acc, x.shape)
+
+
 # ---- per-lane small-matrix helpers: X, Y are (r, c, 128) jnp values ------
 
 def _mtm(X, Y, r, k, c):

@@ -43,7 +43,7 @@ from .backward_fused_pallas import (N_PAR, P_DT, P_LF, P_RCTE, P_RETH,
                                     P_RVEL, P_WACC, P_WANG, P_WCTE,
                                     P_WDACC, P_WDANG, P_WETH, P_WVEL)
 from .backward_pallas import (_boxqp_tile, _mtm, _mtv, _mv,
-                              _polyder_tile, _polyval_tile)
+                              _polyder_tile, _polyder2_tile, _polyval_tile)
 
 _N = 8
 _M = 2
@@ -55,7 +55,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             mu_max: float, mu_factor: float, dtype, n_blobs: int,
             sub: int, n_done_needed: int, unroll_bwd: bool,
             has_resume: bool, has_setp: bool, fast_trig: bool,
-            model: str, *refs):
+            model: str, ddp: bool, ddp_gate: float, *refs):
     # Per-lane values are (sub, 128) tiles. With sub=8 each value fills a
     # native f32 vreg (8 sublanes x 128 lanes): one vector op processes
     # 1024 scenarios. sub=1 wastes 7/8 of the VPU rows — it exists only as
@@ -324,6 +324,13 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             for i in range(_N)
         ])
 
+        # per-lane GN->DDP hybrid gate (SolverConfig.ddp): exact
+        # second-order dynamics terms engage once the previous iteration's
+        # projected gradient is below ddp_gate (gnorm starts at +inf, so
+        # the first iteration is always pure Gauss-Newton)
+        if ddp:
+            g_ddp = (gnorm < ddp_gate).astype(dtype)
+
         def bwd_body(i, bcarry):
             Vs, Vss, dv1, dv2, pg = bcarry
             t = jnp.asarray(T - 1, jnp.int32) - i
@@ -453,6 +460,19 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                 return zadd(None if y4 is None else a45 * y4,
                             y[5])                      # i == 5
 
+            if ddp:
+                # exact d2f/ds2 contractions with Vs (rows 0/1: v cos/sin
+                # theta; row 4: f(x) and v sin(etheta)); all entries avoid
+                # the structural row/col 4, so the kernel's invariants hold
+                fpp = _polyder2_tile(cf, x)
+                dmap = {
+                    (0, 0): Vs[4] * fpp * g_ddp,
+                    (2, 2): -v * dt * (Vs[0] * ct + Vs[1] * st) * g_ddp,
+                    (2, 3): dt * (Vs[1] * ct - Vs[0] * st) * g_ddp,
+                    (3, 5): sign * dt * ce * Vs[4] * g_ddp,
+                    (5, 5): -sign * dt * v * se * Vs[4] * g_ddp,
+                }
+
             def qss_entry(i, j):
                 e = (atva(i, j)
                      if (i in _LIVE and j in _LIVE) else None)
@@ -465,6 +485,10 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                         e = zadd(e, ohyy)
                     elif {i, j} == {0, 1}:
                         e = zadd(e, ohxy)
+                if ddp:
+                    d = dmap.get((i, j) if i <= j else (j, i))
+                    if d is not None:
+                        e = zadd(e, d)
                 return e
 
             # Qus = B' Vss A + l_us per entry (col 4 zero; cols 6/7 are the
@@ -475,6 +499,10 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             qus0[4] = qus1[4] = None
             qus0[6], qus1[6] = -wdw2, None
             qus0[7], qus1[7] = None, -wda2
+            if ddp and model == "bicycle":
+                # theta rows 2/5: d2((v/lf) delta dt)/dv ddelta -> Qus[0,3]
+                qus0[3] = zadd(qus0[3],
+                               (Vs[2] + Vs[5]) * (invlf * dt) * g_ddp)
             Qus = jnp.stack([
                 jnp.stack([qus0[j] if qus0[j] is not None else zeros
                            for j in range(_N)]),
@@ -781,7 +809,8 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         # interpret mode (tests) and at long horizons it only bloats
         # trace/compile time
         n_done_needed, bool(T <= 48 and not interpret),
-        resume is not None, refs is not None, cfg.trig == "fast", cfg.model)
+        resume is not None, refs is not None, cfg.trig == "fast", cfg.model,
+        bool(cfg.ddp), float(cfg.ddp_gate_eff))
     setp_inputs = [] if refs is None else [rsh(refs)]
     setp_specs = [] if refs is None else [lane_spec(T + 1, 3)]
     resume_inputs = [] if resume is None else [rsh(jnp.stack(resume))]

@@ -301,7 +301,8 @@ def _stage_linexp_bl(s, u, coeffs, dt, sign, rate_on, p, dtype,
 
 
 def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
-                 omaps=None, blobs=None, model="diff_drive"):
+                 omaps=None, blobs=None, model="diff_drive", ddp=False,
+                 ddp_mask=None):
     """Control-limited Riccati scan, batch-last. mu: (B,).
 
     Stage Jacobians/quadratics are materialized for all T stages up front
@@ -332,9 +333,27 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
         l_ss = (l_ss.at[:, 0, 0].add(hxx).at[:, 0, 1].add(hxy)
                 .at[:, 1, 0].add(hxy).at[:, 1, 1].add(hyy))
 
+    if ddp:
+        # exact second-order dynamics data per stage (SolverConfig.ddp):
+        # the only nonzero d2f/ds2 entries of the FG_eval dynamics are
+        # rows 0/1 (v cos/sin theta) and row 4 (f(x) and v sin(etheta))
+        from ..kernels.backward_pallas import _polyder2_tile as _polyder2_bl
+
+        th_t = ss[:-1, 2]
+        dd_xs = jnp.stack([
+            ss[:-1, 3],                       # v
+            jnp.cos(th_t), jnp.sin(th_t),
+            jnp.sin(ss[:-1, 5]), jnp.cos(ss[:-1, 5]),
+            jax.vmap(lambda x: _polyder2_bl(coeffs, x))(ss[:-1, 0]),
+        ], axis=1)                            # (T, 6, B)
+    else:
+        dd_xs = jnp.zeros((us.shape[0], 0) + ss.shape[2:], dtype)
+    dt_c = jnp.asarray(dt, dtype)
+    lf_c = _pl(p, "lf", dtype) if model == "bicycle" else None
+
     def step(carry, inp):
         Vs, Vss = carry
-        A_t, B_t, ls, lu, lss, luu, lus, u_t = inp
+        A_t, B_t, ls, lu, lss, luu, lus, u_t, dd_t = inp
         Qs = ls + jnp.einsum("kib,kb->ib", A_t, Vs)
         Qu = lu + jnp.einsum("kmb,kb->mb", B_t, Vs)
         VA = jnp.einsum("kmb,mjb->kjb", Vss, A_t)
@@ -343,6 +362,25 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
         VB = jnp.einsum("kmb,mjb->kjb", Vss, B_t)
         Quu = luu + jnp.einsum("kmb,kjb->mjb", B_t, VB)
         Quu = 0.5 * (Quu + jnp.swapaxes(Quu, 0, 1))
+        if ddp:
+            # per-lane hybrid gate (ddp_mask in [0,1]): Gauss-Newton far
+            # from the optimum, exact Hessian for the endgame — DDP terms
+            # applied from a cold start make the early quadratic model
+            # indefinite and burn ~6 rejected-step iterations per hard
+            # lane while mu ramps (measured); gated, they only accelerate
+            v_t, ct_t, st_t, se_t, ce_t, fpp_t = (dd_t[i] for i in range(6))
+            g = 1.0 if ddp_mask is None else ddp_mask
+            q22 = -v_t * dt_c * (Vs[0] * ct_t + Vs[1] * st_t) * g
+            q23 = dt_c * (Vs[1] * ct_t - Vs[0] * st_t) * g
+            q00 = Vs[4] * fpp_t * g
+            q55 = -sign * dt_c * v_t * se_t * Vs[4] * g
+            q35 = sign * dt_c * ce_t * Vs[4] * g
+            Qss = (Qss.at[2, 2].add(q22).at[2, 3].add(q23)
+                   .at[3, 2].add(q23).at[0, 0].add(q00)
+                   .at[5, 5].add(q55).at[3, 5].add(q35).at[5, 3].add(q35))
+            if model == "bicycle":
+                # theta rows 2/5: d2(v/lf * delta * dt)/dv ddelta
+                Qus = Qus.at[0, 3].add((Vs[2] + Vs[5]) * (dt_c / lf_c) * g)
         Quu_reg = Quu + mu[None, None, :] * eye2
 
         k, free, K = _boxqp_bl(Quu_reg, Qu, lb - u_t, ub - u_t, Qus)
@@ -362,7 +400,7 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
         return (Vs_n, Vss_n), (k, K, dV1, dV2, pg)
 
     (_, _), (ks, Ks, dV1s, dV2s, pgs) = jax.lax.scan(
-        step, (V_s, V_ss), (A, Bm, l_s, l_u, l_ss, l_uu, l_us, us),
+        step, (V_s, V_ss), (A, Bm, l_s, l_u, l_ss, l_uu, l_us, us, dd_xs),
         reverse=True, unroll=_UNROLL)
     return ks, Ks, jnp.sum(dV1s, 0), jnp.sum(dV2s, 0), jnp.max(pgs, 0)
 
@@ -486,6 +524,11 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     # both kernel families
     use_pallas = (not use_mega) and kernels_ok and bl is None \
         and cfg.backward == "pallas" and model == "diff_drive"
+    if cfg.ddp and use_pallas:
+        raise ValueError(
+            "SolverConfig.ddp is implemented on the megakernel and XLA "
+            "lane paths; the legacy two-kernel backward (backward='pallas')"
+            " does not carry the second-order terms")
 
     if refs is not None and not use_mega:
         # the XLA lane stages keep the scalar FG_eval setpoints; per-stage
@@ -589,9 +632,11 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             ks, Ks, dV1, dV2, pg = backward_fused_pallas(
                 ss, us, cT, pp, sign, V_s, V_ss, lb, ub, mu)
         else:
+            dmask = ((gnorm < cfg.ddp_gate_eff).astype(dtype)
+                     if cfg.ddp else None)
             ks, Ks, dV1, dV2, pg = _backward_bl(
                 ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu, omaps, bl,
-                model)
+                model, ddp=cfg.ddp, ddp_mask=dmask)
 
         pred_decrease = -(dV1 + dV2)
         tiny_model = pred_decrease <= tol_cost * (1.0 + jnp.abs(cost))

@@ -1,0 +1,133 @@
+"""Hybrid GN->DDP backward pass (SolverConfig.ddp) — round-3 tail killer.
+
+The census (BENCH_NOTES round 3) showed the iteration-count tail is the
+large-residual scenario class (high heading error at speed on curved
+references) where Gauss-Newton converges only linearly while accepting
+full steps. The exact second-order dynamics terms restore local quadratic
+convergence; gated per lane on the projected gradient they never hurt
+(applied cold they burn ~6 rejected-step iterations while mu ramps).
+
+Pinned here: same optimum as GN, the tail collapse itself, megakernel ==
+XLA lane path under ddp, and every ensemble's convergence AT its
+production cap (VERDICT r2 item 3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_ros_tpu.config import MPCParams, SolverConfig
+from mpc_ros_tpu.engine import make_random_scenarios
+from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+_BASE = dict(n_steps=30, ls_iters=5, tol_grad=1e-4, backward="xla")
+
+
+def test_ddp_same_optimum_as_gn():
+    B = 512
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B)
+    p = MPCParams().astype(jnp.float32)
+    r_gn = batch_solve_lane(z0s, coeffs, p,
+                            SolverConfig(**_BASE, max_sqp_iters=60))
+    r_dd = batch_solve_lane(z0s, coeffs, p,
+                            SolverConfig(**_BASE, max_sqp_iters=60,
+                                         ddp=True))
+    rel = np.asarray(jnp.abs(r_dd.cost - r_gn.cost)
+                     / (1.0 + jnp.abs(r_gn.cost)))
+    assert rel.max() < 1e-4, rel.max()
+    assert np.asarray(r_dd.converged).all()
+
+
+def test_ddp_collapses_iteration_tail():
+    """The census tail lane (28 GN iterations) converges in <= 8 under
+    the gated DDP pass; ensemble-wide max drops below the 12-iteration
+    production cap with margin."""
+    B = 4096
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B)
+    p = MPCParams().astype(jnp.float32)
+    r_gn = batch_solve_lane(z0s, coeffs, p,
+                            SolverConfig(**_BASE, max_sqp_iters=60))
+    r_dd = batch_solve_lane(z0s, coeffs, p,
+                            SolverConfig(**_BASE, max_sqp_iters=60,
+                                         ddp=True))
+    it_gn = np.asarray(r_gn.n_iters)
+    it_dd = np.asarray(r_dd.n_iters)
+    assert it_gn.max() >= 15          # the tail exists under GN
+    assert it_dd.max() <= 8, it_dd.max()
+    assert it_dd.mean() < it_gn.mean()
+    # the gate matters: ungated DDP (gate=inf applies from iteration 2;
+    # to see the cold-start pathology you would need gate on iteration 1,
+    # which the implementation never does by construction: gnorm starts
+    # at +inf) — assert the gated pass never REGRESSES a lane badly
+    assert (it_dd <= it_gn + 2).all()
+
+
+def test_ddp_megakernel_matches_xla():
+    B = 256
+    for model in ("diff_drive", "bicycle"):
+        z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(1), B)
+        p = MPCParams().astype(jnp.float32)
+        kw = dict(n_steps=12, max_sqp_iters=10, ls_iters=5, tol_grad=1e-4,
+                  model=model, ddp=True)
+        r_x = batch_solve_lane(z0s, coeffs, p,
+                               SolverConfig(**kw, backward="xla"))
+        from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+        from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+        from mpc_ros_tpu.models.base import get_model
+
+        zT = jnp.swapaxes(z0s, 0, 1)
+        cT = jnp.swapaxes(coeffs, 0, 1)
+        pp = pack_params(p, B, jnp.float32)
+        lb, ub = get_model(model).control_bounds(p, jnp.float32)
+        lb = jnp.broadcast_to(lb[:, None], (2, B))
+        ub = jnp.broadcast_to(ub[:, None], (2, B))
+        us0 = jnp.zeros((11, 2, B), jnp.float32)
+        out = solve_pallas(zT, cT, pp, lb, ub, us0,
+                           SolverConfig(**kw, trig="exact"),
+                           interpret=True)
+        us_m, iters_m = out[1], out[4]
+        us_x = jnp.moveaxis(r_x.us, 0, -1)
+        np.testing.assert_array_equal(np.asarray(iters_m),
+                                      np.asarray(r_x.n_iters))
+        assert float(jnp.max(jnp.abs(us_m - us_x))) < 1e-3
+
+
+# ---- every ensemble's convergence AT its production cap (VERDICT r2 #3) --
+
+def test_conv_at_production_cap_diff_drive():
+    """Headline config: N=30, cap 12, ddp on -> full convergence."""
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), 4096)
+    r = batch_solve_lane(z0s, coeffs, MPCParams().astype(jnp.float32),
+                         SolverConfig(**_BASE, max_sqp_iters=12, ddp=True))
+    assert float(np.mean(np.asarray(r.converged))) >= 0.9995
+
+
+def test_conv_at_production_cap_bicycle():
+    """Bicycle family at the same cap-12 + ddp operating point the bench
+    uses (was 0.990 at cap 30 under GN — VERDICT r2 item 3 asked >=0.995)."""
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(5), 4096)
+    p = MPCParams().astype(jnp.float32)
+    r = batch_solve_lane(z0s, coeffs, p,
+                         SolverConfig(**_BASE, max_sqp_iters=12,
+                                      model="bicycle", ddp=True))
+    assert float(np.mean(np.asarray(r.converged))) >= 0.995
+
+
+def test_conv_at_production_cap_obstacles():
+    """Parametric-obstacle ensemble at its cap-30 production setting."""
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+    B = 4096
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B)
+    centers = jax.random.uniform(jax.random.PRNGKey(1), (B, 2),
+                                 jnp.float32, 0.3, 1.2)
+    K = 4
+    cxs = jnp.concatenate([centers[:, :1], jnp.full((B, K - 1), 50.0)], 1)
+    cys = jnp.concatenate([centers[:, 1:], jnp.full((B, K - 1), 50.0)], 1)
+    blobs = GaussianObstacles.from_sigmas(
+        cxs, cys, jnp.full((B, K), 0.3), jnp.full((B, K), 100.0))
+    r = batch_solve_lane(z0s, coeffs, MPCParams().astype(jnp.float32),
+                         SolverConfig(**_BASE, max_sqp_iters=30, ddp=True),
+                         blobs=blobs)
+    assert float(np.mean(np.asarray(r.converged))) >= 0.995
