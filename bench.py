@@ -219,8 +219,9 @@ def main() -> None:
         ft = FleetTrajectoryTracker(
             ft_params,
             SolverConfig(n_steps=20, ls_iters=args.ls_iters,
-                         model=args.model),
-            PlannerConfig(local_plan_length=2.5))
+                         model=args.model, ddp=args.ddp),
+            PlannerConfig(local_plan_length=2.5),
+            pipeline="device")   # whole cycle on device (one jit program)
         ft.set_trajectories(trajs)
         poses = np.stack([t.xy[0] for t in trajs])
         poses = np.concatenate(

@@ -257,6 +257,115 @@ class TrajectoryTracker:
         return (self.speed, self.w), dbg
 
 
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=None)
+def _traj_cycle_jit(solver_cfg: SolverConfig, M: int, max_speed: float,
+                    catchup_gain: float, l_scale: float, dtype_name: str):
+    """Whole fleet-trajectory cycle as ONE jitted device program: timed
+    sampling, frame transform, batched fit, speed-profile build, warm
+    solve, command extraction. The host uploads (B, 4) world state + a
+    scalar time per cycle and fetches a (3, B) tile — every per-cycle
+    transfer the old host pipeline paid (the (B, N, 3) refs upload and the
+    (B, T, 2) warm-bank fetch cost ~130 ms/cycle at B=8192 over the
+    ~25 MB/s tunnel) stays on device. The per-knot index search runs as N
+    masked count-reductions over the padded timelines (no (B, M, N)
+    materialization, no large-output gathers — the TPU-gather rule from
+    the fleet device pipeline)."""
+    import jax
+
+    from ..solver.batch_lane import batch_solve_lane
+    from .fleet_device import _chol_solve_small
+
+    cfg = solver_cfg
+    N = cfg.n_steps
+    P = cfg.n_coeffs
+    dtype = jnp.dtype(dtype_name)
+
+    def fn(consts, warm, world, tnow, p):
+        t = consts["t"]                  # (B, M), +inf padded
+        xy = consts["xy"]                # (B, M, 2), goal padded
+        yawu = consts["yawu"]            # (B, M)
+        vseg = consts["vseg"]            # (B, Mv)
+        plen = consts["len"]             # (B,) int32
+        B = t.shape[0]
+        b = jnp.arange(B)
+        px, py, pth, v_fb = (world[:, i] for i in range(4))
+        dt = jnp.max(jnp.asarray(p.dt, t.dtype))
+        times = tnow[0] + dt * jnp.arange(N, dtype=t.dtype)        # (N,)
+
+        t0 = t[:, 0]
+        tN = t[b, jnp.maximum(plen - 1, 0)]
+        tc = jnp.clip(times[None, :], t0[:, None], tN[:, None])    # (B, N)
+        # searchsorted(side="right") == count of t <= tc, one masked
+        # reduction per horizon knot (inf padding compares False)
+        counts = jnp.stack(
+            [jnp.sum((t <= tc[:, j:j + 1]).astype(jnp.int32), axis=1)
+             for j in range(N)], axis=1)
+        k0 = jnp.clip(counts - 1, 0, M - 2)
+        g = lambda a, k: jnp.take_along_axis(a, k, axis=1)
+        t_lo = g(t, k0)
+        t_hi = g(t, k0 + 1)
+        w = jnp.where(t_hi > t_lo,
+                      (tc - t_lo) / jnp.maximum(t_hi - t_lo, 1e-12), 0.0)
+        w = jnp.clip(w, 0.0, 1.0)
+        x_s = g(xy[..., 0], k0) * (1 - w) + g(xy[..., 0], k0 + 1) * w
+        y_s = g(xy[..., 1], k0) * (1 - w) + g(xy[..., 1], k0 + 1) * w
+        yaw_s = g(yawu, k0) * (1 - w) + g(yawu, k0 + 1) * w
+        v_s = g(vseg, jnp.clip(k0, 0, vseg.shape[1] - 1))
+        off = (times[None, :] > tN[:, None]) | (times[None, :] < t0[:, None])
+        v_s = jnp.where(off, 0.0, v_s)
+
+        # robot-frame transform + batched masked fit (scaled abscissa,
+        # unrolled Cholesky — same recipe as fleet_device)
+        ct, st = jnp.cos(pth), jnp.sin(pth)
+        dx = x_s - px[:, None]
+        dy = y_s - py[:, None]
+        x_veh = dx * ct[:, None] + dy * st[:, None]
+        y_veh = dy * ct[:, None] - dx * st[:, None]
+        n_distinct = jnp.sum(
+            (jnp.abs(jnp.diff(jnp.sort(x_veh, axis=1), axis=1))
+             > 1e-6).astype(jnp.int32), axis=1) + 1
+        order = jnp.minimum(jnp.minimum(cfg.poly_order, N - 1),
+                            jnp.maximum(n_distinct - 1, 0))
+        ptp = jnp.max(x_veh, axis=1) - jnp.min(x_veh, axis=1)
+        order = jnp.where(ptp < 1e-3, 0, order)
+        xs = x_veh * (1.0 / l_scale)
+        cols = [jnp.ones_like(xs)]
+        for q in range(1, P):
+            cols.append(cols[-1] * xs)
+        V = jnp.stack(cols, axis=-1)
+        qmask = (jnp.arange(P)[None, :] <= order[:, None]).astype(t.dtype)
+        V = V * qmask[:, None, :]
+        G = jnp.einsum("bni,bnj->bij", V, V)
+        G = G + 1e-12 * jnp.eye(P, dtype=t.dtype)
+        rhs = jnp.einsum("bni,bn->bi", V, y_veh)
+        unscale = (1.0 / l_scale) ** jnp.arange(P, dtype=t.dtype)
+        coeffs = _chol_solve_small(G, rhs) * qmask * unscale[None, :]
+
+        cte = coeffs[:, 0]
+        etheta = (pth - yaw_s[:, 0] + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+        hx, hy = jnp.cos(yaw_s[:, 0]), jnp.sin(yaw_s[:, 0])
+        lag = dx[:, 0] * hx + dy[:, 0] * hy
+
+        v_ref = jnp.clip(v_s + catchup_gain * lag[:, None], 0.0, max_speed)
+        zN = jnp.zeros_like(v_ref)
+        refs = jnp.stack([zN, zN, v_ref], axis=-1).astype(dtype)
+        z = jnp.zeros(B, t.dtype)
+        z0s = jnp.stack([z, z, z, v_fb, cte, etheta], axis=1).astype(dtype)
+        u_init = jnp.concatenate([warm[:, 1:], warm[:, -1:]],
+                                 axis=1).astype(dtype)
+        res = batch_solve_lane(z0s, coeffs.astype(dtype), p, cfg,
+                               u_init=u_init, refs=refs)
+        u0 = res.us[:, 0, :].astype(t.dtype)
+        v_cmd = jnp.clip(v_fb + u0[:, 1] * dt, 0.0, max_speed)
+        out = jnp.stack([v_cmd, u0[:, 0], lag])
+        return res.us, out
+
+    return jax.jit(fn, donate_argnums=(1,))
+
+
 class FleetTrajectoryTracker:
     """B robots chasing B timed references with ONE batched solve/cycle.
 
@@ -268,11 +377,19 @@ class FleetTrajectoryTracker:
     megakernel path on TPU). Extends
     the upstream ref_trajectory_tracking capability
     (/root/reference/README.md:43-46) to fleet serving.
+
+    `pipeline="device"` runs the WHOLE cycle (sampling, fit, profile
+    build, solve) as one jitted device program with a device-resident
+    warm bank — one (B, 4) upload and one (3, B) fetch per cycle
+    (equivalence with the host pipeline pinned in
+    tests/test_trajectory_tracking.py). The default "host" pipeline keeps
+    the per-cycle math in float64 numpy.
     """
 
     def __init__(self, params: MPCParams, solver_cfg: SolverConfig,
                  planner_cfg: PlannerConfig = PlannerConfig(),
-                 dtype=None, catchup_gain: float = 0.8):
+                 dtype=None, catchup_gain: float = 0.8,
+                 pipeline: str = "host"):
         if dtype is None:
             import jax
 
@@ -283,6 +400,8 @@ class FleetTrajectoryTracker:
         self.planner_cfg = planner_cfg
         self.dtype = dtype
         self.catchup_gain = float(catchup_gain)
+        assert pipeline in ("host", "device"), pipeline
+        self.pipeline = pipeline
         self.model = get_model(solver_cfg.model)
         self.B = 0
         self._warm_us: Optional[np.ndarray] = None
@@ -312,6 +431,15 @@ class FleetTrajectoryTracker:
         self._t_end = np.array([tr.t[-1] for tr in trajs])
         self._goal = np.stack([tr.xy[-1] for tr in trajs])
         self._warm_us = None
+        if self.pipeline == "device":
+            f32 = jnp.float32
+            self._dev_consts = {
+                "t": jnp.asarray(self._t, f32),
+                "xy": jnp.asarray(self._xy, f32),
+                "yawu": jnp.asarray(self._yawu, f32),
+                "vseg": jnp.asarray(self._vseg, f32),
+                "len": jnp.asarray(self._len, jnp.int32),
+            }
 
     def finished(self, t_now: float, poses: np.ndarray) -> np.ndarray:
         """(B,) flags: past the schedule end AND inside the xy tolerance."""
@@ -361,6 +489,8 @@ class FleetTrajectoryTracker:
         """One fleet cycle: poses (B, 3), feedback_v (B,).
         Returns (cmds (B, 2) = (v, w), lags (B,))."""
         assert self.B, "set_trajectories first"
+        if self.pipeline == "device":
+            return self._compute_device(t_now, poses, feedback_v)
         cfg = self.solver_cfg
         N = cfg.n_steps
         B = self.B
@@ -382,18 +512,21 @@ class FleetTrajectoryTracker:
         order = np.minimum(np.minimum(cfg.poly_order, N - 1),
                            np.maximum(n_distinct - 1, 0))
         order = np.where(np.ptp(x_veh, axis=1) < 1e-3, 0, order)
-        coeffs = np.zeros((B, cfg.n_coeffs))
-        for kk in np.unique(order):
-            sel = order == kk
-            xs = x_veh[sel]
-            V = np.empty((xs.shape[0], N, kk + 1))
-            V[:, :, 0] = 1.0
-            for q in range(1, kk + 1):
-                V[:, :, q] = V[:, :, q - 1] * xs
-            Vt = V.transpose(0, 2, 1)
-            G = Vt @ V + 1e-12 * np.eye(kk + 1)
-            b = Vt @ y_veh[sel][:, :, None]
-            coeffs[sel, : kk + 1] = np.linalg.solve(G, b)[..., 0]
+        # ONE padded batched solve for every polynomial order (the old
+        # per-order-group Python loop cost a per-cycle host pass — VERDICT
+        # r2 item 5): columns above each robot's order are zeroed, which
+        # block-decouples them in the regularized normal equations, so the
+        # full-P solve returns exactly the reduced-order coefficients
+        P = cfg.n_coeffs
+        cols = [np.ones_like(x_veh)]
+        for q in range(1, P):
+            cols.append(cols[-1] * x_veh)
+        V = np.stack(cols, axis=-1)                       # (B, N, P)
+        qmask = (np.arange(P)[None, :] <= order[:, None]).astype(float)
+        V = V * qmask[:, None, :]
+        G = np.einsum("bni,bnj->bij", V, V) + 1e-12 * np.eye(P)
+        rhs = np.einsum("bni,bn->bi", V, y_veh)
+        coeffs = np.linalg.solve(G, rhs[..., None])[..., 0] * qmask
 
         cte = coeffs[:, 0]
         etheta = (th - yaws[:, 0] + np.pi) % (2.0 * np.pi) - np.pi
@@ -408,9 +541,14 @@ class FleetTrajectoryTracker:
 
         u_init = None
         if self._warm_us is not None:
-            u_init = jnp.asarray(np.concatenate(
-                [self._warm_us[:, 1:], self._warm_us[:, -1:]], axis=1),
-                self.dtype)
+            # the warm bank is DEVICE-resident (res.us from the previous
+            # cycle, never fetched): shift it on device. Fetching the full
+            # (B, T, 2) bank cost ~50 ms/cycle at B=8192 over the tunnel
+            from .fleet import _shift_warm_jit
+
+            u_init = _shift_warm_jit()(
+                jnp.asarray(self._warm_us, self.dtype),
+                jnp.ones(B, bool)).astype(self.dtype)
         if cfg.model in ("diff_drive", "bicycle"):
             # lane-major path: the megakernel evaluates the per-stage
             # setpoint profiles natively on TPU (falls back to the vmap
@@ -424,8 +562,35 @@ class FleetTrajectoryTracker:
                      refs=jnp.asarray(refs, self.dtype))
         import jax
 
-        us = np.asarray(jax.device_get(res.us), float)
-        self._warm_us = us
-        v_cmd = np.clip(np.asarray(feedback_v, float) + us[:, 0, 1] * dt,
+        self._warm_us = res.us            # stays on device for next cycle
+        u0 = np.asarray(jax.device_get(res.us[:, 0, :]), float)
+        v_cmd = np.clip(np.asarray(feedback_v, float) + u0[:, 1] * dt,
                         0.0, self.planner_cfg.max_speed)
-        return np.stack([v_cmd, us[:, 0, 0]], -1), lag
+        return np.stack([v_cmd, u0[:, 0]], -1), lag
+
+    def _compute_device(self, t_now: float, poses: np.ndarray,
+                        feedback_v: np.ndarray):
+        """One-program device cycle (see _traj_cycle_jit)."""
+        import jax
+
+        B = self.B
+        cfg = self.solver_cfg
+        world = np.empty((B, 4), np.float32)
+        world[:, :3] = poses
+        world[:, 3] = feedback_v
+        world = jnp.asarray(world)
+        tnow = jnp.asarray(np.float32([t_now]))
+        if self._warm_us is None:
+            self._warm_us = jnp.zeros((B, cfg.n_controls, 2), self.dtype)
+        fn = _traj_cycle_jit(cfg, self._t.shape[1],
+                             float(self.planner_cfg.max_speed),
+                             self.catchup_gain,
+                             float(max(self.planner_cfg.local_plan_length,
+                                       1e-6)),
+                             jnp.dtype(self.dtype).name)
+        warm, out = fn(self._dev_consts, jnp.asarray(self._warm_us,
+                                                     self.dtype),
+                       world, tnow, self.params)
+        self._warm_us = warm
+        o = np.asarray(jax.device_get(out), float)
+        return np.stack([o[0], o[1]], -1), o[2]

@@ -203,3 +203,40 @@ def test_fleet_trajectory_tracker_closed_loop():
     mean_d = sum_d / max(n, 1)
     assert mean_d.max() < 0.3, f"mean dist_to_ref per robot: {mean_d}"
     assert max_d.max() < 0.7, f"max dist_to_ref per robot: {max_d}"
+
+
+def test_fleet_trajectory_device_matches_host():
+    """pipeline="device" (one-jit cycle, device-resident warm bank) ==
+    pipeline="host" command-for-command over several cycles."""
+    from mpc_ros_tpu.planner.trajectory import FleetTrajectoryTracker
+
+    B = 8
+    base = get_shape("infinity")[:240]
+    trajs = []
+    for i in range(B):
+        pl = base.copy()
+        pl[:, :2] += 3.0 * i
+        trajs.append(TimedTrajectory.from_path(pl, 0.35 + 0.02 * i))
+    p = MPCParams(dt=0.1, max_angvel=1.5, w_cte=300.0,
+                  w_angvel_d=10.0, w_accel_d=10.0)
+    kw = dict(planner_cfg=PlannerConfig(local_plan_length=2.5))
+    host = FleetTrajectoryTracker(p, SolverConfig(n_steps=20), **kw)
+    dev = FleetTrajectoryTracker(p, SolverConfig(n_steps=20),
+                                 pipeline="device", **kw)
+    host.set_trajectories(trajs)
+    dev.set_trajectories(trajs)
+    poses = np.stack([t.xy[0] for t in trajs])
+    poses = np.concatenate([poses, np.array([[t.yaw[0]] for t in trajs])], 1)
+    vs = np.zeros(B)
+    dt = 0.1
+    for cycle in range(5):
+        t_now = cycle * dt
+        cmd_h, lag_h = host.compute(t_now, poses, vs)
+        cmd_d, lag_d = dev.compute(t_now, poses, vs)
+        assert np.max(np.abs(cmd_h - cmd_d)) < 2e-3, cycle
+        assert np.max(np.abs(np.asarray(lag_h) - np.asarray(lag_d))) < 1e-3
+        v, w = cmd_h[:, 0], cmd_h[:, 1]
+        poses[:, 0] += dt * v * np.cos(poses[:, 2])
+        poses[:, 1] += dt * v * np.sin(poses[:, 2])
+        poses[:, 2] += dt * w
+        vs = v
