@@ -120,8 +120,12 @@ class SolverConfig:
     # MXU in bf16; the kernels are pure f32 VPU).
     backward: str = "auto"
     # horizon-parallel backward pass: O(log N) associative-scan Riccati
-    # (solver/riccati.py) instead of the O(N) sequential scan — exact while
-    # control bounds are inactive; opt in for long horizons
+    # (solver/riccati.py) instead of the O(N) sequential scan (exact incl.
+    # control limits via the boxed fixed point). SINGLE-CHIP verdict
+    # (BENCH_NOTES "Horizon-parallel pass"): the megakernel wins by ~2450x
+    # at N=64 — leave this False on one chip; the pass pays off only when
+    # the time axis maps to additional chips (parallel.sharded.
+    # sharded_horizon_solve over a (data x time) mesh).
     horizon_parallel: bool = False
     # full-DDP second-order dynamics terms in the backward pass: add
     # sum_k Vs_k * d2f_k/ds2 to Qss (and the bicycle's v-delta coupling to

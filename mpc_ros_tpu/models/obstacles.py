@@ -149,6 +149,31 @@ def obstacle_cost_grad_bl(omaps: "ObstacleMap", x: jnp.ndarray,
     return wgt * val, wgt * dx, wgt * dy
 
 
+def obstacle_curv_bl(omaps: "ObstacleMap", x: jnp.ndarray, y: jnp.ndarray):
+    """Smoothed PSD curvature estimate for the grid penalty (hxx, hyy),
+    weight-scaled, shapes like x.
+
+    A bilinear surface has ZERO pure second derivatives inside every cell
+    — its curvature lives entirely at cell boundaries — so a backward
+    pass fed only the grid's gradient has no stiffness information and
+    hard scenarios die in rejected-step spirals (mu ramps to 1e3-1e6;
+    measured conv 0.94 on the bench grid ensemble, the round-2 0.89
+    wart). This estimates curvature with a one-cell central second
+    difference of the (continuous) bilinear surface, clamped to >= 0 —
+    a PSD diagonal Gauss-Newton-style term that restores step damping
+    without biasing the gradient (same fixed points)."""
+    c0, _, _ = obstacle_cost_grad_bl(omaps, x, y)
+    res = omaps.resolution
+    cxp, _, _ = obstacle_cost_grad_bl(omaps, x + res, y)
+    cxm, _, _ = obstacle_cost_grad_bl(omaps, x - res, y)
+    cyp, _, _ = obstacle_cost_grad_bl(omaps, x, y + res)
+    cym, _, _ = obstacle_cost_grad_bl(omaps, x, y - res)
+    inv_r2 = 1.0 / (res * res)
+    hxx = jnp.maximum((cxp - 2.0 * c0 + cxm) * inv_r2, 0.0)
+    hyy = jnp.maximum((cyp - 2.0 * c0 + cym) * inv_r2, 0.0)
+    return hxx, hyy
+
+
 @struct.dataclass
 class GaussianObstacles:
     """Parametric obstacle field: K Gaussian blobs per scenario.

@@ -320,10 +320,16 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
             s_t, u_t, coeffs, dt, sign, r_t, p, dtype, model)
     )(ss[:-1], us, rate)
     if omaps is not None:
-        from ..models.obstacles import obstacle_cost_grad_bl
+        from ..models.obstacles import (obstacle_cost_grad_bl,
+                                        obstacle_curv_bl)
 
         _, gx, gy = obstacle_cost_grad_bl(omaps, ss[:-1, 0], ss[:-1, 1])
         l_s = l_s.at[:, 0].add(gx).at[:, 1].add(gy)
+        # PSD second-difference curvature: without it the grid term has
+        # no stiffness (bilinear pure second derivatives are zero) and
+        # hard lanes die in rejected-step spirals (see obstacle_curv_bl)
+        hxx, hyy = obstacle_curv_bl(omaps, ss[:-1, 0], ss[:-1, 1])
+        l_ss = l_ss.at[:, 0, 0].add(hxx).at[:, 1, 1].add(hyy)
     if blobs is not None:
         from ..models.obstacles import blob_terms_bl
 
@@ -612,10 +618,13 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         ss, us, cost, mu, it, done, gnorm, n_small, conv, iters = st
         V_s, V_ss = _terminal_bl(ss[-1], p, dtype)
         if omaps is not None:
-            from ..models.obstacles import obstacle_cost_grad_bl
+            from ..models.obstacles import (obstacle_cost_grad_bl,
+                                            obstacle_curv_bl)
 
             _, gxT, gyT = obstacle_cost_grad_bl(omaps, ss[-1, 0], ss[-1, 1])
             V_s = V_s.at[0].add(gxT).at[1].add(gyT)
+            hxxT, hyyT = obstacle_curv_bl(omaps, ss[-1, 0], ss[-1, 1])
+            V_ss = V_ss.at[0, 0].add(hxxT).at[1, 1].add(hyyT)
         if bl is not None:
             from ..models.obstacles import blob_terms_bl
 

@@ -108,3 +108,51 @@ def test_refine_empty_map_is_noop():
     omap = ObstacleMap.empty()
     blobs = fit_gaussians_to_map(omap, n_blobs=4)
     assert float(jnp.max(jnp.abs(blobs.w))) == 0.0
+
+
+def test_grid_kink_diagnosis_cost_converged():
+    """Grid-costmap convergence wart, diagnosed (VERDICT r2 item 6).
+
+    On the bench grid ensemble ~4-6% of lanes report converged=False at
+    any cap. The diagnosis: their minimizers sit ON bilinear cell-boundary
+    KINKS, where the surface is non-differentiable — the sampled gradient
+    promises descent but every line-search step crosses into a cell where
+    cost rises, so the smooth projected-gradient certificate can never
+    fire. The lanes are COST-converged (their objective stops improving
+    many iterations before the cap; pinned below), i.e. the flag is a
+    certificate artifact, not a solution-quality failure; the same
+    scenarios on the smooth parametric route converge outright. The PSD
+    second-difference curvature (models/obstacles.obstacle_curv_bl) fixed
+    the true rejected-step spirals (conv 0.94 -> 0.96, mean iters
+    8.1 -> 7.1); the kink residue is documented in README with the
+    parametric route as the canonical production path.
+    """
+    import jax
+
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.models.obstacles import gaussian_blob_map
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    B = 256
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B)
+    centers = jax.random.uniform(jax.random.PRNGKey(1), (B, 2),
+                                 jnp.float32, 0.3, 1.2)
+    omaps = jax.vmap(lambda c: gaussian_blob_map(
+        (c[0], c[1]), sigma=0.3, weight=100.0, dtype=jnp.float32))(centers)
+    p = MPCParams().astype(jnp.float32)
+    mk = lambda cap: SolverConfig(n_steps=30, max_sqp_iters=cap,
+                                  ls_iters=5, tol_grad=1e-4,
+                                  backward="xla")
+    r30 = batch_solve_lane(z0s, coeffs, p, mk(30), omaps=omaps)
+    conv = np.asarray(r30.converged)
+    # pin the post-curvature-fix convergence level (was 0.89 in round 2)
+    assert conv.mean() >= 0.93, conv.mean()
+    # the certificate-unconverged lanes are COST-converged: doubling the
+    # iteration budget moves their objective by < 0.1% (kink, not failure)
+    bad = np.nonzero(~conv)[0]
+    if len(bad):
+        r60 = batch_solve_lane(z0s, coeffs, p, mk(60), omaps=omaps)
+        c30 = np.asarray(r30.cost)[bad]
+        c60 = np.asarray(r60.cost)[bad]
+        rel = np.abs(c30 - c60) / (1.0 + np.abs(c60))
+        assert rel.max() < 1e-3, rel.max()
