@@ -39,7 +39,11 @@ def main() -> None:
     ap.add_argument("--schedule", choices=["auto", "single", "sorted",
                     "compact"], default="auto",
                     help="megakernel iteration schedule (see SolverConfig)")
-    ap.add_argument("--ls-iters", type=int, default=5,
+    # 4 candidates (alpha down to 0.125) with the DDP backward: near-Newton
+    # steps accept alpha=1 almost always — measured conv 1.000 at N=30
+    # (13.09M vs 12.89M at 5), bicycle 1.000, N=100 faster at equal conv;
+    # 3 candidates start dropping lanes (8 ppm, tile-max at cap)
+    ap.add_argument("--ls-iters", type=int, default=4,
                     help="parallel line-search candidate count")
     ap.add_argument("--no-ddp", dest="ddp", action="store_false",
                     help="disable the hybrid GN->DDP second-order backward "
@@ -71,12 +75,13 @@ def main() -> None:
                     help="FleetPlanner serving metric: full planner "
                          "lifecycle (world plans, host path pipeline, FSM) "
                          "for --batch robots, one batched solve per cycle")
-    ap.add_argument("--fleet-device", action="store_true",
-                    help="with --fleet: run the WHOLE per-cycle pipeline "
-                         "(cutoff, window, FSM, fit, scheduling, solve) as "
-                         "one jitted device program — the host does one "
-                         "upload and one fetch per cycle "
-                         "(planner.fleet_device.DeviceFleetPlanner)")
+    ap.add_argument("--fleet-host", dest="fleet_device",
+                    action="store_false",
+                    help="with --fleet: use the host-pipeline FleetPlanner "
+                         "instead of the default device pipeline "
+                         "(planner.fleet_device.DeviceFleetPlanner — the "
+                         "WHOLE per-cycle pipeline as one jitted device "
+                         "program, one upload + one fetch per cycle)")
     ap.add_argument("--fleet-obs-every", type=int, default=1,
                     help="with --fleet-device: fetch the per-robot "
                          "observability tile every K cycles (0 = commands "
@@ -324,6 +329,8 @@ def main() -> None:
         fsuffix = "" if args.model == "diff_drive" else f"_{args.model}"
         if args.fleet_device:
             fsuffix += "_device"
+        else:
+            fsuffix += "_host"
         if args.fleet_pipelined:
             fsuffix += "_pipelined"
         print(json.dumps({
