@@ -122,23 +122,52 @@ def _terminal_expansion(s_T, p: MPCParams, omap=None, blobs=None,
     return V_s, V_ss
 
 
+def step_hessians(ss, us, coeffs, dt, sign, mdl: Model, p: MPCParams):
+    """Exact per-stage dynamics Hessians d2f_k/d(s,u)2 via JAX autodiff:
+    (T, 8, 10, 10). Generic over the model registry — any family defined
+    by `model_from_step` gets exact second-order terms for free (JAX
+    tracing replaces CppAD's tape at second order too; the lane/megakernel
+    paths hand-derive the same entries for their two families)."""
+
+    def h(s_t, u_t):
+        su = jnp.concatenate([s_t, u_t])
+        f = lambda q: mdl.aug_step(q[:_S], q[_S:], coeffs, dt, sign, p)
+        return jax.jacfwd(jax.jacfwd(f))(su)
+
+    return jax.vmap(h)(ss[:-1], us)
+
+
 def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
-                  us, lb, ub, mu):
+                  us, lb, ub, mu, H=None, ddp_gate_val=None):
     """Control-limited Riccati recursion (sequential `lax.scan`, reverse).
+
+    `H` (T, 8, 10, 10) = exact dynamics Hessians (step_hessians): when
+    given, the full-DDP contraction sum_k Vs_k H_k is added to the Q
+    expansion, scaled by `ddp_gate_val` (the 0/1 hybrid GN->DDP gate —
+    see SolverConfig.ddp).
 
     Returns feedforwards k (T,2), feedbacks K (T,2,8), expected-improvement
     terms (dV1, dV2), and the max projected-gradient norm over stages.
     """
+    if H is None:
+        H = jnp.zeros((us.shape[0], 0, _S + _M, _S + _M), us.dtype)
+    gate = (jnp.asarray(0.0, us.dtype) if ddp_gate_val is None
+            else ddp_gate_val)
 
     def step(carry, inp):
         Vs, Vss = carry
-        A_t, B_t, ls_t, lu_t, lss_t, luu_t, lus_t, u_t = inp
+        A_t, B_t, ls_t, lu_t, lss_t, luu_t, lus_t, u_t, H_t = inp
 
         Q_s = ls_t + A_t.T @ Vs
         Q_u = lu_t + B_t.T @ Vs
         Q_ss = lss_t + A_t.T @ Vss @ A_t
         Q_us = lus_t + B_t.T @ Vss @ A_t
         Q_uu = luu_t + B_t.T @ Vss @ B_t
+        if H_t.shape[0]:
+            D = jnp.einsum("kij,k->ij", H_t, Vs) * gate
+            Q_ss = Q_ss + D[:_S, :_S]
+            Q_us = Q_us + D[_S:, :_S]
+            Q_uu = Q_uu + D[_S:, _S:]
         Q_uu = 0.5 * (Q_uu + Q_uu.T)
         Q_uu_reg = Q_uu + mu * jnp.eye(_M, dtype=A_t.dtype)
 
@@ -159,7 +188,8 @@ def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
         return (Vs_new, Vss_new), (k, K, dV1, dV2, pg)
 
     (_, _), (ks, Ks, dV1s, dV2s, pgs) = jax.lax.scan(
-        step, (V_s, V_ss), (A, B, l_s, l_u, l_ss, l_uu, l_us, us), reverse=True
+        step, (V_s, V_ss), (A, B, l_s, l_u, l_ss, l_uu, l_us, us, H),
+        reverse=True
     )
     return ks, Ks, jnp.sum(dV1s), jnp.sum(dV2s), jnp.max(pgs)
 
@@ -298,10 +328,23 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         V_s, V_ss = _terminal_expansion(
             ss[-1], p, omap, blobs, None if refs is None else refs[-1]
         )
-        bp = backward_pass_parallel if cfg.horizon_parallel else backward_pass
-        ks, Ks, dV1, dV2, pg = bp(
-            A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
-        )
+        if cfg.horizon_parallel:
+            # the associative-scan elements need SPD stage quadratics up
+            # front; the gated DDP contraction is sequential-path only
+            ks, Ks, dV1, dV2, pg = backward_pass_parallel(
+                A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
+            )
+        elif cfg.ddp:
+            H = step_hessians(ss, us, coeffs, dt, sign, mdl, p)
+            g = (gnorm < jnp.asarray(cfg.ddp_gate_eff, dtype)).astype(dtype)
+            ks, Ks, dV1, dV2, pg = backward_pass(
+                A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub,
+                mu, H=H, ddp_gate_val=g
+            )
+        else:
+            ks, Ks, dV1, dV2, pg = backward_pass(
+                A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
+            )
         # Expected full-step improvement -(dV1 + dV2); when the model predicts
         # no meaningful decrease we are at a (numerical) optimum — the
         # standard iLQR stop, and the one that matters in f32 where strict

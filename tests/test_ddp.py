@@ -131,3 +131,69 @@ def test_conv_at_production_cap_obstacles():
                          SolverConfig(**_BASE, max_sqp_iters=30, ddp=True),
                          blobs=blobs)
     assert float(np.mean(np.asarray(r.converged))) >= 0.995
+
+
+def test_ddp_vmap_path_matches_lane_path():
+    """The vmap/ilqr path computes the DDP terms GENERICALLY (jax.hessian
+    of the registered model's step — step_hessians) while the lane and
+    megakernel paths hand-derive the same entries; the two independent
+    derivations must agree: identical iteration counts, controls to f32
+    noise."""
+    from mpc_ros_tpu.engine.batch import batch_solve
+
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B)
+    p = MPCParams().astype(jnp.float32)
+    for model in ("diff_drive", "bicycle"):
+        cfg = SolverConfig(n_steps=14, max_sqp_iters=20, ls_iters=5,
+                           tol_grad=1e-4, backward="xla", ddp=True,
+                           model=model)
+        r_v = batch_solve(z0s, coeffs, p, cfg)
+        r_l = batch_solve_lane(z0s, coeffs, p, cfg)
+        np.testing.assert_array_equal(np.asarray(r_v.n_iters),
+                                      np.asarray(r_l.n_iters))
+        assert float(jnp.max(jnp.abs(r_v.us - r_l.us))) < 1e-3
+
+
+def test_ddp_custom_model_family():
+    """Any family defined by `model_from_step` gets exact second-order
+    terms for free (autodiff at second order replaces CppAD's tape there
+    too): a custom tricycle-ish family solves with ddp on and reaches the
+    same optimum as GN."""
+    from mpc_ros_tpu.engine.batch import batch_solve
+    from mpc_ros_tpu.models.base import model_from_step
+    from mpc_ros_tpu.ops.poly import polyeval
+
+    def step(z, u, coeffs, dt, sign, p):
+        x, y, th, v, cte, eth = (z[..., i] for i in range(6))
+        w, a = u[..., 0], u[..., 1]
+        dt = jnp.asarray(dt, z.dtype)
+        f0 = polyeval(coeffs, x)
+        dth = w * (1.0 + 0.1 * v) * dt     # mildly speed-coupled steering
+        return jnp.stack([
+            x + v * jnp.cos(th) * dt,
+            y + v * jnp.sin(th) * dt,
+            th + dth,
+            v + a * dt,
+            (f0 - y) + sign * v * jnp.sin(eth) * dt,
+            eth + dth,
+        ], axis=-1)
+
+    def bounds(p, dtype):
+        return (jnp.asarray([-1.0, -1.0], dtype),
+                jnp.asarray([1.0, 1.0], dtype))
+
+    model_from_step("tricycle_ddp_test", step, bounds,
+                    allow_override=True)
+    B = 64
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(2), B)
+    p = MPCParams().astype(jnp.float32)
+    kw = dict(n_steps=12, max_sqp_iters=40, ls_iters=5, tol_grad=1e-4,
+              model="tricycle_ddp_test")
+    r_gn = batch_solve(z0s, coeffs, p, SolverConfig(**kw))
+    r_dd = batch_solve(z0s, coeffs, p, SolverConfig(**kw, ddp=True))
+    assert np.asarray(r_dd.converged).mean() >= 0.98
+    rel = np.asarray(jnp.abs(r_dd.cost - r_gn.cost)
+                     / (1.0 + jnp.abs(r_gn.cost)))
+    assert rel.max() < 1e-4
+    assert float(jnp.mean(r_dd.n_iters)) <= float(jnp.mean(r_gn.n_iters))
