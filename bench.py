@@ -116,11 +116,12 @@ def main() -> None:
     from mpc_ros_tpu.config import MPCParams, SolverConfig
     from mpc_ros_tpu.engine import batch_solve, make_random_scenarios
 
-    # measured per-chip scaling at N=30 (v5e, wide-tile megakernel):
-    # 16k -> 520k/s, 64k -> 1.27M/s, 128k -> 1.68M/s, 256k -> 1.94M/s.
-    # A fixed ~27 ms tunnel-RTT sync dominates small batches; 128k is the
-    # knee (78 ms/batch) before memory/latency outgrow the gain
-    batch = args.batch or (256 if args.quick else 131072)
+    # measured per-chip scaling at N=30 (v5e, megakernel + ddp, round 3):
+    # 128k -> 13.09M/s, 256k -> 14.68M, 512k -> 15.56M, 1M -> 15.81M —
+    # the DDP pass cut per-tile trips to ~5.4, so per-batch fixed costs
+    # amortize further out than round 2's 128k knee; 512k is the new knee
+    # (+19% over 128k) before memory/latency outgrow the gain
+    batch = args.batch or (256 if args.quick else 524288)
     n_steps = args.n_steps
     # Horizon/ensemble-aware iteration cap: longer horizons and harder
     # ensembles genuinely need more iterations — the tail lanes accept
