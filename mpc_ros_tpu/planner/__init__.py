@@ -7,6 +7,7 @@ from .safety import SafetyMonitor, SafetyConfig, SafetyStatus
 from .recovery import (RecoveryConfig, RecoveryState, RecoveryStats,
                        RecoverySupervisor)
 from .fleet import FleetCycleInfo, FleetPlanner
+from .fleet_device import DeviceFleetPlanner
 from .trajectory import TimedTrajectory, TrajectoryDebug, TrajectoryTracker
 from . import plan_utils
 
@@ -27,6 +28,7 @@ __all__ = [
     "RecoveryState",
     "RecoveryStats",
     "FleetPlanner",
+    "DeviceFleetPlanner",
     "FleetCycleInfo",
     "TimedTrajectory",
     "TrajectoryTracker",

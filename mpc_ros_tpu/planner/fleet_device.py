@@ -97,11 +97,25 @@ def _chol_solve_small(G, rhs):
     return jnp.stack(x, axis=-1)
 
 
+_CARRY_KEYS = ("start", "states", "latch_xy", "latch_yaw", "set_new_goal",
+               "speed", "w", "throttle", "warm", "has_warm")
+_CONST_KEYS = ("buf", "plen", "arc", "span", "kmax")
+
+
 @functools.lru_cache(maxsize=None)
 def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
-               M: int, Mk: int, has_blobs: bool, dtype_name: str):
+               M: int, Mk: int, has_blobs: bool, dtype_name: str,
+               mesh=None, sharded_leaves: tuple = ()):
     """One compiled cycle program per (configs, plan-buffer shape, obstacle
-    signature). Recompiles only when set_plans changes the padded length M."""
+    signature). Recompiles only when set_plans changes the padded length M.
+
+    `mesh`: optional jax.sharding.Mesh — the WHOLE cycle (pipeline + solve)
+    runs under shard_map over the mesh's data axis: every stage is
+    per-robot, so each device serves B/D robots with zero control-path
+    collectives (SURVEY.md §5.8 rule), plan constants and the cross-cycle
+    carry resident on their shard. `sharded_leaves`: names of (B,)-shaped
+    per-robot MPCParams leaves (they shard with the batch; scalars
+    replicate)."""
     from ..solver.batch_lane import batch_solve_lane
 
     dtype = jnp.dtype(dtype_name)
@@ -357,6 +371,26 @@ def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
         }
         return carry2, cmds_out, obs
 
+    if mesh is not None:
+        import dataclasses as _dc
+
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        d = P(DATA_AXIS)
+        consts_spec = {k: d for k in _CONST_KEYS}
+        carry_spec = {k: d for k in _CARRY_KEYS}
+        p_spec = MPCParams(**{
+            f.name: (d if f.name in sharded_leaves else P())
+            for f in _dc.fields(MPCParams)})
+        in_specs = [consts_spec, carry_spec, d, p_spec]
+        if has_blobs:
+            in_specs += [d] * 4
+        fn = jax.shard_map(fn, mesh=mesh, in_specs=tuple(in_specs),
+                           out_specs=(carry_spec, P(None, DATA_AXIS),
+                                      P(None, DATA_AXIS)),
+                           check_vma=False)
     return jax.jit(fn, donate_argnums=(1,))
 
 
@@ -415,14 +449,23 @@ class DeviceFleetPlanner(FleetPlanner):
         plus bandwidth per fetch; a lean 20 Hz loop at large B wants
         8 B/robot on the wire, not 40."""
         super().__init__(*args, **kwargs)
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "DeviceFleetPlanner does not shard over a mesh yet; use "
-                "FleetPlanner(mesh=...) for the sharded host pipeline")
         self.obs_every = int(obs_every)
         self._consts = None
         self._carry = None
         self._cycle_count = 0
+        # mesh mode: the whole cycle runs under shard_map over the data
+        # axis — B/D robots per device, zero control-path collectives
+
+    def _shard(self, a):
+        """Shard a leading-B array over the mesh's data axis (identity
+        without a mesh)."""
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        return jax.device_put(a, NamedSharding(self.mesh, P(DATA_AXIS)))
 
     # -- device state management ----------------------------------------------
 
@@ -430,26 +473,27 @@ class DeviceFleetPlanner(FleetPlanner):
         """Push plan constants + cross-cycle state to device (called per
         set_plans / load_state_dict — per-goal, not per-cycle)."""
         f32 = jnp.float32
+        sh = self._shard
         self._consts = {
-            "buf": jnp.asarray(self._buf, f32),
-            "plen": jnp.asarray(self._len, jnp.int32),
-            "arc": jnp.asarray(self._arc, f32),
-            "span": jnp.asarray(self._span, jnp.int32),
-            "kmax": jnp.asarray(self._kmax_win, f32),
+            "buf": sh(jnp.asarray(self._buf, f32)),
+            "plen": sh(jnp.asarray(self._len, jnp.int32)),
+            "arc": sh(jnp.asarray(self._arc, f32)),
+            "span": sh(jnp.asarray(self._span, jnp.int32)),
+            "kmax": sh(jnp.asarray(self._kmax_win, f32)),
         }
         T = self.solver_cfg.n_controls
         warm = np.asarray(self._warm, np.float32)
         self._carry = {
-            "start": jnp.asarray(self._start, jnp.int32),
-            "states": jnp.asarray(self.states, jnp.int32),
-            "latch_xy": jnp.asarray(self.latch_xy),
-            "latch_yaw": jnp.asarray(self.latch_yaw),
-            "set_new_goal": jnp.asarray(self.set_new_goal),
-            "speed": jnp.asarray(self.speed, f32),
-            "w": jnp.asarray(self.w, f32),
-            "throttle": jnp.asarray(self.throttle, f32),
-            "warm": jnp.asarray(warm.reshape(self.B, T, 2), self.dtype),
-            "has_warm": jnp.asarray(self._has_warm),
+            "start": sh(jnp.asarray(self._start, jnp.int32)),
+            "states": sh(jnp.asarray(self.states, jnp.int32)),
+            "latch_xy": sh(jnp.asarray(self.latch_xy)),
+            "latch_yaw": sh(jnp.asarray(self.latch_yaw)),
+            "set_new_goal": sh(jnp.asarray(self.set_new_goal)),
+            "speed": sh(jnp.asarray(self.speed, f32)),
+            "w": sh(jnp.asarray(self.w, f32)),
+            "throttle": sh(jnp.asarray(self.throttle, f32)),
+            "warm": sh(jnp.asarray(warm.reshape(self.B, T, 2), self.dtype)),
+            "has_warm": sh(jnp.asarray(self._has_warm)),
         }
 
     def _sync_to_host(self) -> None:
@@ -522,8 +566,17 @@ class DeviceFleetPlanner(FleetPlanner):
             ob = self.world_obstacles
             blob_leaves = (jnp.asarray(ob.cx), jnp.asarray(ob.cy),
                            jnp.asarray(ob.gamma), jnp.asarray(ob.w))
+        import dataclasses as _dc
+
+        sharded_leaves = tuple(sorted(
+            f.name for f in _dc.fields(MPCParams)
+            if jnp.ndim(getattr(self.params, f.name)) >= 1))
         fn = _cycle_jit(self.solver_cfg, self.planner_cfg, M, Mk,
-                        has_blobs, jnp.dtype(self.dtype).name)
+                        has_blobs, jnp.dtype(self.dtype).name,
+                        mesh=self.mesh, sharded_leaves=sharded_leaves)
+        if self.mesh is not None:
+            world = self._shard(world)
+            blob_leaves = tuple(self._shard(a) for a in blob_leaves)
         carry2, cmds_out, obs = fn(self._consts, self._carry, world,
                                    self.params, *blob_leaves)
         self._carry = carry2

@@ -160,3 +160,41 @@ def test_device_state_dict_roundtrip():
     _, cmd_h, _ = host2.compute_velocity_commands(poses, fb)
     _, cmd_d, _ = dev2.compute_velocity_commands(poses, fb)
     assert np.max(np.abs(cmd_h - cmd_d)) < 2e-3
+
+
+def test_device_fleet_sharded_matches_unsharded():
+    """DeviceFleetPlanner(mesh=...) runs the whole cycle under shard_map
+    over the data axis (B/D robots per device, zero control-path
+    collectives) — commands and FSM codes match the unsharded device
+    planner exactly."""
+    import jax
+
+    from mpc_ros_tpu.parallel import make_mesh
+
+    B = 8
+    mesh = make_mesh(n_data=4, n_time=1, devices=jax.devices()[:4])
+    params = MPCParams(max_angvel=1.5, w_cte=300.0, w_angvel_d=10.0,
+                       w_accel_d=10.0,
+                       ref_vel=np.full(B, 0.5))     # (B,) leaf shards too
+    cfg = SolverConfig(n_steps=12, max_sqp_iters=25)
+    pc = PlannerConfig(local_plan_length=2.5)
+    dev = DeviceFleetPlanner(params=params, solver_cfg=cfg, planner_cfg=pc)
+    shd = DeviceFleetPlanner(params=params, solver_cfg=cfg, planner_cfg=pc,
+                             mesh=mesh)
+    dev.initialize(B)
+    shd.initialize(B)
+    plans = _plans(B, stagger=False)
+    poses = np.stack([pl[0] for pl in plans]).astype(float)
+    fb = np.zeros((B, 2))
+    assert dev.set_plans(plans, poses).all()
+    assert shd.set_plans(plans, poses).all()
+    for cyc in range(4):
+        ok_d, cmd_d, info_d = dev.compute_velocity_commands(poses, fb)
+        ok_s, cmd_s, info_s = shd.compute_velocity_commands(poses, fb)
+        np.testing.assert_array_equal(info_d.states, info_s.states)
+        assert np.max(np.abs(cmd_d - cmd_s)) < 1e-5, cyc
+        v, w = cmd_d[:, 0], cmd_d[:, 1]
+        poses[:, 0] += 0.1 * v * np.cos(poses[:, 2])
+        poses[:, 1] += 0.1 * v * np.sin(poses[:, 2])
+        poses[:, 2] += 0.1 * w
+        fb = cmd_d.copy()
