@@ -120,8 +120,16 @@ def main() -> None:
     # 128k -> 13.09M/s, 256k -> 14.68M, 512k -> 15.56M, 1M -> 15.81M —
     # the DDP pass cut per-tile trips to ~5.4, so per-batch fixed costs
     # amortize further out than round 2's 128k knee; 512k is the new knee
-    # (+19% over 128k) before memory/latency outgrow the gain
-    batch = args.batch or (256 if args.quick else 524288)
+    # (+19% over 128k) before memory/latency outgrow the gain. The 512k
+    # default applies to the plain throughput metric only — serving holds
+    # 10 cycles of state, and the obstacle/grid ensembles were
+    # characterized at 128k/4k (their caps and schedules are tuned there)
+    plain = not (args.serving or args.obstacles or args.obstacles_grid
+                 or args.sweep)
+    batch = args.batch or (256 if args.quick
+                           else 524288 if plain
+                           else 4096 if args.obstacles_grid
+                           else 131072)
     n_steps = args.n_steps
     # Horizon/ensemble-aware iteration cap: longer horizons and harder
     # ensembles genuinely need more iterations — the tail lanes accept
