@@ -1,6 +1,20 @@
-"""Fleet serving: receding-horizon MPC for thousands of robots on one chip.
+"""Serve a robot fleet from one device program per control cycle.
 
-    python examples/fleet_serving.py --fleet 4096
+Demonstrates the round-3 serving stack: `DeviceFleetPlanner` runs the
+ENTIRE per-cycle planner pipeline (plan cutoff, lookahead window, goal
+latches + driving FSM, downsampling, robot-frame polynomial fit,
+error-state extraction, reference-speed scheduling, delay-mode
+prediction, warm-started megakernel solve, command extraction) as ONE
+jitted program; the host uploads the fleet's world state and fetches
+commands. Measured on a v5e chip: 8,192 robots at ~37 ms/cycle (20 Hz),
+~493k robot-cycles/s at 32,768 robots (BENCH_NOTES fleet row).
+
+Run on CPU:  python examples/fleet_serving.py
+(The axon-tunnel TPU runs the same code; this demo forces CPU so it can
+run anywhere.)
+
+Reference analog: one move_base process per robot, each re-taping its NLP
+every cycle (/root/reference/mpc_ros/src/mpc_planner_ros.cpp:397-448).
 """
 
 import os
@@ -8,39 +22,56 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the session boot shim pins the TPU tunnel platform; honor JAX_PLATFORMS=cpu
-if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
-import argparse
-import time
-
 import jax
-import jax.numpy as jnp
 
-from mpc_ros_tpu import MPCParams, SolverConfig
-from mpc_ros_tpu.engine import make_random_scenarios
-from mpc_ros_tpu.engine.receding import receding_horizon_rollout
+jax.config.update("jax_platforms", "cpu")   # demo-friendly; delete on TPU
 
-ap = argparse.ArgumentParser()
-ap.add_argument("--fleet", type=int, default=1024)
-ap.add_argument("--cycles", type=int, default=20)
-args = ap.parse_args()
+import numpy as np
 
-dtype = jnp.float32
-z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), args.fleet, dtype)
-p = MPCParams(w_cte=300.0).astype(dtype)
-cfg = SolverConfig(n_steps=30, max_sqp_iters=12, tol_grad=1e-4)
+from mpc_ros_tpu.config import MPCParams, PlannerConfig, SolverConfig
+from mpc_ros_tpu.planner import DeviceFleetPlanner
+from mpc_ros_tpu.sim import get_shape
 
-tr = receding_horizon_rollout(z0s, coeffs, p, cfg, n_cycles=args.cycles)
-float(jnp.sum(tr.us))  # sync (incl. compile)
-t0 = time.time()
-tr = receding_horizon_rollout(z0s, coeffs, p, cfg, n_cycles=args.cycles)
-float(jnp.sum(tr.us))
-wall = time.time() - t0
-rate = args.fleet * args.cycles / wall
-print(f"{args.fleet} robots x {args.cycles} cycles in {wall*1e3:.1f} ms "
-      f"=> {rate:.0f} control cycles/s "
-      f"(warm-start iters: {float(jnp.mean(tr.iters[1:].astype(jnp.float32))):.2f})")
+
+def main():
+    B = 32                           # fleet size (bench: 8192-32768)
+    base = get_shape("infinity")
+    plans = []
+    for i in range(B):
+        pl = base.copy()
+        pl[:, :2] += 5.0 * (i % 8), 5.0 * (i // 8)
+        plans.append(pl)
+
+    fp = DeviceFleetPlanner(
+        params=MPCParams(max_angvel=1.5, w_cte=300.0,
+                         w_angvel_d=10.0, w_accel_d=10.0),
+        solver_cfg=SolverConfig(n_steps=20, ls_iters=4, ddp=True),
+        planner_cfg=PlannerConfig(local_plan_length=2.5),
+        obs_every=5,                 # full observability every 5th cycle
+    )
+    fp.initialize(B)
+    poses = np.stack([pl[0] for pl in plans]).astype(float)
+    feedback = np.zeros((B, 2))
+    assert fp.set_plans(plans, poses).all()
+
+    dt = 0.1
+    for cycle in range(40):
+        ok, cmds, info = fp.compute_velocity_commands(poses, feedback)
+        # integrate a toy plant (a real deployment feeds robot odometry)
+        v, w = cmds[:, 0], cmds[:, 1]
+        poses[:, 0] += dt * v * np.cos(poses[:, 2])
+        poses[:, 1] += dt * v * np.sin(poses[:, 2])
+        poses[:, 2] += dt * w
+        feedback = cmds.copy()
+        if cycle % 5 == 0:           # an observability cycle
+            tracking = (info.states == 0).sum()
+            print(f"cycle {cycle:3d}: tracking {tracking}/{B}, "
+                  f"mean|cte| {np.nanmean(np.abs(info.cte)):.3f} m, "
+                  f"conv {info.converged.mean():.2f}")
+    done = fp.is_goal_reached(poses, feedback)
+    print(f"after 40 cycles: {done.sum()}/{B} at goal (long course — "
+          f"expected 0), mean speed {feedback[:, 0].mean():.2f} m/s")
+
+
+if __name__ == "__main__":
+    main()
