@@ -529,8 +529,9 @@ def main() -> None:
         mega = (not args.obstacles_grid) and cfg.backward in ("auto", "mega") \
             and (cfg.backward == "mega" or on_tpu)
         make = megakernel_accounting if mega else solve_accounting
+        kw = {"ddp": cfg.ddp} if mega else {}
         acct = make(batch, n_steps - 1, n_alpha=cfg.ls_iters,
-                    n_iters=mean_iters)
+                    n_iters=mean_iters, **kw)
         per_batch = best_pipe / n_pipe   # steady-state: RTT amortized away
         acct["measured_ms"] = round(per_batch * 1e3, 2)
         acct["speed_of_light_frac"] = round(efficiency(per_batch, acct), 4)
@@ -554,7 +555,7 @@ def main() -> None:
                 tmax = iters.reshape(batch // tile, tile).max(axis=1)
                 exec_iters = float(np.mean(tmax))
                 acct_exec = make(batch, n_steps - 1, n_alpha=cfg.ls_iters,
-                                 n_iters=exec_iters)
+                                 n_iters=exec_iters, **kw)
                 acct["mean_tile_max_iters"] = round(exec_iters, 2)
                 acct["per_executed_iter_frac"] = round(
                     efficiency(per_batch, acct_exec), 4)

@@ -128,7 +128,7 @@ def solve_accounting(B: int, T: int, n_alpha: int = 8,
 
 
 def megakernel_accounting(B: int, T: int, n_alpha: int = 8,
-                          n_iters: float = 5.0,
+                          n_iters: float = 5.0, ddp: bool = False,
                           dev: DeviceSpec = DeviceSpec()) -> dict:
     """Speed-of-light accounting for the whole-solve megakernel.
 
@@ -149,6 +149,13 @@ def megakernel_accounting(B: int, T: int, n_alpha: int = 8,
     per_iter = (account_linearize(B, T).flops
                 + account_backward(B, T).flops
                 + account_forward(B, T, n_alpha + 1).flops)
+    if ddp:
+        # gated second-order terms (SolverConfig.ddp): per backward stage,
+        # the f''(x) Horner (~2P-3), the five dmap entry products (~22
+        # FMAs+mults incl. the gate scale) and their Qss additions (~7) —
+        # real executed work the GN model would otherwise omit, making
+        # per-executed-iteration efficiency read low under ddp
+        per_iter += 35.0 * B * T
     flops = per_iter * n_iters + account_rollout(B, T).flops
     in_bytes = B * (6 + 4 + 12 + 2 + 2 + 2 * T) * _F32
     # 6 per-lane scalar outputs: cost, conv, iters, gnorm, mu, done
