@@ -297,7 +297,7 @@ def main() -> None:
             # steering authority covering the demo course (see sim.run)
             fp_params = fp_params.replace(lf=0.25, max_steer=0.6)
         fcfg = SolverConfig(n_steps=20, ls_iters=args.ls_iters,
-                            model=args.model)
+                            model=args.model, ddp=args.ddp)
         if args.fleet_device:
             from mpc_ros_tpu.planner.fleet_device import DeviceFleetPlanner
 
