@@ -97,8 +97,13 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             tot = tot + bw[k] * jnp.exp(-(dx * dx + dy * dy) * bg[k])
         return tot
 
-    def obs_terms(x, y):
-        """Gradient + PSD Gauss-Newton curvature (see blob_terms_bl)."""
+    def obs_terms(x, y, gate=None):
+        """Gradient + curvature (see blob_terms_bl). `gate` (the per-lane
+        GN->DDP mask): when given, the blob Hessian's concave -2 g v I
+        part is added back scaled by it — exact curvature near
+        convergence, convex GN model before the gate (the ridge-sliding
+        obstacle tail collapses ~60 -> ~22 iterations; basin stability
+        requires the gating, measured)."""
         gx = gy = hxx = hxy = hyy = zeros
         for k in range(n_blobs):
             dx = x - bx[k]
@@ -112,6 +117,9 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             hxx = hxx + s * dx * dx
             hxy = hxy + s * dx * dy
             hyy = hyy + s * dy * dy
+            if gate is not None:
+                hxx = hxx - gate * tg * v
+                hyy = hyy - gate * tg * v
         return gx, gy, hxx, hxy, hyy
 
     wv2 = 2.0 * par[P_WVEL]
@@ -296,10 +304,17 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         iters = regs[R_ITERS]
         act = 1.0 - done
 
+        # per-lane GN->DDP hybrid gate (SolverConfig.ddp): exact
+        # second-order terms (dynamics + the blob concave part) engage
+        # once the previous iteration's projected gradient is below
+        # ddp_gate (gnorm starts at +inf -> first iteration is pure GN)
+        g_ddp = (gnorm < ddp_gate).astype(dtype) if ddp else None
+
         # ---- backward scan with inline linearization ----
         sT = traj_s[cur, T]
         if n_blobs:
-            ogxT, ogyT, ohxxT, ohxyT, ohyyT = obs_terms(sT[0], sT[1])
+            ogxT, ogyT, ohxxT, ohxyT, ohyyT = obs_terms(sT[0], sT[1],
+                                                        gate=g_ddp)
         else:
             ogxT = ogyT = ohxxT = ohxyT = ohyyT = zeros
         rcT, reT, rvT = ref3(T)
@@ -323,13 +338,6 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             jnp.stack([vss0_entry(i, j) for j in range(_N)])
             for i in range(_N)
         ])
-
-        # per-lane GN->DDP hybrid gate (SolverConfig.ddp): exact
-        # second-order dynamics terms engage once the previous iteration's
-        # projected gradient is below ddp_gate (gnorm starts at +inf, so
-        # the first iteration is always pure Gauss-Newton)
-        if ddp:
-            g_ddp = (gnorm < ddp_gate).astype(dtype)
 
         def bwd_body(i, bcarry):
             Vs, Vss, dv1, dv2, pg = bcarry
@@ -386,7 +394,8 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             du0 = u_t[0] - s_t[6]
             du1 = u_t[1] - s_t[7]
             if n_blobs:
-                ogx, ogy, ohxx, ohxy, ohyy = obs_terms(s_t[0], s_t[1])
+                ogx, ogy, ohxx, ohxy, ohyy = obs_terms(s_t[0], s_t[1],
+                                                       gate=g_ddp)
             else:
                 ogx = ogy = ohxx = ohxy = ohyy = zeros
             rc_t, re_t, rv_t = ref3(t)
@@ -810,7 +819,11 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         # trace/compile time
         n_done_needed, bool(T <= 48 and not interpret),
         resume is not None, refs is not None, cfg.trig == "fast", cfg.model,
-        bool(cfg.ddp), float(cfg.ddp_gate_eff))
+        bool(cfg.ddp),
+        # obstacle ensembles cap the gate at 0.75 (basin stability with
+        # the exact blob curvature — see batch_solve_lane body)
+        float(cfg.ddp_gate_eff if n_blobs == 0
+              else min(cfg.ddp_gate_eff, 0.75)))
     setp_inputs = [] if refs is None else [rsh(refs)]
     setp_specs = [] if refs is None else [lane_spec(T + 1, 3)]
     resume_inputs = [] if resume is None else [rsh(jnp.stack(resume))]

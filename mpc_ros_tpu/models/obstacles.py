@@ -237,6 +237,21 @@ def blob_cost(blobs: GaussianObstacles, xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(blobs.w * jnp.exp(-(dx * dx + dy * dy) * blobs.gamma))
 
 
+def blob_concave_bl(bx, by, bg, bw, x, y):
+    """The blob Hessian's concave isotropic magnitude sum_k 2 g_k v_k —
+    the part Gauss-Newton drops (see blob_terms_bl). The gated DDP
+    backward subtracts it from the GN curvature diagonal to recover the
+    EXACT Hessian near convergence (solver/batch_lane.py)."""
+    K = bx.shape[0]
+    corr = jnp.zeros(x.shape, x.dtype)
+    for k in range(K):
+        dx = x - bx[k]
+        dy = y - by[k]
+        v = bw[k] * jnp.exp(-(dx * dx + dy * dy) * bg[k])
+        corr = corr + 2.0 * bg[k] * v
+    return corr
+
+
 def blob_terms_bl(bx, by, bg, bw, x, y):
     """Batch-last blob cost/gradient/GN-curvature at points.
 

@@ -331,10 +331,19 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
         hxx, hyy = obstacle_curv_bl(omaps, ss[:-1, 0], ss[:-1, 1])
         l_ss = l_ss.at[:, 0, 0].add(hxx).at[:, 1, 1].add(hyy)
     if blobs is not None:
-        from ..models.obstacles import blob_terms_bl
+        from ..models.obstacles import blob_concave_bl, blob_terms_bl
 
         _, gx, gy, hxx, hxy, hyy = blob_terms_bl(
             *blobs, ss[:-1, 0], ss[:-1, 1])
+        if ddp and ddp_mask is not None:
+            # ddp = exact Hessians, gated: add the blob penalty's concave
+            # -2 g v I part (GN keeps only the PSD outer product) once the
+            # lane is past the gate — it collapses the ridge-sliding tail
+            # (census: obstacle max 60 -> ~22 iterations) while the gate
+            # keeps the early, basin-unsettled iterations convex
+            corr = blob_concave_bl(*blobs, ss[:-1, 0], ss[:-1, 1]) * ddp_mask
+            hxx = hxx - corr
+            hyy = hyy - corr
         l_s = l_s.at[:, 0].add(gx).at[:, 1].add(gy)
         l_ss = (l_ss.at[:, 0, 0].add(hxx).at[:, 0, 1].add(hxy)
                 .at[:, 1, 0].add(hxy).at[:, 1, 1].add(hyy))
@@ -616,6 +625,13 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
 
     def body(st):
         ss, us, cost, mu, it, done, gnorm, n_small, conv, iters = st
+        # obstacle ensembles cap the gate at 0.75: with the exact blob
+        # curvature, an early-engaged (2.5) gate lets ~1% of lanes jump
+        # homotopy basins (conv 0.989); at 0.75 conv is 1.000 with the
+        # tail still improved (measured, BENCH_NOTES)
+        gate_eff = (cfg.ddp_gate_eff if bl is None
+                    else min(cfg.ddp_gate_eff, 0.75))
+        dmask = ((gnorm < gate_eff).astype(dtype) if cfg.ddp else None)
         V_s, V_ss = _terminal_bl(ss[-1], p, dtype)
         if omaps is not None:
             from ..models.obstacles import (obstacle_cost_grad_bl,
@@ -626,10 +642,14 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             hxxT, hyyT = obstacle_curv_bl(omaps, ss[-1, 0], ss[-1, 1])
             V_ss = V_ss.at[0, 0].add(hxxT).at[1, 1].add(hyyT)
         if bl is not None:
-            from ..models.obstacles import blob_terms_bl
+            from ..models.obstacles import blob_concave_bl, blob_terms_bl
 
             _, gxT, gyT, hxxT, hxyT, hyyT = blob_terms_bl(
                 *bl, ss[-1, 0], ss[-1, 1])
+            if dmask is not None:
+                corrT = blob_concave_bl(*bl, ss[-1, 0], ss[-1, 1]) * dmask
+                hxxT = hxxT - corrT
+                hyyT = hyyT - corrT
             V_s = V_s.at[0].add(gxT).at[1].add(gyT)
             V_ss = (V_ss.at[0, 0].add(hxxT).at[0, 1].add(hxyT)
                     .at[1, 0].add(hxyT).at[1, 1].add(hyyT))
@@ -641,8 +661,6 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             ks, Ks, dV1, dV2, pg = backward_fused_pallas(
                 ss, us, cT, pp, sign, V_s, V_ss, lb, ub, mu)
         else:
-            dmask = ((gnorm < cfg.ddp_gate_eff).astype(dtype)
-                     if cfg.ddp else None)
             ks, Ks, dV1, dV2, pg = _backward_bl(
                 ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu, omaps, bl,
                 model, ddp=cfg.ddp, ddp_mask=dmask)
