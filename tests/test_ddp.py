@@ -197,3 +197,41 @@ def test_ddp_custom_model_family():
                      / (1.0 + jnp.abs(r_gn.cost)))
     assert rel.max() < 1e-4
     assert float(jnp.mean(r_dd.n_iters)) <= float(jnp.mean(r_gn.n_iters))
+
+
+def test_ddp_megakernel_matches_xla_with_blobs():
+    """The gated exact blob curvature runs in both the megakernel
+    (obs_terms gate) and the XLA lane path (blob_concave_bl) — identical
+    iteration counts, controls to f32 noise."""
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas
+    from mpc_ros_tpu.models.base import get_model
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+    B = 256
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(1), B)
+    centers = jax.random.uniform(jax.random.PRNGKey(2), (B, 2),
+                                 jnp.float32, 0.3, 1.2)
+    blobs = GaussianObstacles.from_sigmas(
+        centers[:, :1], centers[:, 1:],
+        jnp.full((B, 1), 0.3), jnp.full((B, 1), 100.0))
+    p = MPCParams().astype(jnp.float32)
+    kw = dict(n_steps=12, max_sqp_iters=12, ls_iters=5, tol_grad=1e-4,
+              ddp=True)
+    r_x = batch_solve_lane(z0s, coeffs, p,
+                           SolverConfig(**kw, backward="xla"), blobs=blobs)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, jnp.float32)
+    lb, ub = get_model("diff_drive").control_bounds(p, jnp.float32)
+    lb = jnp.broadcast_to(lb[:, None], (2, B))
+    ub = jnp.broadcast_to(ub[:, None], (2, B))
+    us0 = jnp.zeros((11, 2, B), jnp.float32)
+    out = solve_pallas(zT, cT, pp, lb, ub, us0,
+                       SolverConfig(**kw, trig="exact"),
+                       interpret=True, blobs=blobs.lane())
+    us_m, iters_m = out[1], out[4]
+    np.testing.assert_array_equal(np.asarray(iters_m),
+                                  np.asarray(r_x.n_iters))
+    us_x = jnp.moveaxis(r_x.us, 0, -1)
+    assert float(jnp.max(jnp.abs(us_m - us_x))) < 2e-3
