@@ -198,3 +198,39 @@ def test_device_fleet_sharded_matches_unsharded():
         poses[:, 1] += 0.1 * v * np.sin(poses[:, 2])
         poses[:, 2] += 0.1 * w
         fb = cmd_d.copy()
+
+
+def test_device_matches_host_with_world_obstacles():
+    """Per-robot world-frame Gaussian obstacles flow through the device
+    cycle program (frame transform + megakernel blob terms) identically to
+    the host pipeline."""
+    import jax.numpy as jnp
+
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+    B = 4
+    n = 100
+    host, dev = _make_pair(B=B)
+    plan = np.stack([np.linspace(0, 6, n), np.zeros(n), np.zeros(n)], 1)
+    plans = [plan.copy() for _ in range(B)]
+    # robots 0/1 share a blob on the path; 2/3 see a far-away blob
+    blobs = GaussianObstacles.from_sigmas(
+        jnp.asarray([[3.0], [3.0], [50.0], [50.0]]),
+        jnp.asarray([[0.05], [0.05], [50.0], [50.0]]),
+        jnp.full((B, 1), 0.3), jnp.full((B, 1), 50.0))
+    host.set_obstacles(blobs)
+    dev.set_obstacles(blobs)
+    poses = np.stack([plan[0]] * B).astype(float)
+    fb = np.zeros((B, 2))
+    assert host.set_plans(plans, poses).all()
+    assert dev.set_plans(plans, poses).all()
+    for cyc in range(5):
+        _, cmd_h, ih = host.compute_velocity_commands(poses, fb)
+        _, cmd_d, id_ = dev.compute_velocity_commands(poses, fb)
+        np.testing.assert_array_equal(ih.states, id_.states)
+        assert np.max(np.abs(cmd_h - cmd_d)) < 2e-3, cyc
+        v, w = cmd_h[:, 0], cmd_h[:, 1]
+        poses[:, 0] += 0.1 * v * np.cos(poses[:, 2])
+        poses[:, 1] += 0.1 * v * np.sin(poses[:, 2])
+        poses[:, 2] += 0.1 * w
+        fb = cmd_h.copy()
