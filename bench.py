@@ -166,9 +166,14 @@ def main() -> None:
                        schedule=args.schedule, ddp=args.ddp,
                        tol_grad=1e-4 if dtype == jnp.float32 else 1e-7)
     p = MPCParams().astype(dtype)
-    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), batch, dtype)
-    z0s = jax.device_put(z0s, dev)
-    coeffs = jax.device_put(coeffs, dev)
+    if not (args.sweep or args.fleet or args.fleet_trajectory):
+        # the fleet/sweep modes build their own problems — allocating and
+        # uploading the scenario batch for them wasted ~21 MB of tunnel
+        # transfer at the 512k default
+        z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), batch,
+                                            dtype)
+        z0s = jax.device_put(z0s, dev)
+        coeffs = jax.device_put(coeffs, dev)
 
     if args.sweep:
         from mpc_ros_tpu.config import MPCParams as _P

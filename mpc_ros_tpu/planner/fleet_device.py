@@ -48,13 +48,9 @@ import jax.numpy as jnp
 from ..config import MPCParams, PlannerConfig, SolverConfig
 from ..models.base import get_model
 from .fleet import (FleetPlanner, _IDLE, _ROT_GOAL, _ROT_PRE, _TRACK,
-                    _blobs_to_frames)
+                    _blobs_to_frames, _wrap as _jwrap)
 
 _TWO_PI = 2.0 * np.pi
-
-
-def _jwrap(a):
-    return (a + np.pi) % _TWO_PI - np.pi
 
 
 # observability-tile row indices (fetched at the obs_every cadence)
@@ -516,6 +512,15 @@ class DeviceFleetPlanner(FleetPlanner):
         self._has_warm = np.array(c["has_warm"], bool)
 
     # -- lifecycle ------------------------------------------------------------
+
+    def initialize(self, n_robots: int) -> None:
+        # drop any previous fleet's device carry BEFORE the host mirrors
+        # reset — set_plans syncs device->host first, and a stale carry
+        # would resurrect the old fleet's state (or break on a new B)
+        self._consts = None
+        self._carry = None
+        self._cycle_count = 0
+        super().initialize(n_robots)
 
     def set_plans(self, plans, poses):
         # mid-run goal changes: the live latches / warm bank / actuation

@@ -301,6 +301,14 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         us0 = jnp.zeros((T, _M), dtype)
     else:
         us0 = jnp.clip(jnp.asarray(u_init, dtype), lb, ub)
+    if cfg.ddp and cfg.horizon_parallel:
+        # consistent with batch_solve_lane's backward='pallas' raise: the
+        # associative-scan elements need SPD stage quadratics up front, so
+        # the gated DDP contraction is sequential-path only — silently
+        # running GN would let users attribute GN behavior to ddp
+        raise ValueError(
+            "SolverConfig.ddp is not supported with horizon_parallel "
+            "(the scan elements need SPD stage quadratics); pick one")
     sign = cfg.cte_vsin_sign
     if refs is not None:
         refs = jnp.asarray(refs, dtype)
@@ -336,7 +344,24 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             )
         elif cfg.ddp:
             H = step_hessians(ss, us, coeffs, dt, sign, mdl, p)
-            g = (gnorm < jnp.asarray(cfg.ddp_gate_eff, dtype)).astype(dtype)
+            # obstacle ensembles cap the gate at 0.75 and restore the blob
+            # Hessian's concave part — same rules as the lane/megakernel
+            # paths (basin stability; see batch_solve_lane body)
+            gate_val = (cfg.ddp_gate_eff if blobs is None
+                        else min(cfg.ddp_gate_eff, 0.75))
+            g = (gnorm < jnp.asarray(gate_val, dtype)).astype(dtype)
+            if blobs is not None:
+                from ..models.obstacles import blob_concave_bl
+
+                corr = blob_concave_bl(
+                    blobs.cx, blobs.cy, blobs.gamma, blobs.w,
+                    ss[:-1, 0], ss[:-1, 1]) * g
+                l_ss = (l_ss.at[:, 0, 0].add(-corr)
+                        .at[:, 1, 1].add(-corr))
+                corrT = blob_concave_bl(
+                    blobs.cx, blobs.cy, blobs.gamma, blobs.w,
+                    ss[-1, 0], ss[-1, 1]) * g
+                V_ss = V_ss.at[0, 0].add(-corrT).at[1, 1].add(-corrT)
             ks, Ks, dV1, dV2, pg = backward_pass(
                 A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub,
                 mu, H=H, ddp_gate_val=g

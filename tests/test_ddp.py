@@ -235,3 +235,46 @@ def test_ddp_megakernel_matches_xla_with_blobs():
                                   np.asarray(r_x.n_iters))
     us_x = jnp.moveaxis(r_x.us, 0, -1)
     assert float(jnp.max(jnp.abs(us_m - us_x))) < 2e-3
+
+
+def test_ddp_vmap_matches_lane_with_blobs():
+    """With obstacle fields, the vmap/ilqr DDP path applies the same gated
+    blob concave correction and 0.75 gate cap as the lane path — the two
+    engines must stay in lockstep (review finding: this combination was
+    unpinned)."""
+    from mpc_ros_tpu.engine.batch import batch_solve
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+    B = 64
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(3), B)
+    centers = jax.random.uniform(jax.random.PRNGKey(4), (B, 2),
+                                 jnp.float32, 0.3, 1.2)
+    blobs = GaussianObstacles.from_sigmas(
+        centers[:, :1], centers[:, 1:],
+        jnp.full((B, 1), 0.3), jnp.full((B, 1), 100.0))
+    p = MPCParams().astype(jnp.float32)
+    cfg = SolverConfig(n_steps=14, max_sqp_iters=25, ls_iters=5,
+                       tol_grad=1e-4, backward="xla", ddp=True)
+    r_l = batch_solve_lane(z0s, coeffs, p, cfg, blobs=blobs)
+    # vmap path: per-scenario blob pytrees
+    import jax as _jax
+
+    r_v = _jax.vmap(
+        lambda z, c, bx, by, bg, bw: __import__(
+            "mpc_ros_tpu.solver.ilqr", fromlist=["solve"]).solve(
+                z, c, p, cfg,
+                blobs=GaussianObstacles(cx=bx, cy=by, gamma=bg, w=bw)),
+    )(z0s, coeffs, blobs.cx, blobs.cy, blobs.gamma, blobs.w)
+    np.testing.assert_array_equal(np.asarray(r_v.n_iters),
+                                  np.asarray(r_l.n_iters))
+    assert float(jnp.max(jnp.abs(r_v.us - r_l.us))) < 2e-3
+
+
+def test_ddp_with_horizon_parallel_raises():
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), 4)
+    from mpc_ros_tpu.engine.batch import batch_solve
+
+    cfg = SolverConfig(n_steps=10, max_sqp_iters=5, ddp=True,
+                       horizon_parallel=True)
+    with pytest.raises(ValueError, match="ddp"):
+        batch_solve(z0s, coeffs, MPCParams().astype(jnp.float32), cfg)

@@ -234,3 +234,20 @@ def test_device_matches_host_with_world_obstacles():
         poses[:, 1] += 0.1 * v * np.sin(poses[:, 2])
         poses[:, 2] += 0.1 * w
         fb = cmd_h.copy()
+
+
+def test_device_reinitialize_drops_stale_carry():
+    """initialize() on a live device planner must not let the old fleet's
+    device carry resurrect through set_plans' device->host sync (review
+    finding: a stale carry with a different B broke the seeding ops)."""
+    host, dev = _make_pair(B=6)
+    _drive(host, dev, _plans(6), n_cycles=2)
+    dev.initialize(4)                       # new, smaller fleet
+    plans = _plans(4, stagger=False)
+    poses = np.stack([pl[0] for pl in plans]).astype(float)
+    ok = dev.set_plans(plans, poses)
+    assert ok.all()
+    assert not np.asarray(dev._carry["has_warm"]).any()  # fresh fleet
+    _, cmds, info = dev.compute_velocity_commands(poses, np.zeros((4, 2)))
+    assert np.isfinite(cmds).all()
+    assert (info.states == 0).any()
