@@ -215,7 +215,22 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
     s0 = jnp.concatenate(
         [z0_ref[...], jnp.zeros((2,) + vshape, dtype)], axis=0)
-    traj_s[0, 0] = s0
+
+    def read_s(buf, t):
+        """Full 8-row augmented state at knot t: the six stored dynamic
+        rows plus the previous-control rows 6-7 reconstructed from
+        traj_u[buf, t-1] (zeros at t=0 — the pinned start has no previous
+        control). Rows 6-7 are traj_u duplicated bit-for-bit, so STORING
+        them wasted 4(T+1) floats/lane of VMEM scratch — the sub=8/T=59
+        kernel missed the 16 MB scoped limit by 632 KB with them, and
+        fits without (sub=8 holds to T<=63: ~2x for N in ~50-64)."""
+        pu = traj_u[buf, jnp.maximum(t - 1, 0)]
+        # select, don't multiply: at t=0 the clamped read hits knot 0's
+        # (possibly uninitialized) slot and 0 * NaN would poison the state
+        pu = jnp.where(t >= 1, pu, jnp.zeros_like(pu))
+        return jnp.concatenate([traj_s[buf, t], pu], axis=0)
+
+    traj_s[0, 0] = s0[:6]
     ct00 = jnp.cos(s0[2])
     st00 = jnp.sin(s0[2])
     if fast_trig:
@@ -263,7 +278,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
     def init_body(t, carry):
         acc, ct, st = carry
-        s_a = traj_s[0, t]
+        s_a = read_s(0, t)
         u0 = u0_ref[t, 0]
         u1 = u0_ref[t, 1]
         traj_u[0, t] = jnp.stack([u0, u1])
@@ -271,9 +286,9 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         acc = acc + stage_cost(s_a, u0, u1, rate, t)
         # cache the stage trig for the backward pass
         se = se_of(ct, st, s_a)
-        traj_g[0, t] = jnp.stack([ct, st, se, ce_of(ct, st, s_a)])
+        traj_g[t] = jnp.stack([ct, st, se, ce_of(ct, st, s_a)])
         s_n = dyn_step(s_a, u0, u1, (ct, st, se))
-        traj_s[0, t + 1] = s_n
+        traj_s[0, t + 1] = s_n[:6]
         ct, st = step_trig(ct, st, dth_of(s_a[3], u0), s_n)
         return (acc, ct, st)
 
@@ -342,14 +357,14 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         def bwd_body(i, bcarry):
             Vs, Vss, dv1, dv2, pg = bcarry
             t = jnp.asarray(T - 1, jnp.int32) - i
-            s_t = traj_s[cur, t]
+            s_t = read_s(cur, t)
             u_t = traj_u[cur, t]
             rate = jnp.where(t >= 1, 1.0, 0.0).astype(dtype)
 
             x = s_t[0]
             v = s_t[3]
             eth = s_t[5]
-            g_t = traj_g[cur, t]       # cached by the accepting rollout
+            g_t = traj_g[t]            # cached by the accepting rollout
             ct, st, se, ce = g_t[0], g_t[1], g_t[2], g_t[3]
             fp = _polyder_tile(cf, x)
             a02 = -v * st * dt
@@ -592,7 +607,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                       <= tol_cost_eff * (1.0 + jnp.abs(cost))).astype(dtype)
 
         # ---- multi-alpha line search ----
-        s0_t = traj_s[cur, 0]
+        s0_t = read_s(cur, 0)
         for a in range(n_alpha):
             s_scr[pl.ds(a * _N, _N)] = s0_t
 
@@ -600,7 +615,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             accs = carry[:n_alpha]
             cts = carry[n_alpha:2 * n_alpha]
             sts = carry[2 * n_alpha:]
-            s_b = traj_s[cur, t]
+            s_b = read_s(cur, t)
             u_b = traj_u[cur, t]
             k = ks_ref[t]
             K = Ks_ref[t]
@@ -648,12 +663,12 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
         # ---- winner re-roll into the other buffer (masked) ----
         nxt = 1 - cur
-        traj_s[nxt, 0] = s0_t
+        traj_s[nxt, 0] = s0_t[:6]
         s_scr[pl.ds(0, _N)] = s0_t
 
         def sel_body(t, carry):
             ct, st = carry
-            s_b = traj_s[cur, t]
+            s_b = read_s(cur, t)
             u_b = traj_u[cur, t]
             k = ks_ref[t]
             K = Ks_ref[t]
@@ -669,13 +684,17 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             g_n = jnp.stack([ct, st, se, ce_of(ct, st, s_a)])
             # the trig cache blends exactly like the states it describes
             # (upd is a 0/1 mask, so blend(trig) == trig(blend))
-            traj_g[nxt, t] = (upd[None, :] * g_n
-                              + (1.0 - upd)[None, :] * traj_g[cur, t])
+            # single-buffered: the blend reads and writes the SAME knot,
+            # and nothing else reads knot t between this write and the
+            # next backward pass — in-place is safe (unlike traj_s/traj_u,
+            # where sel_body step t+1 still needs the OLD [t+1] as s_b)
+            traj_g[t] = (upd[None, :] * g_n
+                         + (1.0 - upd)[None, :] * traj_g[t])
             s_n = dyn_step(s_a, u0, u1, (ct, st, se))
             s_scr[pl.ds(0, _N)] = s_n
             traj_u[nxt, t] = (upd[None, :] * jnp.stack([u0, u1])
                               + (1.0 - upd)[None, :] * u_b)
-            traj_s[nxt, t + 1] = (upd[None, :] * s_n
+            traj_s[nxt, t + 1] = (upd[None, :] * s_n[:6]
                                   + (1.0 - upd)[None, :] * traj_s[cur, t + 1])
             return step_trig(ct, st, dth_of(s_a[3], u0), s_n)
 
@@ -735,7 +754,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
     # ---- outputs ----
     def out_body(t, _):
-        ss_out[t] = traj_s[cur_f, t]
+        ss_out[t] = read_s(cur_f, t)
 
         @pl.when(t < T)
         def _():
@@ -862,9 +881,9 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
             jax.ShapeDtypeStruct((1, n_prog, sub, _LANES), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, T + 1, _N, sub, _LANES), dtype),   # traj_s
+            pltpu.VMEM((2, T + 1, 6, sub, _LANES), dtype),    # traj_s (rows 6-7 live in traj_u — see read_s)
             pltpu.VMEM((2, T, _M, sub, _LANES), dtype),       # traj_u
-            pltpu.VMEM((2, T, 4, sub, _LANES), dtype),        # traj_g (trig)
+            pltpu.VMEM((T, 4, sub, _LANES), dtype),           # traj_g (trig, single-buffered)
             pltpu.VMEM((T, _M, sub, _LANES), dtype),          # ks
             pltpu.VMEM((T, _M, _N, sub, _LANES), dtype),      # Ks
             pltpu.VMEM((cfg.ls_iters * _N, sub, _LANES), dtype),
@@ -1012,7 +1031,7 @@ def _pick_sub(B: int, T: int, ls_iters: int, extra: int = 0) -> int:
     sub=8 fills f32 vregs exactly; smaller subs only when forced.
     `extra` = additional per-lane floats (e.g. the (T+1, 3) setpoint
     profiles in trajectory-tracking mode)."""
-    per_lane_floats = (2 * (T + 1) * _N + 2 * T * _M + 2 * T * 4 + T * _M
+    per_lane_floats = (2 * (T + 1) * 6 + 2 * T * _M + T * 4 + T * _M
                        + T * _M * _N + ls_iters * _N + extra)
     for sub in (8, 4, 2, 1):
         if B % (sub * _LANES):
