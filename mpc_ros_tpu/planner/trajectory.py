@@ -298,22 +298,39 @@ def _traj_cycle_jit(solver_cfg: SolverConfig, M: int, max_speed: float,
         t0 = t[:, 0]
         tN = t[b, jnp.maximum(plen - 1, 0)]
         tc = jnp.clip(times[None, :], t0[:, None], tN[:, None])    # (B, N)
-        # searchsorted(side="right") == count of t <= tc, one masked
-        # reduction per horizon knot (inf padding compares False)
-        counts = jnp.stack(
-            [jnp.sum((t <= tc[:, j:j + 1]).astype(jnp.int32), axis=1)
-             for j in range(N)], axis=1)
-        k0 = jnp.clip(counts - 1, 0, M - 2)
-        g = lambda a, k: jnp.take_along_axis(a, k, axis=1)
-        t_lo = g(t, k0)
-        t_hi = g(t, k0 + 1)
+        # Per-knot interpolation WITHOUT gathers: searchsorted(side=
+        # "right") == count of t <= tc, and the values at k0 / k0+1 are
+        # masked sums against the one-hot of the count (the shifted
+        # timelines t_next/x_next/... are uploaded once per
+        # set_trajectories, so a[k0+1] is a masked sum of the SHIFTED
+        # array at k0). take_along_axis lowered to TPU gathers costing
+        # ~45 ms/cycle at B=16384; the fused compare+select reductions
+        # are HBM-streaming elementwise passes (~3.5x cycle-pipeline win).
+        idxM = jnp.arange(M)
+        xs0, xs1 = xy[..., 0], xy[..., 1]
+        knots = []
+        for j in range(N):
+            cmp = t <= tc[:, j:j + 1]                 # (B, M)
+            k0j = jnp.clip(jnp.sum(cmp.astype(jnp.int32), axis=1) - 1,
+                           0, M - 2)
+            sel = idxM[None, :] == k0j[:, None]
+            # select-then-sum (never multiply): the timeline pads are +inf
+            # and 0 * inf = NaN would poison every masked sum
+            ms = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=1)
+            knots.append((ms(t), ms(consts["t_next"]),
+                          ms(xs0), ms(consts["x_next"]),
+                          ms(xs1), ms(consts["y_next"]),
+                          ms(yawu), ms(consts["yaw_next"]),
+                          ms(consts["vseg_pad"])))
+        st_ = lambda i: jnp.stack([kn[i] for kn in knots], axis=1)  # (B, N)
+        t_lo, t_hi = st_(0), st_(1)
         w = jnp.where(t_hi > t_lo,
                       (tc - t_lo) / jnp.maximum(t_hi - t_lo, 1e-12), 0.0)
         w = jnp.clip(w, 0.0, 1.0)
-        x_s = g(xy[..., 0], k0) * (1 - w) + g(xy[..., 0], k0 + 1) * w
-        y_s = g(xy[..., 1], k0) * (1 - w) + g(xy[..., 1], k0 + 1) * w
-        yaw_s = g(yawu, k0) * (1 - w) + g(yawu, k0 + 1) * w
-        v_s = g(vseg, jnp.clip(k0, 0, vseg.shape[1] - 1))
+        x_s = st_(2) * (1 - w) + st_(3) * w
+        y_s = st_(4) * (1 - w) + st_(5) * w
+        yaw_s = st_(6) * (1 - w) + st_(7) * w
+        v_s = st_(8)
         off = (times[None, :] > tN[:, None]) | (times[None, :] < t0[:, None])
         v_s = jnp.where(off, 0.0, v_s)
 
@@ -433,12 +450,23 @@ class FleetTrajectoryTracker:
         self._warm_us = None
         if self.pipeline == "device":
             f32 = jnp.float32
+            shift = lambda a: np.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            M = self._t.shape[1]
+            vseg_pad = np.zeros((B, M))
+            vseg_pad[:, : self._vseg.shape[1]] = self._vseg
             self._dev_consts = {
                 "t": jnp.asarray(self._t, f32),
                 "xy": jnp.asarray(self._xy, f32),
                 "yawu": jnp.asarray(self._yawu, f32),
                 "vseg": jnp.asarray(self._vseg, f32),
                 "len": jnp.asarray(self._len, jnp.int32),
+                # shifted timelines: a[k0+1] = masked sum of shift(a) at
+                # k0 — lets the per-knot interpolation avoid TPU gathers
+                "t_next": jnp.asarray(shift(self._t), f32),
+                "x_next": jnp.asarray(shift(self._xy[..., 0]), f32),
+                "y_next": jnp.asarray(shift(self._xy[..., 1]), f32),
+                "yaw_next": jnp.asarray(shift(self._yawu), f32),
+                "vseg_pad": jnp.asarray(vseg_pad, f32),
             }
 
     def finished(self, t_now: float, poses: np.ndarray) -> np.ndarray:

@@ -41,7 +41,15 @@ def _bound_jax_compile_accumulation():
     the suite passes — an upstream XLA CPU issue triggered by accumulated
     compiled-program state, not by any single test). Dropping the caches
     at module boundaries bounds that accumulation; modules re-jit shared
-    helpers, costing ~10-20% suite runtime."""
+    helpers, costing ~10-20% suite runtime.
+
+    Repro for upstream: `tools/repro_xla_cpu_segfault.sh` runs the suite
+    with this fixture disabled (MPC_ROS_TPU_NO_CACHE_CLEAR=1) — expect a
+    hard crash partway through. A synthetic attempt with 500 distinct
+    SMALL programs (scan + while_loop + matmul each) did NOT reproduce,
+    so the trigger needs the suite's large solver programs, not sheer
+    program count."""
     yield
-    jax.clear_caches()
-    gc.collect()
+    if not os.environ.get("MPC_ROS_TPU_NO_CACHE_CLEAR"):
+        jax.clear_caches()
+        gc.collect()
