@@ -95,7 +95,8 @@ def _chol_solve_small(G, rhs):
 
 _CARRY_KEYS = ("start", "states", "latch_xy", "latch_yaw", "set_new_goal",
                "speed", "w", "throttle", "warm", "has_warm")
-_CONST_KEYS = ("buf", "plen", "arc", "span", "kmax")
+_CONST_KEYS = ("buf", "plen", "arc", "span", "kmax", "goals",
+               "arc_next", "kmax_pad")
 
 
 @functools.lru_cache(maxsize=None)
@@ -154,13 +155,21 @@ def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
         can_walk = has & (carry["start"] < plen - 1)
         start = jnp.where(can_walk, first, carry["start"])
 
-        # ---- lookahead window end (precomputed span gather) ----
-        k = span[b, start]
+        # ---- cursor-indexed lookups as masked reductions (row gathers
+        # from (B, M) lower to TPU gathers; one one-hot + select-sum per
+        # index is HBM-streaming elementwise — same rule as the fit).
+        # select-then-sum, never multiply: arc/buf pads are +inf.
+        selS = idx[None, :] == start[:, None]
+        ms = lambda a: jnp.sum(jnp.where(selS, a, 0.0), axis=1)
+        msi = lambda a: jnp.sum(jnp.where(selS, a, 0), axis=1)
+
+        # ---- lookahead window end (precomputed span lookup) ----
+        k = msi(span)
         k_rel = jnp.maximum(jnp.minimum(k, plen) - start, 2)
         end = jnp.minimum(start + k_rel, jnp.maximum(plen, start + 1))
 
         # ---- goal latches + FSM transition (twin of begin_cycle step 1) --
-        goals = buf[b, jnp.maximum(plen - 1, 0)]
+        goals = consts["goals"]          # (B, 3) — static per set_plans
         latch_xy = carry["latch_xy"]
         latch_yaw = carry["latch_yaw"]
         sng = carry["set_new_goal"]
@@ -178,7 +187,7 @@ def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
                    & (jnp.abs(feedback[:, 1]) <= lim.theta_stopped_vel))
         reached = pos & yaw_ok & stopped
         latch_yaw = jnp.where(reached, True, latch_yaw)
-        head = buf[b, start, 2]
+        head = ms(buf[:, :, 2])
         if can_rot:
             below = (has & ~pos) & (jnp.abs(_jwrap(pth - head))
                                     <= pc.heading_yaw_error_threshold)
@@ -205,10 +214,11 @@ def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
 
         # ---- downsample (twin of fleet._downsample; S = M static) ----
         npts = jnp.maximum(end - start, 1)
-        arc_s = arc[b, start]
-        arc_e = arc[b, jnp.maximum(end - 1, 0)]
+        arc_s = ms(arc)
+        selE = idx[None, :] == jnp.maximum(end - 1, 0)[:, None]
+        arc_e = jnp.sum(jnp.where(selE, arc, 0.0), axis=1)
         pl_len = jnp.maximum(arc_e - arc_s, 0.0)
-        first_seg = arc[b, jnp.minimum(start + 1, M - 1)] - arc_s
+        first_seg = ms(consts["arc_next"]) - arc_s
         wd = jnp.where(first_seg > 0.0, first_seg,
                        jnp.maximum(pl_len / jnp.maximum(npts - 1, 1), 1e-9))
         segs = float(pc.downsample_segments)
@@ -264,10 +274,10 @@ def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
         # start + min((ns-1)*samp, npts-1) — a (B,)-sized gather only.
         ns = (n_tot.astype(buf.dtype) * 0.3).astype(jnp.int32)
         j30 = start + jnp.minimum(jnp.maximum(ns - 1, 0) * samp, npts - 1)
-        p0 = buf[b, start]
-        p30 = buf[b, j30]
-        gx = p30[:, 0] - p0[:, 0]
-        gy = p30[:, 1] - p0[:, 1]
+        selJ = idx[None, :] == j30[:, None]
+        msj = lambda a: jnp.sum(jnp.where(selJ, a, 0.0), axis=1)
+        gx = msj(buf[:, :, 0]) - ms(buf[:, :, 0])
+        gy = msj(buf[:, :, 1]) - ms(buf[:, :, 1])
         valid = (gx != 0.0) & (gy != 0.0) & (ns >= 2)
         traj = jnp.arctan2(gy, gx)
         temp = jnp.where(pth <= (-np.pi + traj), pth + _TWO_PI, pth)
@@ -287,7 +297,7 @@ def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
             brake, jnp.clip(max_thr * dist, pc.min_speed, pc.max_speed),
             ref_vel)
         if pc.curvature_slowdown and Mk > 0:
-            kmax = kmax_w[b, jnp.minimum(start, Mk - 1)]
+            kmax = ms(consts["kmax_pad"])   # edge-padded to M cols
             vlim = jnp.where(kmax > 1e-9,
                              jnp.sqrt(pc.max_lat_accel / kmax), jnp.inf)
             ref_vel = jnp.clip(jnp.minimum(ref_vel, vlim), pc.min_speed,
@@ -470,12 +480,22 @@ class DeviceFleetPlanner(FleetPlanner):
         set_plans / load_state_dict — per-goal, not per-cycle)."""
         f32 = jnp.float32
         sh = self._shard
+        M = self._buf.shape[1]
+        goals = self._buf[np.arange(self.B), np.maximum(self._len - 1, 0)]
+        arc_next = np.concatenate([self._arc[:, 1:], self._arc[:, -1:]], 1)
+        # curvature window max, edge-padded to M columns (the cursor lookup
+        # clamped at Mk-1; edge padding reproduces that clamp mask-free)
+        kmax_pad = np.repeat(self._kmax_win[:, -1:], M, axis=1)
+        kmax_pad[:, : self._kmax_win.shape[1]] = self._kmax_win
         self._consts = {
             "buf": sh(jnp.asarray(self._buf, f32)),
             "plen": sh(jnp.asarray(self._len, jnp.int32)),
             "arc": sh(jnp.asarray(self._arc, f32)),
             "span": sh(jnp.asarray(self._span, jnp.int32)),
             "kmax": sh(jnp.asarray(self._kmax_win, f32)),
+            "goals": sh(jnp.asarray(goals, f32)),
+            "arc_next": sh(jnp.asarray(arc_next, f32)),
+            "kmax_pad": sh(jnp.asarray(kmax_pad, f32)),
         }
         T = self.solver_cfg.n_controls
         warm = np.asarray(self._warm, np.float32)
