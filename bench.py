@@ -42,9 +42,13 @@ def main() -> None:
     # 4 candidates (alpha down to 0.125) with the DDP backward: near-Newton
     # steps accept alpha=1 almost always — measured conv 1.000 at N=30
     # (13.09M vs 12.89M at 5), bicycle 1.000, N=100 faster at equal conv;
-    # 3 candidates start dropping lanes (8 ppm, tile-max at cap)
-    ap.add_argument("--ls-iters", type=int, default=4,
-                    help="parallel line-search candidate count")
+    # 3 candidates start dropping lanes (8 ppm, tile-max at cap). Under
+    # --no-ddp the default stays 5: GN's tail lanes were characterized at
+    # 5 candidates (round 2) — keeps --no-ddp runs comparable to the
+    # round-2 GN figures
+    ap.add_argument("--ls-iters", type=int, default=None,
+                    help="parallel line-search candidate count "
+                         "(default: 4 with ddp, 5 with --no-ddp)")
     ap.add_argument("--no-ddp", dest="ddp", action="store_false",
                     help="disable the hybrid GN->DDP second-order backward "
                          "pass (SolverConfig.ddp). DDP collapses the "
@@ -105,6 +109,8 @@ def main() -> None:
                     default="diff_drive",
                     help="vehicle family (both run the megakernel)")
     args = ap.parse_args()
+    if args.ls_iters is None:
+        args.ls_iters = 4 if args.ddp else 5
 
     import jax
 

@@ -153,11 +153,28 @@ class SolverConfig:
     ddp: bool = False
     ddp_gate: "float | None" = None
 
-    @property
-    def ddp_gate_eff(self) -> float:
+    def gate_for(self, has_obstacles: bool = False) -> float:
+        """Effective DDP gate — the ONE place the gate policy lives (the
+        lane, vmap, and megakernel paths all call this, so the obstacle
+        cap cannot drift between engines).
+
+        An explicitly-set `ddp_gate` is honored verbatim, obstacles or
+        not (the user overrode the policy; silently clamping it made the
+        knob a lie). The auto gate is horizon-aware (2.5 engages DDP from
+        the second iteration at N<=32; 0.75 above, where the second-order
+        terms compound over T backward stages) and caps at 0.75 when
+        obstacle terms are present: with the exact blob curvature an
+        early-engaged gate lets ~1% of lanes jump homotopy basins
+        (conv 0.989 vs 1.000 — measured, BENCH_NOTES gate table)."""
         if self.ddp_gate is not None:
             return float(self.ddp_gate)
-        return 2.5 if self.n_steps <= 32 else 0.75
+        gate = 2.5 if self.n_steps <= 32 else 0.75
+        return min(gate, 0.75) if has_obstacles else gate
+
+    @property
+    def ddp_gate_eff(self) -> float:
+        """Obstacle-free effective gate (alias of `gate_for(False)`)."""
+        return self.gate_for(False)
     # cte/etheta coupling sign: +1.0 = reference-exact (default, FG_eval
     # parity); -1.0 = the internally-consistent yaw-minus-path convention
     # (reference quirk Q11 — see models/diff_drive.py docstring; closed-loop

@@ -839,10 +839,9 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         n_done_needed, bool(T <= 48 and not interpret),
         resume is not None, refs is not None, cfg.trig == "fast", cfg.model,
         bool(cfg.ddp),
-        # obstacle ensembles cap the gate at 0.75 (basin stability with
-        # the exact blob curvature — see batch_solve_lane body)
-        float(cfg.ddp_gate_eff if n_blobs == 0
-              else min(cfg.ddp_gate_eff, 0.75)))
+        # blob ensembles cap the auto gate at 0.75 (basin stability with
+        # the exact blob curvature — policy in SolverConfig.gate_for)
+        float(cfg.gate_for(n_blobs > 0)))
     setp_inputs = [] if refs is None else [rsh(refs)]
     setp_specs = [] if refs is None else [lane_spec(T + 1, 3)]
     resume_inputs = [] if resume is None else [rsh(jnp.stack(resume))]

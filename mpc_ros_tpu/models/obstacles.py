@@ -108,6 +108,27 @@ def obstacle_grad_xy(omap: ObstacleMap, xy: jnp.ndarray) -> jnp.ndarray:
     return omap.weight * jnp.stack([dx, dy], axis=-1)
 
 
+def obstacle_curv_xy(omap: ObstacleMap, xy: jnp.ndarray):
+    """Single-map PSD second-difference curvature (hxx, hyy) per point,
+    weight-scaled; xy (..., 2) -> each (...,).
+
+    The unbatched twin of `obstacle_curv_bl` (same one-cell central
+    second-difference estimator, same >=0 clamp) for the per-scenario
+    ilqr/vmap path — keeping the vmap engine's grid backward pass in
+    lock-step with the lane path (without it the vmap engine kept the
+    rejected-step-spiral behavior the curvature term fixes)."""
+    res = omap.resolution
+    ex = jnp.asarray([1.0, 0.0], xy.dtype) * res
+    ey = jnp.asarray([0.0, 1.0], xy.dtype) * res
+    v = lambda q: omap.weight * bilinear_sample(
+        omap.grid, omap.origin, res, q)
+    c0 = v(xy)
+    inv_r2 = 1.0 / (res * res)
+    hxx = jnp.maximum((v(xy + ex) - 2.0 * c0 + v(xy - ex)) * inv_r2, 0.0)
+    hyy = jnp.maximum((v(xy + ey) - 2.0 * c0 + v(xy - ey)) * inv_r2, 0.0)
+    return hxx, hyy
+
+
 def obstacle_cost_grad_bl(omaps: "ObstacleMap", x: jnp.ndarray,
                           y: jnp.ndarray):
     """Lane-major batched sampling: per-scenario grids, batch-last points.

@@ -86,9 +86,16 @@ def _shift_warm_jit():
 
 @dataclasses.dataclass
 class FleetCycleInfo:
-    """Per-cycle fleet observability record."""
+    """Per-cycle fleet observability record.
 
-    states: np.ndarray           # (B,) int FSM codes (see _STATE_OF)
+    On the device planner's LEAN cycles (`DeviceFleetPlanner` with
+    `obs_every != 1`: commands only on the wire) every row except `cmds`
+    is a stale placeholder — `states` is -1, the float rows are NaN, and
+    `converged`/`n_iters` are zeros. Gate any aggregation on `observed`
+    (below); a raw mean over `converged` would read a lean cycle as
+    all-lane solver failure."""
+
+    states: np.ndarray           # (B,) int FSM codes; -1 = not fetched
     cmds: np.ndarray             # (B, 2) applied (v, u0) commands
     ref_vel: np.ndarray          # (B,) scheduled reference speeds
     cte: np.ndarray              # (B,) extracted cross-track errors
@@ -96,6 +103,12 @@ class FleetCycleInfo:
     cost: np.ndarray             # (B,) solve costs (nan for non-tracking)
     converged: np.ndarray        # (B,) solve convergence (False non-tracking)
     n_iters: np.ndarray          # (B,) SQP iterations
+
+    @property
+    def observed(self) -> np.ndarray:
+        """(B,) bool — True where the observability rows were actually
+        fetched this cycle (False on lean device cycles)."""
+        return self.states >= 0
 
     def state_enum(self, i: int) -> DrivingState:
         return _STATE_OF[int(self.states[i])]

@@ -631,7 +631,9 @@ class DeviceFleetPlanner(FleetPlanner):
             )
         else:
             # lean cycle: commands only on the wire; observability rows
-            # carry nan / stale markers (states -1 = not fetched)
+            # carry nan / stale markers (states -1 = not fetched; gate
+            # consumers on FleetCycleInfo.observed — converged=False here
+            # means "not fetched", not solver failure)
             cm = jax.device_get(h["cmds"])
             cmds = np.asarray(cm, np.float64).T.copy()
             B = cmds.shape[0]

@@ -625,12 +625,10 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
 
     def body(st):
         ss, us, cost, mu, it, done, gnorm, n_small, conv, iters = st
-        # obstacle ensembles cap the gate at 0.75: with the exact blob
-        # curvature, an early-engaged (2.5) gate lets ~1% of lanes jump
-        # homotopy basins (conv 0.989); at 0.75 conv is 1.000 with the
-        # tail still improved (measured, BENCH_NOTES)
-        gate_eff = (cfg.ddp_gate_eff if bl is None
-                    else min(cfg.ddp_gate_eff, 0.75))
+        # blob ensembles cap the auto gate at 0.75 (basin stability with
+        # the exact blob curvature); the policy lives in
+        # SolverConfig.gate_for so the three engines cannot drift
+        gate_eff = cfg.gate_for(bl is not None)
         dmask = ((gnorm < gate_eff).astype(dtype) if cfg.ddp else None)
         V_s, V_ss = _terminal_bl(ss[-1], p, dtype)
         if omaps is not None:

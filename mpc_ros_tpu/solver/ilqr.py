@@ -58,10 +58,10 @@ def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign,
                           mdl: Model, omap=None, blobs=None, refs=None):
     """Per-stage Jacobians and exact cost quadratics along a trajectory.
 
-    With an ObstacleMap, the costmap penalty's analytic (x, y) gradient is
-    folded into l_s (first-order; curvature is covered by the Levenberg
-    regularizer). With GaussianObstacles (leaves (K,)), the exact gradient
-    AND the PSD Gauss-Newton curvature enter l_s / l_ss."""
+    With an ObstacleMap, the costmap penalty's analytic (x, y) gradient
+    AND the PSD second-difference curvature enter l_s / l_ss (same terms
+    as the lane path). With GaussianObstacles (leaves (K,)), the exact
+    gradient AND the PSD Gauss-Newton curvature enter l_s / l_ss."""
     T = us.shape[0]
     rate_on = jnp.concatenate(
         [jnp.zeros((1,), ss.dtype), jnp.ones((T - 1,), ss.dtype)]
@@ -78,8 +78,15 @@ def _linearize_and_expand(ss, us, coeffs, p: MPCParams, dt, sign,
             lambda s, u, r, rr: stage_expansion_aug(s, u, r, p, rr)
         )(ss[:-1], us, rate_on, refs[:-1])
     if omap is not None:
+        from ..models.obstacles import obstacle_curv_xy
+
         g = obstacle_grad_xy(omap, ss[:-1, :2])              # (T, 2)
         l_s = l_s.at[:, 0:2].add(g)
+        # PSD second-difference curvature — same term as the lane path
+        # (bilinear pure second derivatives are zero; without stiffness
+        # hard scenarios die in rejected-step spirals, see obstacle_curv_bl)
+        hxx, hyy = obstacle_curv_xy(omap, ss[:-1, :2])
+        l_ss = l_ss.at[:, 0, 0].add(hxx).at[:, 1, 1].add(hyy)
     if blobs is not None:
         from ..models.obstacles import blob_terms_bl
 
@@ -110,7 +117,11 @@ def _terminal_expansion(s_T, p: MPCParams, omap=None, blobs=None,
     V_s = 2.0 * wz * (s_T - ref)
     V_ss = jnp.diag(2.0 * wz)
     if omap is not None:
+        from ..models.obstacles import obstacle_curv_xy
+
         V_s = V_s.at[0:2].add(obstacle_grad_xy(omap, s_T[:2]))
+        hxxT, hyyT = obstacle_curv_xy(omap, s_T[:2])
+        V_ss = V_ss.at[0, 0].add(hxxT).at[1, 1].add(hyyT)
     if blobs is not None:
         from ..models.obstacles import blob_terms_bl
 
@@ -344,11 +355,10 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             )
         elif cfg.ddp:
             H = step_hessians(ss, us, coeffs, dt, sign, mdl, p)
-            # obstacle ensembles cap the gate at 0.75 and restore the blob
-            # Hessian's concave part — same rules as the lane/megakernel
-            # paths (basin stability; see batch_solve_lane body)
-            gate_val = (cfg.ddp_gate_eff if blobs is None
-                        else min(cfg.ddp_gate_eff, 0.75))
+            # obstacle ensembles cap the auto gate at 0.75 and restore the
+            # blob Hessian's concave part — same rules as the lane/mega
+            # paths (the policy lives in SolverConfig.gate_for)
+            gate_val = cfg.gate_for(blobs is not None)
             g = (gnorm < jnp.asarray(gate_val, dtype)).astype(dtype)
             if blobs is not None:
                 from ..models.obstacles import blob_concave_bl

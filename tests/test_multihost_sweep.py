@@ -30,7 +30,12 @@ def test_measure_scaling_runs_and_reports():
     assert [r["n_devices"] for r in rows] == [1, 2, 4]
     for r in rows:
         assert r["solves_per_s"] > 0
-        assert 0 < r["efficiency"] <= 2.0
+        # efficiency is REPORTED, not asserted: on a virtual CPU mesh the
+        # quantity measures host-core oversubscription plus whatever else
+        # is running on the box (observed 0.22 idle, 3.86 under load —
+        # BENCH_NOTES "Tried and rejected" #4), so any bound here fails on
+        # machine load, not on code. Real efficiency needs a real slice.
+        assert np.isfinite(r["efficiency"]) and r["efficiency"] > 0
 
 
 def test_weight_candidates_shape_and_positivity():
