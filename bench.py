@@ -487,15 +487,74 @@ def main() -> None:
     conv = float(jnp.mean(res.converged.astype(jnp.float32)))
     mean_iters = float(jnp.mean(res.n_iters.astype(jnp.float32)))
 
-    # single-solve latency (p50/p99 over repeats) — the real-time budget check
-    z1, c1 = z0s[:1], coeffs[:1]
-    float(jnp.sum(batch_solve(z1, c1, p, cfg).us))
-    lat = []
-    for _ in range(50):
-        t0 = time.time()
-        float(jnp.sum(batch_solve(z1, c1, p, cfg).us))
-        lat.append(time.time() - t0)
-    lat = np.asarray(lat)
+    # Real-time budget check (BASELINE metric "p99 solve latency vs control
+    # period") — measured on the PRODUCTION single-robot path. Rounds 1-3
+    # timed a batch-1 slice of the THROUGHPUT config instead (the vmap
+    # engine with the bench's ddp=True nested-jacfwd Hessians — a program
+    # the tracker never runs), so the reported p50 tracked that config's
+    # batch-1 compile artifacts plus the session's tunnel RTT and drifted
+    # 26 -> 41 ms across rounds. What the tracker actually executes
+    # (tracking.py) is the jitted warm-started ilqr cycle with the
+    # library-default SolverConfig (ddp off) through _cycle_jit: one
+    # packed upload, device-resident warm carry, one packed fetch.
+    def pcts(fn, n=100):
+        fn()
+        ls = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            ls.append(time.time() - t0)
+        a = np.asarray(ls)
+        return (round(float(np.percentile(a, 50)) * 1e3, 2),
+                round(float(np.percentile(a, 99)) * 1e3, 2))
+
+    # the latency floor of this environment: a bare scalar fetch (pure
+    # tunnel RTT; p50 single solve ~= RTT — warm solve compute is ~2 ms).
+    # The tunnel also stalls transiently (100-230 ms spikes that hit bare
+    # fetches and solves alike, ~1 per 100 round trips) — that transport
+    # tail is why the RTT p99 is reported next to the solve p99: a p99
+    # excursion past ~45 ms with rtt_p99 equally high is the wire, not
+    # the solver (BENCH_NOTES "single-solve latency")
+    tiny = jax.device_put(jnp.ones((8,), dtype), dev)
+    rtt_p50, rtt_p99 = pcts(lambda: float(jnp.sum(tiny)))
+
+    from mpc_ros_tpu.planner.tracking import _cycle_jit
+
+    prod_cfg = SolverConfig(n_steps=n_steps, model=args.model)
+    cyc = _cycle_jit(prod_cfg, False, False)
+    inp_host = np.zeros(6 + prod_cfg.n_coeffs + 1, np.float64)
+    inp_host[:6] = np.asarray(z0s[0], np.float64)
+    inp_host[6: 6 + prod_cfg.n_coeffs] = np.asarray(coeffs[0], np.float64)
+    inp_host[6 + prod_cfg.n_coeffs] = 0.5
+    carry0 = jnp.zeros((prod_cfg.n_controls, 2), dtype)
+    state = {"carry": carry0}
+
+    def prod_solve():
+        flat, state["carry"] = cyc(jnp.asarray(inp_host, dtype),
+                                   state["carry"], p)
+        np.asarray(jax.device_get(flat))
+
+    prod_solve()   # cold start; steady-state cycles below are warm
+    p50_solve, p99_solve = pcts(prod_solve)
+
+    # the full planner cycle (host path pipeline + solve + fetch) on the
+    # infinity course — the end-to-end number a single-robot deployment
+    # actually pays per 50 ms control period
+    from mpc_ros_tpu.planner.planner import MPCPlanner
+    from mpc_ros_tpu.sim import get_shape
+
+    pparams = MPCParams(max_angvel=1.5, w_cte=300.0, w_angvel_d=10.0,
+                        w_accel_d=10.0)
+    if args.model == "bicycle":
+        pparams = pparams.replace(lf=0.25, max_steer=0.6)
+    pl = MPCPlanner(params=pparams, solver_cfg=prod_cfg, dtype=dtype)
+    pl.initialize()
+    plan = get_shape("infinity")
+    pose = np.array([plan[40, 0], plan[40, 1], plan[40, 2]])
+    pl.set_plan(plan, pose)
+    p50_cycle, p99_cycle = pcts(
+        lambda: pl.compute_velocity_commands(pose, (0.3, 0.0)),
+        n=10 if args.quick else 50)
 
     target_per_chip = 10000.0 / 8.0  # BASELINE.md: >=10k solves/s on 1 v5e host
     suffix = ("_obstacles" if args.obstacles
@@ -515,8 +574,15 @@ def main() -> None:
         "steady_ms_per_batch": round(best_pipe / n_pipe * 1e3, 2),
         "converged_frac": round(conv, 4),
         "mean_sqp_iters": round(mean_iters, 2),
-        "p50_single_solve_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
-        "p99_single_solve_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
+        "p50_single_solve_ms": p50_solve,
+        "p99_single_solve_ms": p99_solve,
+        "p50_planner_cycle_ms": p50_cycle,
+        "p99_planner_cycle_ms": p99_cycle,
+        "tunnel_rtt_ms_p50": rtt_p50,
+        "tunnel_rtt_ms_p99": rtt_p99,
+        # the chip-side cost of the production solve with the transport
+        # subtracted — what a locally-attached TPU would pay
+        "solve_net_of_rtt_ms": round(max(p50_solve - rtt_p50, 0.0), 2),
     }
     # per-lane iteration distribution — sizes the tile-max scheduling waste
     # (a tile's while loop runs to its slowest lane)

@@ -96,7 +96,22 @@ class SolverConfig:
     model: str = "diff_drive"
     max_sqp_iters: int = 60    # outer SQP/iLQR iteration cap
     ls_iters: int = 8          # parallel line-search step sizes (0.5^j)
-    tol_grad: float = 1e-7     # projected-gradient convergence threshold
+    # projected-gradient convergence threshold. None (default) resolves
+    # per dtype at solve time — 1e-7 in f64 (oracle-grade), 1e-4 in f32:
+    # the pg certificate cannot resolve below the f32 rounding noise of
+    # the cost expansion, so a 1e-7 threshold in f32 never fires and the
+    # solve grinds 30-45 extra GN-tail iterations against the
+    # cost-stagnation stop instead (measured on the production tracker:
+    # warm solves at 45 iterations; 1e-4 converges in 2-5 at the same
+    # optimum — the f32 control accuracy spec (max 6.7e-4 vs the f64
+    # optimum) was measured AT 1e-4). An explicit value is used verbatim.
+    tol_grad: "float | None" = None
+
+    def tol_grad_for(self, dtype) -> float:
+        """Effective projected-gradient threshold for a compute dtype."""
+        if self.tol_grad is not None:
+            return float(self.tol_grad)
+        return 1e-4 if jnp.finfo(dtype).eps > 1e-10 else 1e-7
     tol_cost: float = 1e-12    # relative cost-decrease threshold
     mu_init: float = 1e-6      # initial Levenberg regularization
     mu_factor: float = 10.0    # regularization update factor

@@ -831,7 +831,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
                      else min(tile, int(math.ceil(cfg.done_frac * tile))))
     kernel = functools.partial(
         _kernel, T, cfg.ls_iters, cfg.max_sqp_iters, float(cfg.cte_vsin_sign),
-        float(cfg.tol_grad), float(tol_cost_eff), float(cfg.mu_init),
+        float(cfg.tol_grad_for(dtype)), float(tol_cost_eff), float(cfg.mu_init),
         float(cfg.mu_max), float(cfg.mu_factor), dtype, n_blobs, sub,
         # full unroll wins ~40% kernel time at T<=48 on hardware; in
         # interpret mode (tests) and at long horizons it only bloats

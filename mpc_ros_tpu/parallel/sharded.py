@@ -236,7 +236,7 @@ def _horizon_solve_jit(mesh, cfg: SolverConfig):
         lb, ub = mdl.control_bounds(p, dtype)
         n_ls = cfg.ls_iters
         alphas = jnp.asarray(0.5, dtype) ** jnp.arange(n_ls, dtype=dtype)
-        tol_grad = jnp.asarray(cfg.tol_grad, dtype)
+        tol_grad = jnp.asarray(cfg.tol_grad_for(dtype), dtype)
         tol_cost = jnp.asarray(
             max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps)), dtype)
         mu_min = jnp.asarray(cfg.mu_init, dtype)

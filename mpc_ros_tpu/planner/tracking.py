@@ -65,6 +65,52 @@ def _solve_jit(cfg: SolverConfig, warm: bool, with_omap: bool,
     return call
 
 
+@functools.lru_cache(maxsize=None)
+def _cycle_jit(cfg: SolverConfig, with_omap: bool, with_blobs: bool):
+    """Transfer-lean jitted tracking cycle: ONE packed upload, ONE packed
+    fetch, warm start device-resident.
+
+    On the axon tunnel every host<->device transfer pays latency, and the
+    round-3 fleet work proved transfer elimination is the whole game
+    (BENCH_NOTES fleet row). The same diet applied to the single-robot
+    tracker: inputs (state, coeffs, scheduled ref_vel) ride one (6+C+1,)
+    array, the previous optimum stays ON DEVICE as a carry (the shift
+    warm start runs inside the program — the reference re-taped and
+    cold-started every cycle, quirk Q9), and every observability output
+    (us, zs, cost, converged, iters, grad, reg) is flattened into one
+    array so the host pays a single fetch. Measured on v5e: cycle p50
+    57.6 -> 38.4 ms, p99 108 -> 47 ms vs the 4-upload/7-fetch layout.
+
+    A zero carry reproduces the cold start exactly (the cold path rolls
+    the plant under zero controls; warm with u_init=0 clips to the same
+    zeros), so one compiled program serves both."""
+
+    @jax.jit
+    def f(inp, prev_us, p, omap=None, blobs=None):
+        z0 = inp[: 6]
+        coeffs = inp[6: 6 + cfg.n_coeffs]
+        p = p.replace(ref_vel=inp[6 + cfg.n_coeffs])
+        u_init = jnp.concatenate([prev_us[1:], prev_us[-1:]])
+        r = ilqr.solve(z0, coeffs, p, cfg, u_init=u_init, omap=omap,
+                       blobs=blobs)
+        dtype = inp.dtype
+        flat = jnp.concatenate([
+            r.us.reshape(-1), r.zs.reshape(-1),
+            jnp.stack([r.cost, r.converged.astype(dtype),
+                       r.n_iters.astype(dtype), r.grad_norm, r.reg])])
+        return flat, r.us
+
+    def call(inp, prev_us, p, omap=None, blobs=None):
+        kw = {}
+        if with_omap:
+            kw["omap"] = omap
+        if with_blobs:
+            kw["blobs"] = blobs
+        return f(inp, prev_us, p, **kw)
+
+    return call
+
+
 @dataclasses.dataclass
 class TrackingDebug:
     """Per-cycle observability record (successor of the reference's
@@ -101,6 +147,9 @@ class TrackingController:
         self.throttle = 1.0
         self.ref_vel = float(self._np_params.ref_vel)
         self._warm_us: Optional[np.ndarray] = None
+        # device-resident warm-start carry (the previous optimum never
+        # leaves the device between cycles — see _cycle_jit)
+        self._warm_dev = None
         # optional robot-frame local costmap (models.obstacles.ObstacleMap);
         # set per cycle by the embedder — the obstacle awareness the
         # reference wired up but never used in its NLP (SURVEY.md C1)
@@ -125,6 +174,7 @@ class TrackingController:
         self.throttle = 1.0
         self.ref_vel = float(self._np_params.ref_vel)
         self._warm_us = None
+        self._warm_dev = None
 
     def update_params(self, params: MPCParams) -> None:
         """Hot-reload solver weights (no recompilation: params are traced)."""
@@ -269,30 +319,30 @@ class TrackingController:
         else:
             state = np.array([0.0, 0.0, 0.0, v, cte, etheta])
 
-        p = self.params.replace(ref_vel=jnp.asarray(ref_vel_eff, self.dtype))
-        z0 = jnp.asarray(state, self.dtype)
-        cj = jnp.asarray(coeffs, self.dtype)
         omap = self.obstacle_map
         blobs = self.obstacles
-        warm = self._warm_us is not None
-        solve = _solve_jit(self.solver_cfg, warm, omap is not None,
-                           blobs is not None)
-        if not warm:
-            res = solve(z0, cj, p, omap=omap, blobs=blobs)
-        else:
-            # shift of the previous optimum — the warm start the reference
-            # never had (quirk Q9)
-            u_init = jnp.asarray(
-                np.concatenate([self._warm_us[1:], self._warm_us[-1:]]),
-                self.dtype)
-            res = solve(z0, cj, p, u_init=u_init, omap=omap, blobs=blobs)
-        # fetch the whole result pytree in ONE device transfer: downstream
-        # host reads (us, cost, zs for the trajectory record, converged in
-        # the safety monitor) would otherwise each pay a tunnel RTT —
-        # measured 77 -> 46 ms/cycle p50 on the axon v5e (the remainder is
-        # the solve round-trip itself; a locally-attached TPU skips it)
-        res = jax.device_get(res)
-        us = np.asarray(res.us)
+        cfg = self.solver_cfg
+        # one packed upload + one packed fetch per cycle, warm start
+        # device-resident (see _cycle_jit: 57.6 -> 38.4 ms p50 on the v5e
+        # tunnel vs the per-leaf transfer layout this replaces)
+        inp = np.zeros(6 + cfg.n_coeffs + 1)
+        inp[:6] = state
+        inp[6: 6 + cfg.n_coeffs] = coeffs
+        inp[6 + cfg.n_coeffs] = ref_vel_eff
+        if self._warm_dev is None:
+            self._warm_dev = jnp.zeros((cfg.n_controls, 2), self.dtype)
+        cyc = _cycle_jit(cfg, omap is not None, blobs is not None)
+        flat, self._warm_dev = cyc(jnp.asarray(inp, self.dtype),
+                                   self._warm_dev, self.params,
+                                   omap=omap, blobs=blobs)
+        flat = np.asarray(jax.device_get(flat), float)
+        T, N = cfg.n_controls, cfg.n_steps
+        us = flat[: T * 2].reshape(T, 2)
+        zs = flat[T * 2: T * 2 + N * 6].reshape(N, 6)
+        cost, convf, itersf, gnorm, reg = flat[T * 2 + N * 6:]
+        res = SolveResult(
+            us=us, zs=zs, cost=cost, converged=bool(convf > 0.5),
+            n_iters=int(itersf), grad_norm=gnorm, reg=reg)
         self._warm_us = us
 
         self.w = float(us[0, 0])

@@ -18,7 +18,7 @@ Here the mode is built on the solver's per-stage reference profiles
    frame (the same error-state NLP as path tracking — FG_eval semantics,
    /root/reference/mpc_ros/src/mpc_planner.cpp:122-147 — so the whole
    solver stack is reused: the single-robot tracker runs the XLA path via
-   tracking._solve_jit, and the fleet tracker's batched solve runs the
+   the transfer-lean _single_cycle_jit, and the fleet tracker's batched solve runs the
    Pallas megakernel's native per-stage setpoint profiles on TPU
    (kernels/solve_pallas.py `refs`));
 3. build the per-knot speed profile ref_vel[k] = |dr/dt|(t_now + k*dt) plus
@@ -42,7 +42,39 @@ import jax.numpy as jnp
 from ..config import MPCParams, PlannerConfig, SolverConfig
 from ..models.base import get_model
 from .fsm import normalize_angle
-from .tracking import _solve_jit
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _single_cycle_jit(cfg: SolverConfig):
+    """Transfer-lean jitted single-robot trajectory cycle — the tracking._cycle_jit
+    diet for the refs mode: one packed (6+C+N,) upload (state, coeffs,
+    per-knot speed profile; the cte/etheta setpoint columns are zeros and
+    are built on device), device-resident warm-start carry, one packed
+    observability fetch. Zero carry == the cold start (see _cycle_jit)."""
+    import jax
+
+    from ..solver import ilqr
+
+    @jax.jit
+    def f(inp, prev_us, p):
+        z0 = inp[: 6]
+        coeffs = inp[6: 6 + cfg.n_coeffs]
+        v_ref = inp[6 + cfg.n_coeffs:]
+        zero = jnp.zeros((cfg.n_steps,), inp.dtype)
+        refs = jnp.stack([zero, zero, v_ref], axis=-1)
+        u_init = jnp.concatenate([prev_us[1:], prev_us[-1:]])
+        r = ilqr.solve(z0, coeffs, p, cfg, u_init=u_init, refs=refs)
+        dtype = inp.dtype
+        flat = jnp.concatenate([
+            r.us.reshape(-1), r.zs.reshape(-1),
+            jnp.stack([r.cost, r.converged.astype(dtype),
+                       r.n_iters.astype(dtype), r.grad_norm, r.reg])])
+        return flat, r.us
+
+    return f
 
 
 @dataclasses.dataclass
@@ -159,12 +191,14 @@ class TrajectoryTracker:
         self.w = 0.0
         self.speed = 0.0
         self._warm_us: Optional[np.ndarray] = None
+        self._warm_dev = None
 
     def set_trajectory(self, traj: TimedTrajectory) -> None:
         self.traj = traj
         self.w = 0.0
         self.speed = 0.0
         self._warm_us = None
+        self._warm_dev = None
 
     def finished(self, t_now: float, pose: np.ndarray) -> bool:
         """Past the schedule end AND inside the xy goal tolerance of the
@@ -227,23 +261,28 @@ class TrajectoryTracker:
             [np.zeros(N), np.zeros(N), v_ref], axis=-1)
 
         state = np.array([0.0, 0.0, 0.0, v, cte, etheta])
-        z0 = jnp.asarray(state, self.dtype)
-        cj = jnp.asarray(coeffs, self.dtype)
-        rj = jnp.asarray(refs, self.dtype)
-
-        warm = self._warm_us is not None
-        solve = _solve_jit(self.solver_cfg, warm, False, False, True)
-        if not warm:
-            res = solve(z0, cj, self.params, refs=rj)
-        else:
-            u_init = jnp.asarray(
-                np.concatenate([self._warm_us[1:], self._warm_us[-1:]]),
-                self.dtype)
-            res = solve(z0, cj, self.params, u_init=u_init, refs=rj)
+        # one packed upload + one packed fetch per cycle, warm start
+        # device-resident (same diet as tracking._cycle_jit)
         import jax
 
-        res = jax.device_get(res)   # one transfer for all host reads
-        us = np.asarray(res.us)
+        from ..solver.types import SolveResult
+
+        inp = np.zeros(6 + cfg.n_coeffs + N)
+        inp[:6] = state
+        inp[6: 6 + cfg.n_coeffs] = coeffs
+        inp[6 + cfg.n_coeffs:] = v_ref
+        if self._warm_dev is None:
+            self._warm_dev = jnp.zeros((cfg.n_controls, 2), self.dtype)
+        flat, self._warm_dev = _single_cycle_jit(cfg)(
+            jnp.asarray(inp, self.dtype), self._warm_dev, self.params)
+        flat = np.asarray(jax.device_get(flat), float)
+        T = cfg.n_controls
+        us = flat[: T * 2].reshape(T, 2)
+        zs = flat[T * 2: T * 2 + N * 6].reshape(N, 6)
+        cost, convf, itersf, gnorm, reg = flat[T * 2 + N * 6:]
+        res = SolveResult(
+            us=us, zs=zs, cost=cost, converged=bool(convf > 0.5),
+            n_iters=int(itersf), grad_norm=gnorm, reg=reg)
         self._warm_us = us
 
         self.w = float(us[0, 0])

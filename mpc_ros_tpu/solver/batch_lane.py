@@ -606,7 +606,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     if has_obs:
         cost0 = cost0 + _obs_cost_knots(ss0)
 
-    tol_grad = jnp.asarray(cfg.tol_grad, dtype)
+    tol_grad = jnp.asarray(cfg.tol_grad_for(dtype), dtype)
     tol_cost = jnp.asarray(
         max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps)), dtype)
     mu_min = jnp.asarray(cfg.mu_init, dtype)

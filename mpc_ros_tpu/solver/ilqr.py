@@ -326,7 +326,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     ss0 = _rollout_aug(z0, us0, coeffs, dt, sign, mdl, p)
     cost0 = _traj_cost(ss0[:, : dd.STATE_DIM], us0, p, omap, blobs, refs)
 
-    tol_grad = jnp.asarray(cfg.tol_grad, dtype)
+    tol_grad = jnp.asarray(cfg.tol_grad_for(dtype), dtype)
     # relative cost tolerance can't be tighter than the dtype resolves
     tol_cost = jnp.asarray(
         max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps)), dtype
