@@ -26,6 +26,72 @@ import time
 import numpy as np
 
 
+def kernel_verify(p, cfg, dtype, batch: int = 1024, strict_trig: bool = True):
+    """On-chip kernel-parity check (VERDICT r3 item 5): solve the same
+    small batch through the Pallas megakernel and the pure-XLA lane solver
+    ON THE CURRENT BACKEND and compare controls / cost / convergence /
+    iteration counts.
+
+    The extensive megakernel equality suite (tests/test_pallas_kernels.py)
+    runs interpret=True on CPU — it proves the kernel's MATH, but a Mosaic
+    compile regression that changed hardware numerics without tanking
+    convergence would pass CI. This check runs the real compiled kernel
+    every bench session and fails loudly on drift.
+
+    Thresholds calibrated on v5e (tools/probe_verify.py, round 4):
+    measured du=3.0e-4, cost rel dev 7.7e-7, conv identical, iters equal
+    on 96.5% of lanes (certificate-borderline lanes flip by one iteration
+    between the two compilations' f32 rounding). Pass = du <= 2e-3 (the
+    CI standard), rel cost <= 1e-4, conv-match >= 0.999, iters-match
+    >= 0.90 with |mean diff| <= 0.25.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    B = min(batch, 1024)
+    B -= B % 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B, dtype)
+    # trig="exact" makes the megakernel's rollout transcendentals
+    # bit-comparable with the XLA lane path (the production "fast" path
+    # measured the SAME deviations on v5e — its ~1e-6 rollout error is
+    # below f32 solve noise — but exact keeps the check's failure signal
+    # attributable to the kernel, not the trig approximation)
+    trig = "exact" if strict_trig else cfg.trig
+    r_m = batch_solve_lane(z0s, coeffs, p, dataclasses.replace(
+        cfg, backward="mega", trig=trig))
+    r_x = batch_solve_lane(z0s, coeffs, p, dataclasses.replace(
+        cfg, backward="xla"))
+    us_m, us_x = np.asarray(r_m.us), np.asarray(r_x.us)
+    cost_m = np.asarray(r_m.cost, np.float64)
+    cost_x = np.asarray(r_x.cost, np.float64)
+    conv_m = np.asarray(r_m.converged, np.float32)
+    conv_x = np.asarray(r_x.converged, np.float32)
+    it_m = np.asarray(r_m.n_iters, np.float32)
+    it_x = np.asarray(r_x.n_iters, np.float32)
+    du = float(np.max(np.abs(us_m - us_x)))
+    dc = float(np.max(np.abs(cost_m - cost_x) / (1.0 + np.abs(cost_x))))
+    conv_match = float(np.mean(conv_m == conv_x))
+    it_match = float(np.mean(it_m == it_x))
+    d_it = float(abs(it_m.mean() - it_x.mean()))
+    ok = (du <= 2e-3 and dc <= 1e-4 and conv_match >= 0.999
+          and it_match >= 0.90 and d_it <= 0.25)
+    return {
+        "batch": B,
+        "max_du": round(du, 6),
+        "max_rel_dcost": float(f"{dc:.2e}"),
+        "conv_match_frac": round(conv_match, 4),
+        "iters_match_frac": round(it_match, 4),
+        "mean_iters_mega_xla": [round(float(it_m.mean()), 3),
+                                round(float(it_x.mean()), 3)],
+        "ok": bool(ok),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small CPU-only run")
@@ -102,6 +168,14 @@ def main() -> None:
                          "refs path on TPU)")
     ap.add_argument("--roofline", action="store_true",
                     help="also print speed-of-light accounting (extra line)")
+    ap.add_argument("--verify", action="store_true",
+                    help="run ONLY the on-chip kernel-parity check "
+                         "(megakernel vs XLA lane solver at small B) and "
+                         "print its JSON line. The default bench run also "
+                         "executes this check and embeds the result "
+                         "(kernel_verify) in the headline JSON — a Mosaic "
+                         "numerics regression fails the official bench "
+                         "loudly instead of shipping silently")
     ap.add_argument("--engine", choices=["lane", "vmap"], default="lane",
                     help="lane = lane-major batched solver (fast path); "
                          "vmap = per-scenario solver under vmap")
@@ -172,6 +246,18 @@ def main() -> None:
                        schedule=args.schedule, ddp=args.ddp,
                        tol_grad=1e-4 if dtype == jnp.float32 else 1e-7)
     p = MPCParams().astype(dtype)
+
+    if args.verify:
+        t0 = time.time()
+        kv = kernel_verify(p, cfg, dtype, batch=args.batch or 1024)
+        kv.update({"metric": "kernel_parity_on_chip", "device": str(dev),
+                   "wall_s": round(time.time() - t0, 1)})
+        print(json.dumps(kv))
+        if not kv["ok"]:
+            raise SystemExit("kernel_verify FAILED: megakernel deviates "
+                             "from the XLA lane solver on this backend")
+        return
+
     if not (args.sweep or args.fleet or args.fleet_trajectory):
         # the fleet/sweep modes build their own problems — allocating and
         # uploading the scenario batch for them wasted ~21 MB of tunnel
@@ -594,6 +680,13 @@ def main() -> None:
     out["iters_max"] = int(it_arr.max())
     out["unconverged_ppm"] = int(round(
         1e6 * (1.0 - float(np.mean(res.converged)))))
+    # on-chip kernel-parity check (VERDICT r3 item 5): every official bench
+    # session re-proves megakernel == XLA lane solver on the real compiled
+    # kernel; "ok": false is a loud Mosaic-numerics regression signal
+    if (args.engine == "lane" and not args.quick
+            and not (args.obstacles or args.obstacles_grid)
+            and jax.default_backend() == "tpu"):
+        out["kernel_verify"] = kernel_verify(p, cfg, dtype)
     print(json.dumps(out))
 
     if args.roofline:
