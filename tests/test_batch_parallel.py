@@ -229,3 +229,40 @@ def test_sharded_receding_rollout_matches_unsharded():
     # warm starts actually engage: iterations after the cold cycle drop
     assert float(warm_iters) < float(jnp.mean(
         ref.iters[0].astype(jnp.float32)))
+
+
+def test_sweep_ddp_ranks_correctly_and_beats_gn_iterations():
+    """The tuning sweep's DDP correctness property (VERDICT r3 item 4,
+    BENCH_NOTES config #5): on the bench's fixed candidate draw, the DDP
+    sweep must (a) keep selecting the same best candidate it selects on
+    hardware (index 5 — GN mis-ranks to 4 because its unconverged
+    extreme-weight solves inflate their cte estimates), and (b) spend
+    FEWER mean iterations than GN on EVERY candidate — the
+    machine-independent form of 'ddp within ~10% of the GN sweep time'
+    (on-chip round 4 both measured 0.075 s for 131k solves).
+
+    The round-3 'scale-invariant gate' hypothesis for the apparent 27%
+    ddp sweep regression was censused and REFUTED this round
+    (tools/probe_gate_scale*.py; BENCH_NOTES 'Tried and rejected' #7):
+    the regression was session variance, and every weight-scaled gate
+    variant measured worse or neutral. This test pins the properties the
+    sweep actually needs."""
+    import dataclasses
+
+    from mpc_ros_tpu.engine.sweep import (sample_weight_candidates,
+                                          tuning_sweep)
+
+    cands = sample_weight_candidates(jax.random.PRNGKey(3), 8, MPCParams(),
+                                     dtype=jnp.float32)
+    cfg = SolverConfig(n_steps=30, max_sqp_iters=12, ls_iters=4, ddp=True,
+                       tol_grad=1e-4)
+    sw_ddp = tuning_sweep(jax.random.PRNGKey(4), cands, 1024, cfg)
+    sw_gn = tuning_sweep(jax.random.PRNGKey(4), cands, 1024,
+                         dataclasses.replace(cfg, ddp=False, ls_iters=5))
+    assert sw_ddp.best_index == 5
+    # GN's ranking is polluted by unconverged extreme-weight lanes
+    assert float(jnp.min(sw_ddp.converged_frac)) > float(
+        jnp.min(sw_gn.converged_frac))
+    it_ddp = np.asarray(sw_ddp.mean_iters)
+    it_gn = np.asarray(sw_gn.mean_iters)
+    assert (it_ddp < it_gn).all(), (it_ddp, it_gn)
