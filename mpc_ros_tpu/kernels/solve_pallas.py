@@ -929,7 +929,21 @@ def solve_pallas_scheduled(zT, cT, params_pack, lb, ub, u0, cfg, *,
     resolves to the single pass.
     """
     total = cfg.max_sqp_iters
-    if cfg.schedule == "compact":
+    schedule = cfg.schedule
+    if schedule == "auto" and cfg.n_steps > 32:
+        # measured on v5e round 4 (B=131072, caps 0.45*N): the compact
+        # straggler schedule wins LONG horizons on both axes — N=48:
+        # 3.88M solves/s @ conv 0.9997 vs 2.74M @ 0.9982 single-pass;
+        # N=60: 2.72M @ 0.9997 vs 1.76M @ 0.9982; N=100 (B=16k): 587k @
+        # 0.9996 vs 320k @ 0.9984. The long-horizon tail (~1,650 ppm,
+        # censused in tools/census_horizon.py) needs 27-68 iterations —
+        # exactly the genuinely-hard shape compaction serves: pass-1
+        # tiles exit at their p97 lane (throughput) and the stragglers
+        # get a fresh budget to 2x cap (conv). Short horizons keep the
+        # single pass (DDP collapsed their tail; compact measured ~2.5%
+        # slower there, BENCH_NOTES "Tried and rejected" #0).
+        schedule = "compact"
+    if schedule == "compact":
         return _solve_compact(zT, cT, params_pack, lb, ub, u0, cfg,
                               dtype=dtype, interpret=interpret, blobs=blobs,
                               refs=refs)

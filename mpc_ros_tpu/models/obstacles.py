@@ -424,6 +424,75 @@ def _refine_blobs_lsq(omap: ObstacleMap, blobs: GaussianObstacles,
         w=jnp.asarray(p[3 * K:] * wmul, dtype))
 
 
+def fit_gaussians_to_maps(omaps: ObstacleMap, n_blobs: int = 4,
+                          min_peak: float = 1e-3) -> GaussianObstacles:
+    """Batched DEVICE greedy blob fit: (B, H, W) costmaps -> (B, K) blobs
+    in one jitted program (VERDICT r3 item 3 — the per-cycle fleet-scale
+    costmap->Gaussians conversion).
+
+    Same greedy peak-peeling as the host `fit_gaussians_to_map`
+    (refine=False): K rounds of [argmax peak -> sigma from the discrete
+    log-curvature at the peak -> subtract the blob -> clamp at 0],
+    expressed as a `lax.scan` under `vmap`. All math is elementwise over
+    the (B, H, W) grid plus (B,)-sized row gathers for the peak and its 4
+    neighbors (the TPU-safe gather shape — see CLAUDE.md); equality with
+    the host fit is pinned in tests/test_obstacle_fit.py.
+
+    The scipy `refine` stage stays host-side at map-update rate: it is a
+    bounded trust-region LSQ (~10 s/map) that tightens plateau-style maps
+    from ~12% to ~2% mean error — the greedy fit alone is what a
+    per-cycle (20 Hz) refresh can afford, and the closed-loop fidelity of
+    exactly that pipeline is pinned in tests/test_obstacle_fit.py.
+
+    `omaps` leaves are batched: grid (B, H, W), origin (B, 2),
+    resolution (B,), weight (B,).
+    """
+    import jax
+
+    grids = omaps.grid
+    B, H, W = grids.shape
+    dtype = grids.dtype
+    eps = 1e-12
+
+    def fit_one(grid, origin, res, wmul):
+        ixs = jnp.arange(W, dtype=dtype) * res + origin[0]
+        iys = jnp.arange(H, dtype=dtype) * res + origin[1]
+
+        def peel(g, _):
+            idx = jnp.argmax(g.reshape(-1))
+            iy = idx // W
+            ix = idx % W
+            peak = g.reshape(-1)[idx]
+            # sigma from the discrete log-curvature at the peak, neighbor
+            # indices clamped inside the map (same as the host fit)
+            gl = g[iy, jnp.maximum(ix - 1, 0)]
+            gr = g[iy, jnp.minimum(ix + 1, W - 1)]
+            gd = g[jnp.maximum(iy - 1, 0), ix]
+            gu = g[jnp.minimum(iy + 1, H - 1), ix]
+            lp = jnp.log(peak + eps)
+            cxx = (jnp.log(gr + eps) - 2.0 * lp + jnp.log(gl + eps)) / res**2
+            cyy = (jnp.log(gu + eps) - 2.0 * lp + jnp.log(gd + eps)) / res**2
+            curv = jnp.maximum(-0.5 * (cxx + cyy), 1.0 / (20.0 * res) ** 2)
+            inv2sig2 = 0.5 * curv            # 1 / (2 sigma^2)
+            cx = origin[0] + ix.astype(dtype) * res
+            cy = origin[1] + iy.astype(dtype) * res
+            blob = peak * jnp.exp(-((ixs[None, :] - cx) ** 2
+                                    + (iys[:, None] - cy) ** 2) * inv2sig2)
+            live = (peak >= min_peak).astype(dtype)
+            g = jnp.maximum(g - live * blob, 0.0)
+            return g, (live * cx, live * cy,
+                       jnp.where(live > 0, inv2sig2, 0.5),
+                       live * peak * wmul)
+
+        _, (cx, cy, gamma, w) = jax.lax.scan(peel, grid, None,
+                                             length=n_blobs)
+        return cx, cy, gamma, w
+
+    cx, cy, gamma, w = jax.vmap(fit_one)(grids, omaps.origin,
+                                         omaps.resolution, omaps.weight)
+    return GaussianObstacles(cx=cx, cy=cy, gamma=gamma, w=w)
+
+
 def gaussian_blob_map(center, sigma: float = 0.4, extent: float = 4.0,
                       cells: int = 64, weight: float = 50.0,
                       dtype=jnp.float32) -> ObstacleMap:

@@ -156,3 +156,112 @@ def test_grid_kink_diagnosis_cost_converged():
         c60 = np.asarray(r60.cost)[bad]
         rel = np.abs(c30 - c60) / (1.0 + np.abs(c60))
         assert rel.max() < 1e-3, rel.max()
+
+
+def test_device_batched_fit_matches_host_greedy():
+    """fit_gaussians_to_maps (the jitted batched device fit — the
+    per-cycle fleet-scale conversion, VERDICT r3 item 3) must reproduce
+    the host greedy fit (refine=False) map-for-map: identical peak
+    placement, gamma/w within f32-vs-f64 log-curvature noise."""
+    from mpc_ros_tpu.models.obstacles import (fit_gaussians_to_maps,
+                                              gaussian_blob_map)
+
+    maps = [gaussian_blob_map((0.8, 0.5), sigma=0.3, weight=100.0),
+            gaussian_blob_map((-0.5, 1.0), sigma=0.5, weight=50.0),
+            ObstacleMap.empty()]
+    omaps = jax.tree.map(lambda *ls: jnp.stack(ls), *maps)
+    dev = fit_gaussians_to_maps(omaps, 4)
+    for i, m in enumerate(maps):
+        host = fit_gaussians_to_map(m, 4, refine=False)
+        for nm, tol in (("cx", 1e-5), ("cy", 1e-5), ("gamma", 5e-4),
+                        ("w", 1e-4)):
+            h = np.asarray(getattr(host, nm), np.float64)
+            d = np.asarray(getattr(dev, nm), np.float64)[i]
+            err = np.max(np.abs(h - d) / (1.0 + np.abs(h)))
+            assert err < tol, (i, nm, h, d)
+
+
+def test_closed_loop_fit_pipeline_tracks_grid_truth():
+    """Closed-loop fidelity of the production costmap->Gaussians pipeline
+    (VERDICT r3 item 3): drive the same course against (a) the grid-truth
+    costmap and (b) the per-cycle device-fitted blobs (costmap snapshot ->
+    fit_gaussians_to_maps -> world-frame install, exactly the per-cycle
+    production loop). Both must clear the obstacle; the two closed-loop
+    trajectories must stay within a pinned deviation bound."""
+    from mpc_ros_tpu.config import PlannerConfig
+    from mpc_ros_tpu.models.obstacles import fit_gaussians_to_maps
+    from mpc_ros_tpu.planner import MPCPlanner
+
+    n = 120
+    plan = np.stack([np.linspace(0, 6, n), np.zeros(n), np.zeros(n)], -1)
+    # offset enough that the coarse grid resolves a preferred side
+    # (dead-center the bilinear lateral gradient vanishes at cell scale
+    # and the grid-truth run brakes/creeps for ~25 s before committing)
+    obst = np.array([3.0, 0.2])
+    sigma, w_obs = 0.3, 50.0
+    cells, extent = 64, 4.0
+    xs = np.linspace(-extent / 2, extent / 2, cells)
+    XR, YR = np.meshgrid(xs, xs)
+
+    def robot_frame_map(pose):
+        ct, st = np.cos(pose[2]), np.sin(pose[2])
+        wx = XR * ct - YR * st + pose[0]
+        wy = XR * st + YR * ct + pose[1]
+        g = np.exp(-((wx - obst[0]) ** 2 + (wy - obst[1]) ** 2)
+                   / (2.0 * sigma**2))
+        return ObstacleMap(grid=jnp.asarray(g, jnp.float32),
+                           origin=jnp.asarray([-extent / 2, -extent / 2],
+                                              jnp.float32),
+                           resolution=jnp.asarray(extent / (cells - 1),
+                                                  jnp.float32),
+                           weight=jnp.asarray(w_obs, jnp.float32))
+
+    def run(mode):
+        p = MPCParams(dt=0.1, ref_vel=0.5, max_angvel=1.5,
+                      w_angvel_d=10.0, w_accel_d=10.0)
+        planner = MPCPlanner(params=p, solver_cfg=SolverConfig(n_steps=20),
+                             planner_cfg=PlannerConfig(local_plan_length=2.5))
+        planner.initialize()
+        pose = plan[0].copy()
+        planner.set_plan(plan, pose)
+        vw = (0.0, 0.0)
+        poses = [pose.copy()]
+        for _ in range(400):
+            omap = robot_frame_map(pose)
+            if mode == "grid":
+                planner.tracker.obstacle_map = omap
+            else:
+                batched = jax.tree.map(lambda a: jnp.asarray(a)[None], omap)
+                bl = fit_gaussians_to_maps(batched, 4)
+                # robot-frame fit centers -> world frame (isotropic blobs
+                # rotate exactly); install through the production door
+                ct, st = np.cos(pose[2]), np.sin(pose[2])
+                cx = np.asarray(bl.cx[0], float)
+                cy = np.asarray(bl.cy[0], float)
+                from mpc_ros_tpu.models.obstacles import GaussianObstacles
+                planner.set_obstacles(GaussianObstacles(
+                    cx=jnp.asarray(cx * ct - cy * st + pose[0], jnp.float32),
+                    cy=jnp.asarray(cx * st + cy * ct + pose[1], jnp.float32),
+                    gamma=bl.gamma[0], w=bl.w[0]))
+            ok, (v, w), _ = planner.compute_velocity_commands(pose, vw)
+            assert ok
+            pose = pose + np.array([v * np.cos(pose[2]) * 0.1,
+                                    v * np.sin(pose[2]) * 0.1, w * 0.1])
+            vw = (v, w)
+            poses.append(pose.copy())
+            if pose[0] > 5.5:
+                break
+        return np.asarray(poses)
+
+    pg = run("grid")
+    pf = run("fit")
+    assert pg[-1, 0] > 5.5 and pf[-1, 0] > 5.5       # both complete
+    dg = np.min(np.hypot(pg[:, 0] - obst[0], pg[:, 1] - obst[1]))
+    df = np.min(np.hypot(pf[:, 0] - obst[0], pf[:, 1] - obst[1]))
+    assert dg > 0.25 and df > 0.25, (dg, df)         # both really avoid
+    # same-course deviation: compare y(x) on the shared x range
+    xs_c = np.linspace(0.3, 5.4, 200)
+    yg = np.interp(xs_c, pg[:, 0], pg[:, 1])
+    yf = np.interp(xs_c, pf[:, 0], pf[:, 1])
+    dev = float(np.max(np.abs(yg - yf)))
+    assert dev < 0.15, f"closed-loop grid-vs-fit deviation {dev:.3f} m"

@@ -754,3 +754,38 @@ def test_batch_solve_lane_refs_fallback_matches_vmap():
                               w=jnp.ones((B, 1), dtype))
     with pytest.raises(ValueError, match="megakernel"):
         bl.batch_solve_lane(z0s, coeffs, p, cfg, refs=refs, blobs=blobs)
+
+
+def test_schedule_auto_resolves_to_compact_at_long_horizon(monkeypatch):
+    """Round-4 policy: "auto" resolves to the compact straggler schedule
+    for n_steps > 32 (measured winner on BOTH axes at N=48/60/100 —
+    see solve_pallas_scheduled) and stays the single pass at short
+    horizons (where DDP collapsed the tail and compact measured slower)."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels import solve_pallas as sp
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+
+    dtype = jnp.float32
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(1), B, dtype)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(MPCParams().astype(dtype), B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+
+    calls = []
+    orig = sp._solve_compact
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sp, "_solve_compact", spy)
+    for n_steps, expect in ((34, 1), (12, 0)):
+        calls.clear()
+        cfg = SolverConfig(n_steps=n_steps, max_sqp_iters=2, ls_iters=2,
+                           tol_grad=1e-3, schedule="auto")
+        u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+        sp.solve_pallas_scheduled(zT, cT, pp, lb, -lb, u0, cfg,
+                                  interpret=True)
+        assert len(calls) == expect, (n_steps, calls)
