@@ -176,6 +176,11 @@ def main() -> None:
                          "(planner.fleet_device.DeviceFleetPlanner — the "
                          "WHOLE per-cycle pipeline as one jitted device "
                          "program, one upload + one fetch per cycle)")
+    ap.add_argument("--fleet-wire", choices=["f32", "i16"], default="f32",
+                    help="with --fleet-device: per-cycle wire format "
+                         "(i16 = int16 pose deltas + int16 commands, "
+                         "14 B/robot instead of 28 — the 32-64k lean "
+                         "cycle is transfer-bound)")
     ap.add_argument("--fleet-obs-every", type=int, default=1,
                     help="with --fleet-device: fetch the per-robot "
                          "observability tile every K cycles (0 = commands "
@@ -423,7 +428,8 @@ def main() -> None:
             from mpc_ros_tpu.planner.fleet_device import DeviceFleetPlanner
 
             fp = DeviceFleetPlanner(params=fp_params, solver_cfg=fcfg,
-                                    obs_every=args.fleet_obs_every)
+                                    obs_every=args.fleet_obs_every,
+                                    wire=args.fleet_wire)
         else:
             fp = FleetPlanner(params=fp_params, solver_cfg=fcfg)
         fp.initialize(B)

@@ -99,10 +99,22 @@ _CONST_KEYS = ("buf", "plen", "arc", "span", "kmax", "goals",
                "arc_next", "kmax_pad")
 
 
+# 16-bit wire codec (DeviceFleetPlanner(wire="i16")): fixed-point scales
+# for the (x, y, yaw, v, yaw_rate) upload columns. Poses ride as int16
+# DELTAS against an int32 tick mirror kept identically on host and device
+# (integer accumulation — bit-exact on both sides, zero codec drift);
+# commands return as int16 absolute fixed point. Ranges: +-3.27 m /
+# +-0.327 rad / +-3.27 m/s PER CYCLE for deltas (a robot can't outrun
+# that at 20 Hz; a teleport/new-fleet jump auto-triggers a float32
+# keyframe cycle), +-8.19 in command units at 2.5e-4 resolution.
+_WIRE_SCALES = (1e-4, 1e-4, 1e-5, 1e-4, 1e-4)
+_WIRE_CMD_SCALE = 2.5e-4
+
+
 @functools.lru_cache(maxsize=None)
 def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
                M: int, Mk: int, has_blobs: bool, dtype_name: str,
-               mesh=None, sharded_leaves: tuple = ()):
+               mesh=None, sharded_leaves: tuple = (), wire: str = "f32"):
     """One compiled cycle program per (configs, plan-buffer shape, obstacle
     signature). Recompiles only when set_plans changes the padded length M.
 
@@ -127,7 +139,22 @@ def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
 
     def fn(consts, carry, world, p, *blob_leaves):
         # `world` (B, 5): poses (x, y, yaw) ++ feedback (v, yaw_rate) — ONE
-        # per-cycle upload (the tunnel charges ~27 ms + size per transfer)
+        # per-cycle upload (the tunnel charges ~27 ms + size per transfer).
+        # wire="i16": world is (B, 5) int16 deltas against the int32 tick
+        # mirror in the carry; wire="kf" (keyframe): world is f32 and the
+        # mirror is (re)seeded from it — same carry structure, so the two
+        # programs alternate freely. Integer tick accumulation is bit-exact
+        # on host and device; the f32 decode ticks*scale matches the host
+        # mirror by construction (same IEEE ops).
+        wire_ticks = None
+        if wire == "i16":
+            wire_ticks = carry["wire_ticks"] + world.astype(jnp.int32)
+        elif wire == "kf":
+            scl = jnp.asarray(_WIRE_SCALES, jnp.float32)
+            wire_ticks = jnp.round(world / scl).astype(jnp.int32)
+        if wire_ticks is not None:
+            world = wire_ticks.astype(jnp.float32) * jnp.asarray(
+                _WIRE_SCALES, jnp.float32)
         buf = consts["buf"]              # (B, M, 3), xy padded +inf
         plen = consts["plen"]            # (B,) int32
         arc = consts["arc"]              # (B, M), +inf padded
@@ -358,6 +385,13 @@ def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
         # SOLVER-INPUT error state (delay-mode predicted), exactly like
         # the host pipeline's cte_out/eth_out.
         cmds_out = jnp.stack([cmd_v, cmd_w])
+        if wire != "f32":
+            # 16-bit command wire: absolute fixed point (internal
+            # actuation state stays exact f32; only the fetched copy is
+            # quantized — 2.5e-4 command units, below actuator resolution)
+            cmds_out = jnp.round(
+                jnp.clip(cmds_out, -8.19, 8.19) * (1.0 / _WIRE_CMD_SCALE)
+            ).astype(jnp.int16)
         obs = jnp.stack([
             jnp.where(track, z0s[:, 4].astype(buf.dtype), nan),
             jnp.where(track, z0s[:, 5].astype(buf.dtype), nan),
@@ -375,6 +409,8 @@ def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
             "speed": speed, "w": w_new, "throttle": thr_new,
             "warm": res.us, "has_warm": track,
         }
+        if wire_ticks is not None:
+            carry2["wire_ticks"] = wire_ticks
         return carry2, cmds_out, obs
 
     if mesh is not None:
@@ -386,7 +422,8 @@ def _cycle_jit(solver_cfg: SolverConfig, planner_cfg: PlannerConfig,
 
         d = P(DATA_AXIS)
         consts_spec = {k: d for k in _CONST_KEYS}
-        carry_spec = {k: d for k in _CARRY_KEYS}
+        carry_keys = _CARRY_KEYS + (("wire_ticks",) if wire != "f32" else ())
+        carry_spec = {k: d for k in carry_keys}
         p_spec = MPCParams(**{
             f.name: (d if f.name in sharded_leaves else P())
             for f in _dc.fields(MPCParams)})
@@ -445,7 +482,8 @@ class DeviceFleetPlanner(FleetPlanner):
     vCPUs. `state_dict`/`load_state_dict` round-trip through the host
     mirrors, so checkpoints interoperate with the host planner."""
 
-    def __init__(self, *args, obs_every: int = 1, **kwargs):
+    def __init__(self, *args, obs_every: int = 1, wire: str = "f32",
+                 **kwargs):
         """`obs_every`: fetch the per-robot observability tile (cte,
         etheta, ref_vel, cost, converged, iters, states) every K cycles
         (1 = every cycle, matching the host planner's fetch; 0 = never on
@@ -453,9 +491,24 @@ class DeviceFleetPlanner(FleetPlanner):
         skipped cycles). Commands are fetched every cycle regardless. The
         knob exists because the serving transport charges a fixed latency
         plus bandwidth per fetch; a lean 20 Hz loop at large B wants
-        8 B/robot on the wire, not 40."""
+        8 B/robot on the wire, not 40.
+
+        `wire`: "f32" (default) or "i16" — the 16-bit fixed-point wire
+        format for the per-cycle hot path (VERDICT r3 item 6: at 32-64k
+        robots the lean cycle is TRANSFER-bound, ~70% wire+RTT). "i16"
+        uploads (B, 5) int16 pose/feedback DELTAS against an int32 tick
+        mirror kept bit-identically on host and device (integer
+        accumulation — zero codec drift; resolution 0.1 mm / 1e-5 rad,
+        delta range +-3.27 m per cycle with an automatic float32 keyframe
+        cycle on any larger jump) and fetches (2, B) int16 commands
+        (2.5e-4 resolution) — 14 B/robot on the wire instead of 28.
+        Command quantization only touches the fetched copy; the device
+        actuation state stays exact f32."""
         super().__init__(*args, **kwargs)
         self.obs_every = int(obs_every)
+        assert wire in ("f32", "i16")
+        self.wire = wire
+        self._wire_ticks = None    # host int32 tick mirror (wire="i16")
         self._consts = None
         self._carry = None
         self._cycle_count = 0
@@ -511,6 +564,12 @@ class DeviceFleetPlanner(FleetPlanner):
             "warm": sh(jnp.asarray(warm.reshape(self.B, T, 2), self.dtype)),
             "has_warm": sh(jnp.asarray(self._has_warm)),
         }
+        if self.wire == "i16":
+            # fresh tick mirrors (host + device, identical zeros); the
+            # first begin_cycle sees a > delta-range jump and auto-sends
+            # a float32 keyframe that seeds both sides from true poses
+            self._wire_ticks = np.zeros((self.B, 5), np.int32)
+            self._carry["wire_ticks"] = sh(jnp.asarray(self._wire_ticks))
 
     def _sync_to_host(self) -> None:
         """Fetch the device carry into the host mirror fields (checkpoint /
@@ -578,10 +637,31 @@ class DeviceFleetPlanner(FleetPlanner):
 
     def begin_cycle(self, poses, feedback) -> dict:
         assert self._initialized and self._consts is not None
-        # ONE upload: poses ++ feedback as a (B, 5) f32 tile
+        # ONE upload: poses ++ feedback as a (B, 5) tile — f32, or int16
+        # deltas under the 16-bit wire (see __init__ `wire`)
         world = np.empty((self.B, 5), np.float32)
         world[:, :3] = poses
         world[:, 3:] = feedback
+        wire_mode = "f32"
+        if self.wire == "i16":
+            scl32 = np.asarray(_WIRE_SCALES, np.float32)
+            # decode the mirror exactly like the device does (f32 ops)
+            mirror = self._wire_ticks.astype(np.float32) * scl32
+            dlt = world.astype(np.float64) - mirror.astype(np.float64)
+            # yaw delta wrapped: the mirror tracks yaw modulo 2pi (every
+            # in-program use of yaw is 2pi-periodic)
+            dlt[:, 2] = (dlt[:, 2] + np.pi) % (2.0 * np.pi) - np.pi
+            dq = np.round(dlt / np.asarray(_WIRE_SCALES, np.float64))
+            if np.abs(dq).max() > 32767:
+                # teleport / fresh mirror: float32 keyframe cycle reseeds
+                # the tick mirror on both sides from the true poses
+                wire_mode = "kf"
+                self._wire_ticks = np.round(world / scl32).astype(np.int32)
+            else:
+                wire_mode = "i16"
+                d16 = dq.astype(np.int16)
+                self._wire_ticks = self._wire_ticks + d16.astype(np.int32)
+                world = d16
         world = jnp.asarray(world)
         Mk = self._kmax_win.shape[1]
         M = self._buf.shape[1]
@@ -598,7 +678,8 @@ class DeviceFleetPlanner(FleetPlanner):
             if jnp.ndim(getattr(self.params, f.name)) >= 1))
         fn = _cycle_jit(self.solver_cfg, self.planner_cfg, M, Mk,
                         has_blobs, jnp.dtype(self.dtype).name,
-                        mesh=self.mesh, sharded_leaves=sharded_leaves)
+                        mesh=self.mesh, sharded_leaves=sharded_leaves,
+                        wire=wire_mode)
         if self.mesh is not None:
             world = self._shard(world)
             blob_leaves = tuple(self._shard(a) for a in blob_leaves)
@@ -614,11 +695,17 @@ class DeviceFleetPlanner(FleetPlanner):
     def finish_cycle(self, h: dict):
         from .fleet import FleetCycleInfo
 
+        def decode(cm):
+            cmds = np.asarray(cm, np.float64).T.copy()
+            if self.wire == "i16":
+                cmds *= _WIRE_CMD_SCALE
+            return cmds
+
         if h["obs"] is not None:
             cm, obs = jax.device_get((h["cmds"], h["obs"]))
             obs = np.asarray(obs, np.float64)
             track = obs[OB_TRACK] > 0.5
-            cmds = np.asarray(cm, np.float64).T.copy()
+            cmds = decode(cm)
             info = FleetCycleInfo(
                 states=obs[OB_STATE].astype(np.int64),
                 cmds=cmds,
@@ -635,7 +722,7 @@ class DeviceFleetPlanner(FleetPlanner):
             # consumers on FleetCycleInfo.observed — converged=False here
             # means "not fetched", not solver failure)
             cm = jax.device_get(h["cmds"])
-            cmds = np.asarray(cm, np.float64).T.copy()
+            cmds = decode(cm)
             B = cmds.shape[0]
             nan = np.full(B, np.nan)
             info = FleetCycleInfo(
