@@ -201,6 +201,24 @@ class FleetPlanner:
         (models.obstacles.GaussianObstacles with leaves (B, K))."""
         self.world_obstacles = blobs
 
+    def set_costmaps(self, omaps, n_blobs: int = 4) -> None:
+        """WORLD-frame per-robot costmap snapshots -> parametric obstacles
+        (the production costmap route: grids are fit ONCE here at map-update
+        rate; each cycle then runs the megakernel-fast blob costs).
+
+        `omaps`: models.obstacles.ObstacleMap with batched leaves — grid
+        (B, H, W), origin (B, 2) in world coordinates, resolution (B,),
+        weight (B,) — or None to clear. The conversion is the batched
+        jitted device greedy fit (`fit_gaussians_to_maps`: 8,192 64x64
+        maps in 8.3 ms on v5e; equal to the host greedy fit, closed-loop
+        fidelity vs grid-truth pinned in tests/test_obstacle_fit.py)."""
+        if omaps is None:
+            self.set_obstacles(None)
+            return
+        from ..models.obstacles import fit_gaussians_to_maps
+
+        self.set_obstacles(fit_gaussians_to_maps(omaps, n_blobs))
+
     def set_plans(self, plans: Sequence[np.ndarray],
                   poses: np.ndarray) -> np.ndarray:
         """Install per-robot global plans. plans[i]: (M_i, 3) world

@@ -93,6 +93,24 @@ class MPCPlanner:
         used in the NLP. Pass None to clear."""
         self.world_obstacles = blobs
 
+    def set_costmap(self, omap, n_blobs: int = 4,
+                    refine: bool = False) -> None:
+        """Convert a WORLD-frame costmap snapshot (models.obstacles.
+        ObstacleMap) to parametric obstacles and install them — the
+        single-robot production costmap route (the fleet twin is
+        FleetPlanner.set_costmaps). Greedy fit ~1.2 ms/map; `refine=True`
+        adds the scipy bounded LSQ (~10 s/map — map-update rate only;
+        tightens plateau-style maps from ~12% to ~2% mean error). Pass
+        None to clear. Closed-loop fidelity of the per-cycle fit pipeline
+        vs grid-truth is pinned in tests/test_obstacle_fit.py."""
+        if omap is None:
+            self.set_obstacles(None)
+            return
+        from ..models.obstacles import fit_gaussians_to_map
+
+        self.set_obstacles(fit_gaussians_to_map(omap, n_blobs,
+                                                refine=refine))
+
     def _make_tracker(self):
         """Build the Tracking-state controller. Baseline planners
         (planner.baselines) override this together with `_tracking_command`

@@ -173,3 +173,57 @@ def test_moving_obstacle_per_cycle_updates():
     # per-cycle updates must not recompile: steady cycles stay in the ms
     # range (a recompile would be seconds even on CPU)
     assert float(np.median(ct[5:])) < 0.2
+
+
+def test_set_costmap_routes_match_explicit_fit():
+    """MPCPlanner.set_costmap / FleetPlanner.set_costmaps (the production
+    costmap doors) must equal fitting explicitly and calling
+    set_obstacles — same blobs, same commands."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_ros_tpu.models.obstacles import (fit_gaussians_to_map,
+                                              fit_gaussians_to_maps,
+                                              gaussian_blob_map)
+    from mpc_ros_tpu.planner import FleetPlanner
+
+    plan = straight_plan()
+    omap = gaussian_blob_map((3.0, 0.2), sigma=0.3, extent=8.0,
+                             weight=50.0)
+
+    mk = _setup("mpc")
+    outs = []
+    for route in ("costmap", "explicit"):
+        pl = mk()
+        pl.initialize()
+        pose = plan[0].copy()
+        pl.set_plan(plan, pose)
+        if route == "costmap":
+            pl.set_costmap(omap, refine=False)
+        else:
+            pl.set_obstacles(fit_gaussians_to_map(omap, 4, refine=False))
+        ok, cmd, _ = pl.compute_velocity_commands(pose, (0.2, 0.0))
+        assert ok
+        outs.append(cmd)
+    np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=0)
+
+    # fleet twin: batched maps through set_costmaps == explicit batched fit
+    B = 4
+    omaps = jax.tree.map(lambda a: jnp.broadcast_to(a[None],
+                                                    (B,) + a.shape), omap)
+    p = MPCParams(dt=0.1, ref_vel=0.5, max_angvel=1.5,
+                  w_angvel_d=10.0, w_accel_d=10.0)
+    cmds = []
+    for route in ("costmaps", "explicit"):
+        fp = FleetPlanner(params=p, solver_cfg=SolverConfig(n_steps=12),
+                          planner_cfg=PlannerConfig(local_plan_length=2.5))
+        fp.initialize(B)
+        poses = np.stack([plan[0]] * B)
+        assert fp.set_plans([plan] * B, poses).all()
+        if route == "costmaps":
+            fp.set_costmaps(omaps)
+        else:
+            fp.set_obstacles(fit_gaussians_to_maps(omaps, 4))
+        _, cmd, _ = fp.compute_velocity_commands(poses, np.zeros((B, 2)))
+        cmds.append(cmd)
+    np.testing.assert_allclose(cmds[0], cmds[1], rtol=0, atol=0)
