@@ -205,6 +205,14 @@ def main() -> None:
                          "(kernel_verify) in the headline JSON — a Mosaic "
                          "numerics regression fails the official bench "
                          "loudly instead of shipping silently")
+    ap.add_argument("--presort", action="store_true",
+                    help="host-side difficulty presort (engine.presort): "
+                         "fit the ridge difficulty model on a calibration "
+                         "solve (different seed), permute the bench "
+                         "ensemble host-side before upload. Opt-in row — "
+                         "legitimate for permutation-invariant workloads "
+                         "(sweeps, statistics); the official headline "
+                         "stays unsorted")
     ap.add_argument("--engine", choices=["lane", "vmap"], default="lane",
                     help="lane = lane-major batched solver (fast path); "
                          "vmap = per-scenario solver under vmap")
@@ -293,6 +301,24 @@ def main() -> None:
         # transfer at the 512k default
         z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), batch,
                                             dtype)
+        if args.presort:
+            # calibration on a DIFFERENT seed (honest transfer), then a
+            # host-side input permutation — zero device cost
+            from mpc_ros_tpu.engine.presort import (fit_difficulty_model,
+                                                    predict_difficulty)
+            from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+            zc, cc = make_random_scenarios(jax.random.PRNGKey(1),
+                                           min(batch, 65536), dtype)
+            rc = batch_solve_lane(jax.device_put(zc, dev),
+                                  jax.device_put(cc, dev), p, cfg)
+            model = fit_difficulty_model(np.asarray(zc), np.asarray(cc),
+                                         np.asarray(rc.n_iters))
+            keys = predict_difficulty(model, np.asarray(z0s),
+                                      np.asarray(coeffs))
+            perm = np.argsort(keys, kind="stable")
+            z0s = jnp.asarray(np.asarray(z0s)[perm])
+            coeffs = jnp.asarray(np.asarray(coeffs)[perm])
         z0s = jax.device_put(z0s, dev)
         coeffs = jax.device_put(coeffs, dev)
 
@@ -677,6 +703,7 @@ def main() -> None:
               else "_obstacles_grid" if args.obstacles_grid else "")
     suffix += "" if args.engine == "lane" or suffix else "_vmap"
     suffix += "" if args.model == "diff_drive" else f"_{args.model}"
+    suffix += "_presorted" if args.presort else ""
     out = {
         "metric": f"nmpc_solves_per_s_per_chip_n{n_steps}{suffix}",
         "value": round(solves_per_s, 1),

@@ -266,3 +266,41 @@ def test_sweep_ddp_ranks_correctly_and_beats_gn_iterations():
     it_ddp = np.asarray(sw_ddp.mean_iters)
     it_gn = np.asarray(sw_gn.mean_iters)
     assert (it_ddp < it_gn).all(), (it_ddp, it_gn)
+
+
+def test_presorted_solve_matches_direct():
+    """Host-side difficulty presort (engine.presort): per-scenario solves
+    are independent, so solving in difficulty order and restoring the
+    caller order must reproduce the direct solve BIT-exactly; the fitted
+    ridge keys must also beat the unsorted tile-max on the ensemble they
+    were calibrated on (the mechanism's entire point)."""
+    from mpc_ros_tpu.engine.presort import (fit_difficulty_model,
+                                            predict_difficulty,
+                                            solve_presorted)
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    B = 4096
+    dtype = jnp.float32
+    p = MPCParams().astype(dtype)
+    cfg = SolverConfig(n_steps=30, max_sqp_iters=12, ls_iters=4, ddp=True,
+                       tol_grad=1e-4)
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(11), B, dtype)
+    direct = batch_solve_lane(z0s, coeffs, p, cfg)
+    model = fit_difficulty_model(z0s, coeffs, np.asarray(direct.n_iters))
+
+    zc, cc = make_random_scenarios(jax.random.PRNGKey(12), B, dtype)
+    ref = batch_solve_lane(zc, cc, p, cfg)
+    pres = solve_presorted(zc, cc, p, cfg, model=model)
+    back = pres.unpermuted_host()
+    np.testing.assert_array_equal(np.asarray(ref.us), back.us)
+    np.testing.assert_array_equal(np.asarray(ref.n_iters), back.n_iters)
+    np.testing.assert_array_equal(np.asarray(ref.converged), back.converged)
+
+    # tile-max improvement on a held-out draw from the same distribution
+    tile = 128   # CPU lane path: use the lane width as the tile proxy
+    it = np.asarray(ref.n_iters, np.float64)
+    keys = predict_difficulty(model, np.asarray(zc), np.asarray(cc))
+    srt = it[np.argsort(keys, kind="stable")]
+    tm_unsorted = it.reshape(-1, tile).max(1).mean()
+    tm_sorted = srt.reshape(-1, tile).max(1).mean()
+    assert tm_sorted < tm_unsorted - 0.3, (tm_sorted, tm_unsorted)
