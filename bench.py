@@ -301,24 +301,59 @@ def main() -> None:
         # transfer at the 512k default
         z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), batch,
                                             dtype)
+        centers_presorted = None
         if args.presort:
             # calibration on a DIFFERENT seed (honest transfer), then a
-            # host-side input permutation — zero device cost
+            # host-side input permutation — zero device cost. On the
+            # obstacle ensemble the calibration solve carries blobs and
+            # the features include the blob-vs-path geometry; the blob
+            # centers are permuted WITH their scenarios (same problems,
+            # difficulty-grouped tiles)
             from mpc_ros_tpu.engine.presort import (fit_difficulty_model,
                                                     predict_difficulty)
             from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
 
-            zc, cc = make_random_scenarios(jax.random.PRNGKey(1),
-                                           min(batch, 65536), dtype)
+            def mk_blobs(cen_h):
+                from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+                K, nb = 4, len(cen_h)
+                cxs = np.concatenate([cen_h[:, :1],
+                                      np.full((nb, K - 1), 50.0,
+                                              np.float32)], 1)
+                cys = np.concatenate([cen_h[:, 1:],
+                                      np.full((nb, K - 1), 50.0,
+                                              np.float32)], 1)
+                return GaussianObstacles.from_sigmas(
+                    jnp.asarray(cxs), jnp.asarray(cys),
+                    jnp.full((nb, K), 0.3, dtype),
+                    jnp.full((nb, K), 100.0, dtype))
+
+            nc = min(batch, 65536)
+            zc, cc = make_random_scenarios(jax.random.PRNGKey(101), nc,
+                                           dtype)
+            cen_c = None
+            blobs_c = None
+            if args.obstacles:
+                cen_c = np.asarray(jax.device_get(jax.random.uniform(
+                    jax.random.PRNGKey(102), (nc, 2), dtype, 0.3, 1.2)))
+                blobs_c = mk_blobs(cen_c)
             rc = batch_solve_lane(jax.device_put(zc, dev),
-                                  jax.device_put(cc, dev), p, cfg)
+                                  jax.device_put(cc, dev), p, cfg,
+                                  blobs=blobs_c)
             model = fit_difficulty_model(np.asarray(zc), np.asarray(cc),
-                                         np.asarray(rc.n_iters))
+                                         np.asarray(rc.n_iters),
+                                         blob_xy=cen_c)
+            cen_b = None
+            if args.obstacles:
+                cen_b = np.asarray(jax.device_get(jax.random.uniform(
+                    jax.random.PRNGKey(1), (batch, 2), dtype, 0.3, 1.2)))
             keys = predict_difficulty(model, np.asarray(z0s),
-                                      np.asarray(coeffs))
+                                      np.asarray(coeffs), blob_xy=cen_b)
             perm = np.argsort(keys, kind="stable")
             z0s = jnp.asarray(np.asarray(z0s)[perm])
             coeffs = jnp.asarray(np.asarray(coeffs)[perm])
+            if args.obstacles:
+                centers_presorted = jnp.asarray(cen_b[perm])
         z0s = jax.device_put(z0s, dev)
         coeffs = jax.device_put(coeffs, dev)
 
@@ -563,8 +598,9 @@ def main() -> None:
         from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
 
         K = 4
-        centers = jax.random.uniform(jax.random.PRNGKey(1), (batch, 2),
-                                     dtype, 0.3, 1.2)
+        centers = (centers_presorted if centers_presorted is not None
+                   else jax.random.uniform(jax.random.PRNGKey(1),
+                                           (batch, 2), dtype, 0.3, 1.2))
         cxs = jnp.concatenate([centers[:, :1],
                                jnp.full((batch, K - 1), 50.0, dtype)], axis=1)
         cys = jnp.concatenate([centers[:, 1:],

@@ -46,15 +46,25 @@ from ..config import MPCParams, SolverConfig
 Array = Any
 
 
-def difficulty_features(z0s: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
-    """Per-scenario difficulty features (B, 16) — the census class behind
-    the iteration tail is high heading error at speed on curved references
-    (BENCH_NOTES), so the features are those raw terms, their pairwise
-    interactions, and the heading error measured against the local path
-    tangent atan(c1)."""
+def difficulty_features(z0s: np.ndarray, coeffs: np.ndarray,
+                        blob_xy: Optional[np.ndarray] = None,
+                        blob_sigma: float = 0.3) -> np.ndarray:
+    """Per-scenario difficulty features (B, 16 or 23) — the census class
+    behind the iteration tail is high heading error at speed on curved
+    references (BENCH_NOTES), so the features are those raw terms, their
+    pairwise interactions, and the heading error measured against the
+    local path tangent atan(c1).
+
+    `blob_xy` (B, 2): the nearest/primary obstacle blob center per
+    scenario (robot frame). Obstacle hardness is dominated by the blob's
+    geometry relative to the reference path — the miss distance of the
+    path at the blob and the penalty value AT the path (ridge-sliding
+    lanes are the ones whose path runs through the blob) — so those
+    terms join the feature set."""
     z0s = np.asarray(z0s, np.float64)
     coeffs = np.asarray(coeffs, np.float64)
     v0, cte, eth = z0s[:, 3], z0s[:, 4], z0s[:, 5]
+    c0 = coeffs[:, 0]
     c1 = coeffs[:, 1]
     c2 = coeffs[:, 2]
     c3 = coeffs[:, 3]
@@ -62,26 +72,42 @@ def difficulty_features(z0s: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
     cols = [v0, np.abs(cte), np.abs(eth), np.abs(c1), np.abs(c2),
             np.abs(c3), v0 * np.abs(eth), v0 * np.abs(c2),
             np.abs(eth) * np.abs(c2), np.abs(cte) * np.abs(c2),
-            v0 * v0, eth * eth, cte * cte, etan, v0 * etan,
-            np.ones_like(v0)]
+            v0 * v0, eth * eth, cte * cte, etan, v0 * etan]
+    if blob_xy is not None:
+        bx = np.asarray(blob_xy, np.float64)[:, 0]
+        by = np.asarray(blob_xy, np.float64)[:, 1]
+        py = c0 + c1 * bx + c2 * bx**2 + c3 * bx**3
+        slope = c1 + 2 * c2 * bx + 3 * c3 * bx**2
+        miss = np.abs(by - py) / np.sqrt(1.0 + slope * slope)
+        pen = np.exp(-(miss * miss) / (2.0 * blob_sigma**2))
+        start = np.exp(-((bx - 0.0) ** 2 + (by - cte) ** 2)
+                       / (2.0 * blob_sigma**2))
+        cols += [bx, np.abs(by), miss, pen, pen * v0, pen * np.abs(eth),
+                 start]
+    cols.append(np.ones_like(v0))
     return np.stack(cols, axis=1)
 
 
-def fit_difficulty_model(z0s, coeffs, n_iters, reg: float = 1e-3
-                         ) -> np.ndarray:
+def fit_difficulty_model(z0s, coeffs, n_iters, reg: float = 1e-3,
+                         blob_xy: Optional[np.ndarray] = None,
+                         blob_sigma: float = 0.3) -> np.ndarray:
     """Closed-form ridge fit of iteration counts on the difficulty
     features: run ONE calibration solve on a representative scenario draw,
-    pass its `SolveResult.n_iters`, get back the (16,) weight vector.
-    Refit when the ensemble distribution or solver config changes."""
-    X = difficulty_features(z0s, coeffs)
+    pass its `SolveResult.n_iters`, get back the weight vector. Refit when
+    the ensemble distribution or solver config changes. Pass `blob_xy` on
+    obstacle ensembles (and then also at predict time)."""
+    X = difficulty_features(z0s, coeffs, blob_xy, blob_sigma)
     y = np.asarray(n_iters, np.float64)
     A = X.T @ X + reg * np.eye(X.shape[1])
     return np.linalg.solve(A, X.T @ y)
 
 
-def predict_difficulty(model: np.ndarray, z0s, coeffs) -> np.ndarray:
+def predict_difficulty(model: np.ndarray, z0s, coeffs,
+                       blob_xy: Optional[np.ndarray] = None,
+                       blob_sigma: float = 0.3) -> np.ndarray:
     """Difficulty keys (B,) — one BLAS matvec, ~1 ms at B=512k."""
-    return difficulty_features(z0s, coeffs) @ np.asarray(model, np.float64)
+    return difficulty_features(z0s, coeffs, blob_xy, blob_sigma) @ \
+        np.asarray(model, np.float64)
 
 
 @dataclasses.dataclass
