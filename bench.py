@@ -158,7 +158,15 @@ def main() -> None:
                          "obstacle penalties — runs inside the megakernel")
     ap.add_argument("--obstacles-grid", action="store_true",
                     help="add per-scenario grid-costmap obstacle penalties "
-                         "(bilinear sampling; XLA lane path)")
+                         "(XLA lane path)")
+    ap.add_argument("--grid-sampling", choices=["spline", "bilinear"],
+                    default="spline",
+                    help="costmap reconstruction for --obstacles-grid: "
+                         "spline = C1 quadratic B-spline (conv 0.998; the "
+                         "recommended grid mode since round 4), bilinear = "
+                         "exact costmap_2d C0 interpolation (conv ~0.95 — "
+                         "minimizers on cell-boundary kinks cannot fire "
+                         "the smooth certificate)")
     ap.add_argument("--sweep", action="store_true",
                     help="Monte-Carlo tuning-sweep metric: 100k+ per-weight"
                          "-candidate solves in one program")
@@ -616,7 +624,8 @@ def main() -> None:
         centers = jax.random.uniform(jax.random.PRNGKey(1), (batch, 2),
                                      dtype, 0.3, 1.2)
         omaps = jax.vmap(lambda c: gaussian_blob_map(
-            (c[0], c[1]), sigma=0.3, weight=100.0, dtype=dtype))(centers)
+            (c[0], c[1]), sigma=0.3, weight=100.0, dtype=dtype,
+            sampling=args.grid_sampling))(centers)
         solve_fn = lambda: batch_solve_lane(z0s, coeffs, p, cfg, omaps=omaps)
     elif args.engine == "lane":
         from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
@@ -737,6 +746,8 @@ def main() -> None:
     target_per_chip = 10000.0 / 8.0  # BASELINE.md: >=10k solves/s on 1 v5e host
     suffix = ("_obstacles" if args.obstacles
               else "_obstacles_grid" if args.obstacles_grid else "")
+    if args.obstacles_grid and args.grid_sampling == "bilinear":
+        suffix += "_bilinear"
     suffix += "" if args.engine == "lane" or suffix else "_vmap"
     suffix += "" if args.model == "diff_drive" else f"_{args.model}"
     suffix += "_presorted" if args.presort else ""

@@ -28,12 +28,28 @@ Array = Any
 @struct.dataclass
 class ObstacleMap:
     """Robot/world-frame cost grid. grid[iy, ix] in [0, 1]; world coords:
-    x = origin[0] + ix * resolution, y = origin[1] + iy * resolution."""
+    x = origin[0] + ix * resolution, y = origin[1] + iy * resolution.
+
+    `sampling` (static): how the continuous field is reconstructed.
+      "bilinear" (default) — exact costmap_2d-style C0 interpolation.
+        Cheap (4 gathers) and value-exact at cells, but its gradient
+        JUMPS at cell boundaries: minimizers that land ON a cell line
+        cannot fire the smooth projected-gradient certificate (the ~4-5%
+        cost-converged-but-reported-unconverged kink class,
+        tests/test_obstacle_fit.py).
+      "spline" — C1 quadratic B-spline reconstruction (9 gathers,
+        3x3 stencil): continuous gradient everywhere + an analytic
+        piecewise-constant second derivative (PSD-clamped) for the
+        backward pass. An APPROXIMATING spline: the field is a smoothed
+        (~1-cell blur) version of the grid — the honest trade for C1,
+        equivalent to one extra inflation-smoothing pass on the costmap.
+    """
 
     grid: Array          # (H, W) float
     origin: Array        # (2,) lower-left corner (x, y)
     resolution: Array    # scalar [m / cell]
     weight: Array        # cost multiplier w_obs
+    sampling: str = struct.field(pytree_node=False, default="bilinear")
 
     @staticmethod
     def empty(extent: float = 4.0, cells: int = 64, weight: float = 0.0,
@@ -69,9 +85,44 @@ def bilinear_sample(grid: jnp.ndarray, origin, resolution,
             + ty * ((1 - tx) * g10 + tx * g11))
 
 
+def _spline_terms_xy(omap: "ObstacleMap", xy: jnp.ndarray):
+    """Unbatched twin of `_spline_terms_bl`: (val, dx, dy, hxx, hyy) per
+    point for the single-map ilqr/vmap path, weight-scaled."""
+    grid = omap.grid
+    H, W = grid.shape
+    res = omap.resolution
+    fx = (xy[..., 0] - omap.origin[0]) / res
+    fy = (xy[..., 1] - omap.origin[1]) / res
+    mx, wx, dwx = _spline_weights(fx, W)
+    my, wy, dwy = _spline_weights(fy, H)
+    zero = jnp.zeros_like(fx)
+    val = dx = dy = hxx = hyy = zero
+    d2 = (1.0, -2.0, 1.0)
+    for j in range(3):
+        for i in range(3):
+            g = grid[my + (j - 1), mx + (i - 1)]
+            val = val + wx[i] * wy[j] * g
+            dx = dx + dwx[i] * wy[j] * g
+            dy = dy + wx[i] * dwy[j] * g
+            hxx = hxx + d2[i] * wy[j] * g
+            hyy = hyy + wx[i] * d2[j] * g
+    in_x = jnp.logical_and(fx >= 0.0, fx <= W - 1.0).astype(fx.dtype)
+    in_y = jnp.logical_and(fy >= 0.0, fy <= H - 1.0).astype(fy.dtype)
+    inv_r = 1.0 / res
+    wgt = omap.weight
+    return (wgt * val,
+            wgt * dx * inv_r * in_x,
+            wgt * dy * inv_r * in_y,
+            wgt * jnp.maximum(hxx, 0.0) * inv_r * inv_r,
+            wgt * jnp.maximum(hyy, 0.0) * inv_r * inv_r)
+
+
 def obstacle_cost(omap: ObstacleMap, xy: jnp.ndarray) -> jnp.ndarray:
     """Total obstacle penalty over points xy (..., 2) (summed over the
     leading axes)."""
+    if omap.sampling == "spline":
+        val, _, _, _, _ = _spline_terms_xy(omap, xy)
+        return jnp.sum(val)
     vals = bilinear_sample(omap.grid, omap.origin, omap.resolution, xy)
     return omap.weight * jnp.sum(vals)
 
@@ -83,6 +134,9 @@ def obstacle_grad_xy(omap: ObstacleMap, xy: jnp.ndarray) -> jnp.ndarray:
       d/dx = [(1-ty)(g01-g00) + ty(g11-g10)] / res
       d/dy = [(1-tx)(g10-g00) + tx(g11-g01)] / res
     """
+    if omap.sampling == "spline":
+        _, dx, dy, _, _ = _spline_terms_xy(omap, xy)
+        return jnp.stack([dx, dy], axis=-1)
     grid = omap.grid
     H, W = grid.shape
     res = omap.resolution
@@ -117,6 +171,9 @@ def obstacle_curv_xy(omap: ObstacleMap, xy: jnp.ndarray):
     ilqr/vmap path — keeping the vmap engine's grid backward pass in
     lock-step with the lane path (without it the vmap engine kept the
     rejected-step-spiral behavior the curvature term fixes)."""
+    if omap.sampling == "spline":
+        _, _, _, hxx, hyy = _spline_terms_xy(omap, xy)
+        return hxx, hyy
     res = omap.resolution
     ex = jnp.asarray([1.0, 0.0], xy.dtype) * res
     ey = jnp.asarray([0.0, 1.0], xy.dtype) * res
@@ -129,6 +186,57 @@ def obstacle_curv_xy(omap: ObstacleMap, xy: jnp.ndarray):
     return hxx, hyy
 
 
+def _spline_weights(f, n: int):
+    """3-tap uniform quadratic B-spline weights/derivatives on one axis.
+    f: continuous coordinate in cell units; n: axis size. Center knot
+    clamped one cell inside so all three taps are in-bounds; the
+    fractional offset clamps to the basis support (freezes the value in
+    the half-cell border strip, matching the bilinear border clamp)."""
+    m = jnp.clip(jnp.round(f).astype(jnp.int32), 1, n - 2)
+    s = jnp.clip(f - m.astype(f.dtype), -0.5, 0.5)
+    w = (0.5 * (0.5 - s) ** 2, 0.75 - s * s, 0.5 * (0.5 + s) ** 2)
+    dw = (s - 0.5, -2.0 * s, s + 0.5)
+    return m, w, dw
+
+
+def _spline_terms_bl(omaps: "ObstacleMap", x: jnp.ndarray, y: jnp.ndarray):
+    """C1 quadratic-B-spline field terms, lane-major batched:
+    (val, dx, dy, hxx, hyy), each shaped like x, weight-scaled. The
+    second derivatives are analytic (d2B = (1, -2, 1)/res^2 per axis,
+    piecewise constant), PSD-clamped for the backward pass."""
+    grids = omaps.grid
+    B, H, W = grids.shape
+    flat = grids.reshape(B * H * W)
+    res = omaps.resolution
+    fx = (x - omaps.origin[:, 0]) / res
+    fy = (y - omaps.origin[:, 1]) / res
+    mx, wx, dwx = _spline_weights(fx, W)
+    my, wy, dwy = _spline_weights(fy, H)
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), mx.shape)
+    base = (b_idx * H + my) * W + mx
+    zero = jnp.zeros_like(x)
+    val = dx = dy = hxx = hyy = zero
+    d2 = (1.0, -2.0, 1.0)
+    for j in range(3):
+        row = base + (j - 1) * W
+        for i in range(3):
+            g = jnp.take(flat, row + (i - 1))
+            val = val + wx[i] * wy[j] * g
+            dx = dx + dwx[i] * wy[j] * g
+            dy = dy + wx[i] * dwy[j] * g
+            hxx = hxx + d2[i] * wy[j] * g
+            hyy = hyy + wx[i] * d2[j] * g
+    in_x = jnp.logical_and(fx >= 0.0, fx <= W - 1.0).astype(x.dtype)
+    in_y = jnp.logical_and(fy >= 0.0, fy <= H - 1.0).astype(x.dtype)
+    inv_r = 1.0 / res
+    wgt = omaps.weight
+    return (wgt * val,
+            wgt * dx * inv_r * in_x,
+            wgt * dy * inv_r * in_y,
+            wgt * jnp.maximum(hxx, 0.0) * inv_r * inv_r,
+            wgt * jnp.maximum(hyy, 0.0) * inv_r * inv_r)
+
+
 def obstacle_cost_grad_bl(omaps: "ObstacleMap", x: jnp.ndarray,
                           y: jnp.ndarray):
     """Lane-major batched sampling: per-scenario grids, batch-last points.
@@ -136,8 +244,12 @@ def obstacle_cost_grad_bl(omaps: "ObstacleMap", x: jnp.ndarray,
     omaps: batched ObstacleMap (leaves with leading B: grid (B,H,W),
     origin (B,2), resolution (B,), weight (B,)). x, y: (..., B) robot-frame
     points. Returns (cost, dx, dy), each (..., B), already weight-scaled.
-    Implemented as four flat gathers per point set (bilinear corners).
+    Implemented as four flat gathers per point set (bilinear corners);
+    sampling="spline" routes to the 9-gather C1 reconstruction.
     """
+    if omaps.sampling == "spline":
+        val, dx, dy, _, _ = _spline_terms_bl(omaps, x, y)
+        return val, dx, dy
     grids = omaps.grid                        # (B, H, W)
     B, H, W = grids.shape
     flat = grids.reshape(B * H * W)
@@ -182,7 +294,12 @@ def obstacle_curv_bl(omaps: "ObstacleMap", x: jnp.ndarray, y: jnp.ndarray):
     wart). This estimates curvature with a one-cell central second
     difference of the (continuous) bilinear surface, clamped to >= 0 —
     a PSD diagonal Gauss-Newton-style term that restores step damping
-    without biasing the gradient (same fixed points)."""
+    without biasing the gradient (same fixed points). sampling="spline"
+    returns the spline's ANALYTIC (piecewise-constant) second
+    derivatives instead — no finite differencing."""
+    if omaps.sampling == "spline":
+        _, _, _, hxx, hyy = _spline_terms_bl(omaps, x, y)
+        return hxx, hyy
     c0, _, _ = obstacle_cost_grad_bl(omaps, x, y)
     res = omaps.resolution
     cxp, _, _ = obstacle_cost_grad_bl(omaps, x + res, y)
@@ -495,7 +612,8 @@ def fit_gaussians_to_maps(omaps: ObstacleMap, n_blobs: int = 4,
 
 def gaussian_blob_map(center, sigma: float = 0.4, extent: float = 4.0,
                       cells: int = 64, weight: float = 50.0,
-                      dtype=jnp.float32) -> ObstacleMap:
+                      dtype=jnp.float32,
+                      sampling: str = "bilinear") -> ObstacleMap:
     """Synthetic costmap: one Gaussian obstacle blob (benchmarks/tests)."""
     xs = jnp.linspace(-extent / 2, extent / 2, cells, dtype=dtype)
     X, Y = jnp.meshgrid(xs, xs)
@@ -506,4 +624,5 @@ def gaussian_blob_map(center, sigma: float = 0.4, extent: float = 4.0,
         origin=jnp.asarray([-extent / 2, -extent / 2], dtype),
         resolution=jnp.asarray(extent / (cells - 1), dtype),
         weight=jnp.asarray(weight, dtype),
+        sampling=sampling,
     )

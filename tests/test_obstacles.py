@@ -345,3 +345,58 @@ def test_planner_tracking_with_blobs_steers_away():
     w_obs = run(True)
     assert w_obs[0] < w_free[0] - 1e-3, (w_free, w_obs)
     assert w_obs[1] < w_free[1] - 1e-3, (w_free, w_obs)
+
+
+def test_spline_sampling_c1_and_convergence():
+    """sampling="spline" (round 4): the C1 quadratic-B-spline costmap
+    reconstruction must (a) carry a continuous analytic gradient (matches
+    the numeric derivative of its own value field), (b) approximate the
+    grid field within the documented ~1-cell smoothing, and (c) fix the
+    kink-certificate class: conv >= 0.99 on the bench grid ensemble where
+    bilinear reads ~0.95 (the round-2/3 weak corner)."""
+    import jax
+
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.models.obstacles import (_spline_terms_xy,
+                                              gaussian_blob_map)
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    omap = gaussian_blob_map((0.8, 0.5), sigma=0.3, weight=100.0,
+                             sampling="spline")
+    xs = np.linspace(0.55, 0.75, 801)
+    pts = jnp.asarray(np.stack([xs, np.full_like(xs, 0.4)], -1))
+    val, dx, _, hxx, hyy = _spline_terms_xy(omap, pts)
+    num_dx = np.gradient(np.asarray(val), xs)
+    scale = np.abs(num_dx).max()
+    assert np.max(np.abs(np.asarray(dx)[5:-5] - num_dx[5:-5])) < 2e-3 * scale
+    assert (np.asarray(hxx) >= 0).all() and (np.asarray(hyy) >= 0).all()
+
+    # approximation: spline field within ~1-cell smoothing of the truth
+    omap_b = gaussian_blob_map((0.8, 0.5), sigma=0.3, weight=100.0)
+    from mpc_ros_tpu.models.obstacles import obstacle_cost
+
+    grid_pts = jnp.asarray(np.stack(np.meshgrid(np.linspace(-1, 2, 40),
+                                                np.linspace(-1, 2, 40)),
+                                    -1).reshape(-1, 2))
+    vs = np.asarray(jax.vmap(lambda q: obstacle_cost(omap, q[None]))(grid_pts))
+    vb = np.asarray(jax.vmap(lambda q: obstacle_cost(omap_b, q[None]))(grid_pts))
+    assert np.max(np.abs(vs - vb)) < 0.05 * vb.max()
+
+    # convergence on the bench grid ensemble (small B CPU slice)
+    B = 1024
+    dtype = jnp.float32
+    p = MPCParams().astype(dtype)
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B, dtype)
+    centers = jax.random.uniform(jax.random.PRNGKey(1), (B, 2), dtype,
+                                 0.3, 1.2)
+    cfg = SolverConfig(n_steps=30, max_sqp_iters=30, ls_iters=4,
+                       tol_grad=1e-4, ddp=True)
+    convs = {}
+    for samp in ("bilinear", "spline"):
+        omaps = jax.vmap(lambda c: gaussian_blob_map(
+            (c[0], c[1]), sigma=0.3, weight=100.0,
+            sampling=samp))(centers)
+        r = batch_solve_lane(z0s, coeffs, p, cfg, omaps=omaps)
+        convs[samp] = float(np.mean(np.asarray(r.converged)))
+    assert convs["spline"] >= 0.99, convs
+    assert convs["spline"] > convs["bilinear"], convs
