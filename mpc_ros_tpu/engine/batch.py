@@ -40,17 +40,22 @@ class Scenario:
 def batch_solve(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                 cfg: SolverConfig,
                 u_init: Optional[jnp.ndarray] = None,
-                refs: Optional[jnp.ndarray] = None) -> SolveResult:
+                refs: Optional[jnp.ndarray] = None,
+                blobs=None) -> SolveResult:
     """Solve B scenarios with shared params. z0s: (B, 6), coeffs: (B, P).
 
     `refs` (B, N, 3) = per-scenario time-indexed setpoint profiles
-    (trajectory-tracking mode; see solver.ilqr.solve)."""
+    (trajectory-tracking mode; see solver.ilqr.solve). `blobs`:
+    per-scenario parametric obstacles (GaussianObstacles, leaves (B, K))
+    — refs and blobs compose (obstacle-aware trajectory tracking)."""
     u_ax = None if u_init is None else 0
     r_ax = None if refs is None else 0
+    b_ax = None if blobs is None else 0
     return jax.vmap(
-        lambda z, c, u, r: ilqr.solve(z, c, p, cfg, u_init=u, refs=r),
-        in_axes=(0, 0, u_ax, r_ax),
-    )(z0s, coeffs, u_init, refs)
+        lambda z, c, u, r, b: ilqr.solve(z, c, p, cfg, u_init=u, refs=r,
+                                         blobs=b),
+        in_axes=(0, 0, u_ax, r_ax, b_ax),
+    )(z0s, coeffs, u_init, refs, blobs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

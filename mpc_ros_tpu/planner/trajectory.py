@@ -48,25 +48,34 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _single_cycle_jit(cfg: SolverConfig):
+def _single_cycle_jit(cfg: SolverConfig, with_blobs: bool = False):
     """Transfer-lean jitted single-robot trajectory cycle — the tracking._cycle_jit
     diet for the refs mode: one packed (6+C+N,) upload (state, coeffs,
     per-knot speed profile; the cte/etheta setpoint columns are zeros and
     are built on device), device-resident warm-start carry, one packed
-    observability fetch. Zero carry == the cold start (see _cycle_jit)."""
+    observability fetch. Zero carry == the cold start (see _cycle_jit).
+    `with_blobs`: robot-frame GaussianObstacles leaves ((K,)) join the
+    upload — obstacle-aware trajectory tracking (refs + blobs compose in
+    the solver)."""
     import jax
 
     from ..solver import ilqr
 
     @jax.jit
-    def f(inp, prev_us, p):
+    def f(inp, prev_us, p, *blob_leaves):
         z0 = inp[: 6]
         coeffs = inp[6: 6 + cfg.n_coeffs]
         v_ref = inp[6 + cfg.n_coeffs:]
         zero = jnp.zeros((cfg.n_steps,), inp.dtype)
         refs = jnp.stack([zero, zero, v_ref], axis=-1)
         u_init = jnp.concatenate([prev_us[1:], prev_us[-1:]])
-        r = ilqr.solve(z0, coeffs, p, cfg, u_init=u_init, refs=refs)
+        blobs = None
+        if with_blobs:
+            from ..models.obstacles import GaussianObstacles
+
+            blobs = GaussianObstacles(*blob_leaves)
+        r = ilqr.solve(z0, coeffs, p, cfg, u_init=u_init, refs=refs,
+                       blobs=blobs)
         dtype = inp.dtype
         flat = jnp.concatenate([
             r.us.reshape(-1), r.zs.reshape(-1),
@@ -192,6 +201,15 @@ class TrajectoryTracker:
         self.speed = 0.0
         self._warm_us: Optional[np.ndarray] = None
         self._warm_dev = None
+        self.world_obstacles = None
+
+    def set_obstacles(self, blobs) -> None:
+        """World-frame parametric obstacles (GaussianObstacles, leaves
+        (K,)) to avoid WHILE tracking the timed reference — transformed
+        into the robot frame each cycle like MPCPlanner.set_obstacles
+        (call every cycle for moving obstacles; constant leaf shapes ->
+        no recompile). None clears."""
+        self.world_obstacles = blobs
 
     def set_trajectory(self, traj: TimedTrajectory) -> None:
         self.traj = traj
@@ -273,8 +291,17 @@ class TrajectoryTracker:
         inp[6 + cfg.n_coeffs:] = v_ref
         if self._warm_dev is None:
             self._warm_dev = jnp.zeros((cfg.n_controls, 2), self.dtype)
-        flat, self._warm_dev = _single_cycle_jit(cfg)(
-            jnp.asarray(inp, self.dtype), self._warm_dev, self.params)
+        blob_leaves = ()
+        if self.world_obstacles is not None:
+            loc = self.world_obstacles.to_frame((px, py, theta))
+            blob_leaves = (jnp.asarray(loc.cx, self.dtype),
+                           jnp.asarray(loc.cy, self.dtype),
+                           jnp.asarray(loc.gamma, self.dtype),
+                           jnp.asarray(loc.w, self.dtype))
+        flat, self._warm_dev = _single_cycle_jit(
+            cfg, self.world_obstacles is not None)(
+            jnp.asarray(inp, self.dtype), self._warm_dev, self.params,
+            *blob_leaves)
         flat = np.asarray(jax.device_get(flat), float)
         T = cfg.n_controls
         us = flat[: T * 2].reshape(T, 2)
@@ -301,7 +328,8 @@ import functools as _ft
 
 @_ft.lru_cache(maxsize=None)
 def _traj_cycle_jit(solver_cfg: SolverConfig, M: int, max_speed: float,
-                    catchup_gain: float, l_scale: float, dtype_name: str):
+                    catchup_gain: float, l_scale: float, dtype_name: str,
+                    has_blobs: bool = False):
     """Whole fleet-trajectory cycle as ONE jitted device program: timed
     sampling, frame transform, batched fit, speed-profile build, warm
     solve, command extraction. The host uploads (B, 4) world state + a
@@ -322,7 +350,7 @@ def _traj_cycle_jit(solver_cfg: SolverConfig, M: int, max_speed: float,
     P = cfg.n_coeffs
     dtype = jnp.dtype(dtype_name)
 
-    def fn(consts, warm, world, tnow, p):
+    def fn(consts, warm, world, tnow, p, *blob_leaves):
         t = consts["t"]                  # (B, M), +inf padded
         xy = consts["xy"]                # (B, M, 2), goal padded
         yawu = consts["yawu"]            # (B, M)
@@ -412,8 +440,15 @@ def _traj_cycle_jit(solver_cfg: SolverConfig, M: int, max_speed: float,
         z0s = jnp.stack([z, z, z, v_fb, cte, etheta], axis=1).astype(dtype)
         u_init = jnp.concatenate([warm[:, 1:], warm[:, -1:]],
                                  axis=1).astype(dtype)
+        blobs = None
+        if has_blobs:
+            from ..models.obstacles import GaussianObstacles
+            from .fleet import _blobs_to_frames
+
+            wob = GaussianObstacles(*blob_leaves)
+            blobs = _blobs_to_frames(wob, world[:, :3], dtype)
         res = batch_solve_lane(z0s, coeffs.astype(dtype), p, cfg,
-                               u_init=u_init, refs=refs)
+                               u_init=u_init, refs=refs, blobs=blobs)
         u0 = res.us[:, 0, :].astype(t.dtype)
         v_cmd = jnp.clip(v_fb + u0[:, 1] * dt, 0.0, max_speed)
         out = jnp.stack([v_cmd, u0[:, 0], lag])
@@ -461,6 +496,15 @@ class FleetTrajectoryTracker:
         self.model = get_model(solver_cfg.model)
         self.B = 0
         self._warm_us: Optional[np.ndarray] = None
+        self.world_obstacles = None
+
+    def set_obstacles(self, blobs) -> None:
+        """World-frame per-robot parametric obstacles (GaussianObstacles,
+        leaves (B, K)) to avoid while tracking — the fleet twin of
+        TrajectoryTracker.set_obstacles (per-robot frame transform runs
+        in the cycle; on the device pipeline the leaves join the per-cycle
+        upload). None clears."""
+        self.world_obstacles = blobs
 
     def set_trajectories(self, trajs: list) -> None:
         """Install B `TimedTrajectory` objects (padded internally)."""
@@ -623,10 +667,16 @@ class FleetTrajectoryTracker:
             from ..solver.batch_lane import batch_solve_lane as _solve
         else:
             from ..engine.batch import batch_solve as _solve
+        blobs = None
+        if self.world_obstacles is not None:
+            from .fleet import _blobs_to_frames
+
+            blobs = _blobs_to_frames(self.world_obstacles, poses,
+                                     self.dtype)
         res = _solve(jnp.asarray(z0s, self.dtype),
                      jnp.asarray(coeffs, self.dtype), self.params,
                      cfg, u_init=u_init,
-                     refs=jnp.asarray(refs, self.dtype))
+                     refs=jnp.asarray(refs, self.dtype), blobs=blobs)
         import jax
 
         self._warm_us = res.us            # stays on device for next cycle
@@ -649,15 +699,21 @@ class FleetTrajectoryTracker:
         tnow = jnp.asarray(np.float32([t_now]))
         if self._warm_us is None:
             self._warm_us = jnp.zeros((B, cfg.n_controls, 2), self.dtype)
+        blob_leaves = ()
+        if self.world_obstacles is not None:
+            ob = self.world_obstacles
+            blob_leaves = (jnp.asarray(ob.cx), jnp.asarray(ob.cy),
+                           jnp.asarray(ob.gamma), jnp.asarray(ob.w))
         fn = _traj_cycle_jit(cfg, self._t.shape[1],
                              float(self.planner_cfg.max_speed),
                              self.catchup_gain,
                              float(max(self.planner_cfg.local_plan_length,
                                        1e-6)),
-                             jnp.dtype(self.dtype).name)
+                             jnp.dtype(self.dtype).name,
+                             self.world_obstacles is not None)
         warm, out = fn(self._dev_consts, jnp.asarray(self._warm_us,
                                                      self.dtype),
-                       world, tnow, self.params)
+                       world, tnow, self.params, *blob_leaves)
         self._warm_us = warm
         o = np.asarray(jax.device_get(out), float)
         return np.stack([o[0], o[1]], -1), o[2]

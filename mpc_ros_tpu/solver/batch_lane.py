@@ -547,12 +547,15 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
 
     if refs is not None and not use_mega:
         # the XLA lane stages keep the scalar FG_eval setpoints; per-stage
-        # profiles run on the registry vmap path off-kernel
-        if omaps is not None or blobs is not None:
+        # profiles run on the registry vmap path off-kernel. Parametric
+        # blobs ride the vmap too ((B, K) leaves mapped per scenario —
+        # obstacle-aware trajectory tracking off-TPU); grid omaps have no
+        # per-scenario vmap form and still refuse
+        if omaps is not None:
             raise ValueError(
-                "batch_solve_lane(refs=...) with obstacles requires the "
+                "batch_solve_lane(refs=...) with grid omaps requires the "
                 "megakernel path (TPU or cfg.backward='mega'); the vmap "
-                "fallback does not carry batched obstacle terms")
+                "fallback does not carry batched grid terms")
         import dataclasses as _dc
 
         u_bm = None if u_init is None else jnp.asarray(u_init, dtype)
@@ -563,7 +566,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             from ..engine.batch import batch_solve
 
             return batch_solve(z0s, coeffs, p, cfg, u_init=u_bm,
-                               refs=refs_bm)
+                               refs=refs_bm, blobs=blobs)
         # per-scenario (B,)-shaped params leaves: map them through the vmap
         # (closing p over the vmap un-mapped would leak (B,) leaves into a
         # single-scenario solve and fail with an obscure trace error)
@@ -572,11 +575,12 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         p_axes = MPCParams(**{n: (0 if b else None)
                               for n, b in per_lane.items()})
         u_ax = None if u_bm is None else 0
+        b_ax = None if blobs is None else 0
         return jax.vmap(
-            lambda z, c, pp, u, r: ilqr.solve(z, c, pp, cfg, u_init=u,
-                                              refs=r),
-            in_axes=(0, 0, p_axes, u_ax, 0),
-        )(z0s, coeffs, p, u_bm, refs_bm)
+            lambda z, c, pp, u, r, b: ilqr.solve(z, c, pp, cfg, u_init=u,
+                                                 refs=r, blobs=b),
+            in_axes=(0, 0, p_axes, u_ax, 0, b_ax),
+        )(z0s, coeffs, p, u_bm, refs_bm, blobs)
 
     if use_mega:
         # the megakernel does its own VMEM-resident rollout; return before

@@ -730,8 +730,10 @@ def test_megakernel_refs_matches_vmap_ilqr_refs():
 
 def test_batch_solve_lane_refs_fallback_matches_vmap():
     """On non-kernel configurations batch_solve_lane(refs=...) delegates
-    to engine.batch_solve — identical results; with obstacles it must
-    refuse instead of silently dropping terms."""
+    to engine.batch_solve — identical results. Since round 4 parametric
+    blobs ride the fallback too (obstacle-aware trajectory tracking
+    off-TPU, leaves (B, K) mapped per scenario); grid omaps still refuse
+    instead of silently dropping terms."""
     from mpc_ros_tpu.engine import make_random_scenarios
     from mpc_ros_tpu.engine.batch import batch_solve
     from mpc_ros_tpu.models.obstacles import GaussianObstacles
@@ -748,12 +750,24 @@ def test_batch_solve_lane_refs_fallback_matches_vmap():
     r_vmap = batch_solve(z0s, coeffs, p, cfg, refs=refs)
     np.testing.assert_allclose(np.asarray(r_lane.us), np.asarray(r_vmap.us),
                                atol=1e-6)
-    blobs = GaussianObstacles(cx=jnp.zeros((B, 1), dtype),
-                              cy=jnp.zeros((B, 1), dtype),
-                              gamma=jnp.ones((B, 1), dtype),
-                              w=jnp.ones((B, 1), dtype))
+    blobs = GaussianObstacles(cx=jnp.full((B, 1), 0.4, dtype),
+                              cy=jnp.full((B, 1), 0.1, dtype),
+                              gamma=jnp.full((B, 1), 5.0, dtype),
+                              w=jnp.full((B, 1), 20.0, dtype))
+    r_lane_b = bl.batch_solve_lane(z0s, coeffs, p, cfg, refs=refs,
+                                   blobs=blobs)
+    r_vmap_b = batch_solve(z0s, coeffs, p, cfg, refs=refs, blobs=blobs)
+    np.testing.assert_allclose(np.asarray(r_lane_b.us),
+                               np.asarray(r_vmap_b.us), atol=1e-6)
+    # the blob terms must actually matter
+    assert float(jnp.max(jnp.abs(r_lane_b.us - r_lane.us))) > 1e-4
+    # grid omaps on the refs fallback still refuse
+    from mpc_ros_tpu.models.obstacles import gaussian_blob_map
+
+    omaps = jax.vmap(lambda _: gaussian_blob_map((0.5, 0.1)))(
+        jnp.arange(B, dtype=dtype))
     with pytest.raises(ValueError, match="megakernel"):
-        bl.batch_solve_lane(z0s, coeffs, p, cfg, refs=refs, blobs=blobs)
+        bl.batch_solve_lane(z0s, coeffs, p, cfg, refs=refs, omaps=omaps)
 
 
 def test_schedule_auto_resolves_to_compact_at_long_horizon(monkeypatch):

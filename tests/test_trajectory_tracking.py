@@ -240,3 +240,120 @@ def test_fleet_trajectory_device_matches_host():
         poses[:, 1] += dt * v * np.sin(poses[:, 2])
         poses[:, 2] += dt * w
         vs = v
+
+
+def test_trajectory_tracker_avoids_obstacle_on_schedule():
+    """Obstacle-aware trajectory tracking (round 4): a pedestrian crosses
+    the timed reference path. With per-cycle set_obstacles the tracker
+    yields (real clearance) and still completes the course close to
+    schedule; obstacle-blind it nearly hits the pedestrian. A STATIC blob
+    parked forever on the reference is intentionally not the scenario:
+    there the correct behavior is to stop and wait (the reference pull,
+    schedule catch-up, and repulsion balance), which asserts nothing
+    about avoidance."""
+    import jax.numpy as jnp
+
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+    n = 120
+    plan = np.stack([np.linspace(0, 6, n), np.zeros(n), np.zeros(n)], 1)
+    traj = TimedTrajectory.from_path(plan, 0.4)
+
+    def run(avoid):
+        p = MPCParams(dt=0.1, max_angvel=1.5, w_cte=100.0,
+                      w_angvel_d=10.0, w_accel_d=10.0)
+        tr = TrajectoryTracker(p, SolverConfig(n_steps=20),
+                               PlannerConfig(local_plan_length=2.5))
+        tr.set_trajectory(traj)
+        pose = np.array([0.0, 0.0, 0.0])
+        v = 0.0
+        dt = 0.1
+        min_d, t_done = np.inf, None
+        for cycle in range(600):
+            t_now = cycle * dt
+            ped = np.array([3.0, 1.0 - 0.15 * t_now])  # crosses y=0 at ~6.7 s
+            if avoid:
+                tr.set_obstacles(GaussianObstacles.from_sigmas(
+                    jnp.asarray([ped[0]], jnp.float32),
+                    jnp.asarray([ped[1]], jnp.float32),
+                    jnp.asarray([0.35], jnp.float32),
+                    jnp.asarray([120.0], jnp.float32)))
+            (v_cmd, w_cmd), dbg = tr.compute(t_now, pose, v)
+            pose = pose + np.array([v_cmd * np.cos(pose[2]) * dt,
+                                    v_cmd * np.sin(pose[2]) * dt,
+                                    w_cmd * dt])
+            v = v_cmd
+            min_d = min(min_d, float(np.hypot(pose[0] - ped[0],
+                                              pose[1] - ped[1])))
+            if pose[0] > 5.5:
+                t_done = t_now
+                break
+        return min_d, pose, t_done
+
+    d_avoid, pose_a, t_a = run(True)
+    d_blind, pose_b, t_b = run(False)
+    assert t_a is not None and t_b is not None        # both complete
+    assert d_blind < 0.35, d_blind                    # blind: near-miss
+    assert d_avoid > 0.50, d_avoid                    # aware: real clearance
+    # yielding costs schedule time, but the catch-up recovers most of it
+    assert t_a - t_b < 3.0, (t_a, t_b)
+
+
+def test_fleet_trajectory_obstacles_device_matches_host():
+    """Fleet obstacle-aware trajectory tracking: device pipeline ==
+    host pipeline with per-robot world obstacles, and the obstacle terms
+    actually change the commands."""
+    import jax.numpy as jnp
+
+    from mpc_ros_tpu.models.obstacles import GaussianObstacles
+    from mpc_ros_tpu.planner.trajectory import FleetTrajectoryTracker
+
+    B = 4
+    base = get_shape("infinity")[:240]
+    trajs = []
+    for i in range(B):
+        pl = base.copy()
+        pl[:, :2] += 3.0 * i
+        trajs.append(TimedTrajectory.from_path(pl, 0.35))
+    p = MPCParams(dt=0.1, max_angvel=1.5, w_cte=300.0,
+                  w_angvel_d=10.0, w_accel_d=10.0)
+    kw = dict(planner_cfg=PlannerConfig(local_plan_length=2.5))
+    # per-robot blob just ahead on each course
+    ref1, _, _ = None, None, None
+    blobs = None
+
+    def mk(pipeline):
+        tr = FleetTrajectoryTracker(p, SolverConfig(n_steps=20),
+                                    pipeline=pipeline, **kw)
+        tr.set_trajectories(trajs)
+        return tr
+
+    host = mk("host")
+    dev = mk("device")
+    plain = mk("host")
+    poses = np.stack([t.xy[0] for t in trajs])
+    poses = np.concatenate([poses, np.array([[t.yaw[0]] for t in trajs])], 1)
+    vs = np.zeros(B)
+    dt = 0.1
+    # obstacle at the 1-second-ahead reference point of each robot
+    ahead, _, _ = host._sample(np.full((B, 1), 1.0))
+    blobs = GaussianObstacles.from_sigmas(
+        jnp.asarray(ahead[:, 0, 0:1], jnp.float32),
+        jnp.asarray(ahead[:, 0, 1:2], jnp.float32),
+        jnp.full((B, 1), 0.3, jnp.float32),
+        jnp.full((B, 1), 40.0, jnp.float32))
+    host.set_obstacles(blobs)
+    dev.set_obstacles(blobs)
+    for cycle in range(4):
+        t_now = cycle * dt
+        cmd_h, _ = host.compute(t_now, poses, vs)
+        cmd_d, _ = dev.compute(t_now, poses, vs)
+        cmd_p, _ = plain.compute(t_now, poses, vs)
+        assert np.max(np.abs(cmd_h - cmd_d)) < 2e-3, cycle
+        v, w = cmd_h[:, 0], cmd_h[:, 1]
+        poses[:, 0] += dt * v * np.cos(poses[:, 2])
+        poses[:, 1] += dt * v * np.sin(poses[:, 2])
+        poses[:, 2] += dt * w
+        vs = v
+    # the blobs must matter by the time the robots approach them
+    assert np.max(np.abs(cmd_h - cmd_p)) > 1e-4
