@@ -432,6 +432,17 @@ def main() -> None:
             PlannerConfig(local_plan_length=2.5),
             pipeline="device")   # whole cycle on device (one jit program)
         ft.set_trajectories(trajs)
+        if args.obstacles:
+            # per-robot world blob near each course (obstacle-aware
+            # trajectory tracking through the one-jit device cycle)
+            from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+            ahead, _, _ = ft._sample(np.full((B, 1), 2.0))
+            ft.set_obstacles(GaussianObstacles.from_sigmas(
+                jnp.asarray(ahead[:, 0, 0:1] + 0.2, jnp.float32),
+                jnp.asarray(ahead[:, 0, 1:2], jnp.float32),
+                jnp.full((B, 1), 0.3, jnp.float32),
+                jnp.full((B, 1), 40.0, jnp.float32)))
         poses = np.stack([t.xy[0] for t in trajs])
         poses = np.concatenate(
             [poses, np.array([[t.yaw[0]] for t in trajs])], 1)
@@ -461,8 +472,9 @@ def main() -> None:
             t_now += 0.1
         lap = np.asarray(laps)
         p50 = float(np.percentile(lap, 50))
+        tsuf = "_obstacles" if args.obstacles else ""
         print(json.dumps({
-            "metric": "fleet_trajectory_robot_cycles_per_s_per_chip_n20",
+            "metric": f"fleet_trajectory_robot_cycles_per_s_per_chip_n20{tsuf}",
             "value": round(B / p50, 1),
             "unit": "robot-cycles/s",
             "vs_baseline": round(B / p50 / (10000.0 / 8.0), 3),
