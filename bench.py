@@ -26,7 +26,8 @@ import time
 import numpy as np
 
 
-def kernel_verify(p, cfg, dtype, batch: int = 1024, strict_trig: bool = True):
+def kernel_verify(p, cfg, dtype, batch: int = 1024, strict_trig: bool = True,
+                  variant: str = "plain"):
     """On-chip kernel-parity check (VERDICT r3 item 5): solve the same
     small batch through the Pallas megakernel and the pure-XLA lane solver
     ON THE CURRENT BACKEND and compare controls / cost / convergence /
@@ -61,6 +62,22 @@ def kernel_verify(p, cfg, dtype, batch: int = 1024, strict_trig: bool = True):
     B = min(batch, 1024)
     B -= B % 128
     z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B, dtype)
+    blobs = None
+    if variant == "blobs":
+        from mpc_ros_tpu.models.obstacles import GaussianObstacles
+
+        K = 4
+        centers = jax.random.uniform(jax.random.PRNGKey(1), (B, 2), dtype,
+                                     0.3, 1.2)
+        cxs = jnp.concatenate(
+            [centers[:, :1], jnp.full((B, K - 1), 50.0, dtype)], axis=1)
+        cys = jnp.concatenate(
+            [centers[:, 1:], jnp.full((B, K - 1), 50.0, dtype)], axis=1)
+        blobs = GaussianObstacles.from_sigmas(
+            cxs, cys, jnp.full((B, K), 0.3, dtype),
+            jnp.full((B, K), 100.0, dtype))
+    elif variant == "bicycle":
+        cfg = dataclasses.replace(cfg, model="bicycle")
     # trig="exact" makes the megakernel's rollout transcendentals
     # bit-comparable with the XLA lane path (the production "fast" path
     # measured the SAME deviations on v5e — its ~1e-6 rollout error is
@@ -68,9 +85,9 @@ def kernel_verify(p, cfg, dtype, batch: int = 1024, strict_trig: bool = True):
     # attributable to the kernel, not the trig approximation)
     trig = "exact" if strict_trig else cfg.trig
     r_m = batch_solve_lane(z0s, coeffs, p, dataclasses.replace(
-        cfg, backward="mega", trig=trig))
+        cfg, backward="mega", trig=trig), blobs=blobs)
     r_x = batch_solve_lane(z0s, coeffs, p, dataclasses.replace(
-        cfg, backward="xla"))
+        cfg, backward="xla"), blobs=blobs)
     us_m, us_x = np.asarray(r_m.us), np.asarray(r_x.us)
     cost_m = np.asarray(r_m.cost, np.float64)
     cost_x = np.asarray(r_x.cost, np.float64)
@@ -293,12 +310,21 @@ def main() -> None:
     p = MPCParams().astype(dtype)
 
     if args.verify:
+        # all three megakernel variants (each a separately hand-tuned
+        # kernel path): plain diff_drive, parametric blobs (gated exact
+        # Hessian), bicycle (state-dependent heading rows)
         t0 = time.time()
-        kv = kernel_verify(p, cfg, dtype, batch=args.batch or 1024)
-        kv.update({"metric": "kernel_parity_on_chip", "device": str(dev),
-                   "wall_s": round(time.time() - t0, 1)})
-        print(json.dumps(kv))
-        if not kv["ok"]:
+        out = {"metric": "kernel_parity_on_chip", "device": str(dev)}
+        ok = True
+        for variant in ("plain", "blobs", "bicycle"):
+            kv = kernel_verify(p, cfg, dtype, batch=args.batch or 1024,
+                               variant=variant)
+            ok = ok and kv["ok"]
+            out[variant] = kv
+        out["wall_s"] = round(time.time() - t0, 1)
+        out["ok"] = ok
+        print(json.dumps(out))
+        if not ok:
             raise SystemExit("kernel_verify FAILED: megakernel deviates "
                              "from the XLA lane solver on this backend")
         return
