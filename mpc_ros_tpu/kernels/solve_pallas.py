@@ -712,7 +712,9 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
                              jnp.where(small_step > 0.5, n_small + 1.0, 0.0),
                              n_small)
         # tiny predicted decrease = optimum only with the trust region
-        # open; under inflated mu it is a stall (see ilqr.py) — per lane
+        # open; under inflated mu it is a stall only if the step was ALSO
+        # rejected — accepted tiny steps keep iterating while mu decays
+        # toward an honest certificate (see ilqr.py) — per lane
         mu_open = (mu <= mu_min * mu_factor).astype(dtype)
         converged_now = jnp.maximum(
             jnp.maximum((pg < tol_grad).astype(dtype),
@@ -720,7 +722,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             tiny_model * mu_open)
         stalled = jnp.maximum(
             (1.0 - accepted) * (mu2 >= mu_max).astype(dtype),
-            tiny_model * (1.0 - mu_open))
+            tiny_model * (1.0 - mu_open) * (1.0 - accepted))
         done2 = jnp.where(act > 0.5,
                           jnp.maximum(converged_now, stalled), done)
         conv2 = jnp.where(act > 0.5, converged_now, conv)

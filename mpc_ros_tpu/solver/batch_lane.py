@@ -711,14 +711,18 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         n_small2 = jnp.where(act, jnp.where(small_step, n_small + 1, 0),
                              n_small)
         # tiny predicted decrease = optimum only with the trust region
-        # open; under inflated mu it is a stall (see ilqr.py) — per lane
+        # open; under inflated mu it is a stall only if the step was ALSO
+        # rejected — accepted tiny steps keep iterating while mu decays
+        # toward an honest certificate (see ilqr.py) — per lane
         mu_open = mu <= mu_min * mu_factor
         converged_now = jnp.logical_or(
             jnp.logical_or(pg < tol_grad, n_small2 >= 2),
             jnp.logical_and(tiny_model, mu_open))
         stalled = jnp.logical_or(
             jnp.logical_and(jnp.logical_not(accepted), mu2 >= mu_max),
-            jnp.logical_and(tiny_model, jnp.logical_not(mu_open)))
+            jnp.logical_and(jnp.logical_and(tiny_model,
+                                            jnp.logical_not(mu_open)),
+                            jnp.logical_not(accepted)))
         done2 = jnp.where(act, jnp.logical_or(converged_now, stalled), done)
         conv2 = jnp.where(act, converged_now, conv)
         gnorm2 = jnp.where(act, pg, gnorm)

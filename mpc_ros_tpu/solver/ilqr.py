@@ -423,7 +423,14 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # trust region is essentially open; under inflated damping (mu
         # ramped by rejected steps) the Newton step is crushed and a tiny
         # prediction means STALLED, not converged — the solve still stops
-        # (same done criterion), but the label stays honest
+        # (same done criterion), but the label stays honest. Round-4
+        # refinement: that stall verdict requires the step to have been
+        # REJECTED too — an ACCEPTED tiny-model step keeps iterating (each
+        # acceptance decays mu toward open, so within ~2 iterations either
+        # mu_open or the two-consecutive-tiny-decreases criterion fires),
+        # which removes the race that let DDP endgames at a true optimum
+        # stop one iteration before an honest certificate (the round-3
+        # "converged iterate labeled stalled" note)
         mu_open = mu <= mu_min * mu_factor
         converged = jnp.logical_or(
             jnp.logical_or(pg < tol_grad, n_small2 >= 2),
@@ -431,7 +438,9 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         )
         stalled = jnp.logical_or(
             jnp.logical_and(jnp.logical_not(accepted), mu2 >= mu_max),
-            jnp.logical_and(tiny_model, jnp.logical_not(mu_open)),
+            jnp.logical_and(jnp.logical_and(tiny_model,
+                                            jnp.logical_not(mu_open)),
+                            jnp.logical_not(accepted)),
         )
         done2 = jnp.logical_or(converged, stalled)
         return (ss2, us2, cost2, mu2, it + 1, done2, pg, n_small2, converged)
