@@ -312,7 +312,13 @@ def main() -> None:
     if args.verify:
         # all three megakernel variants (each a separately hand-tuned
         # kernel path): plain diff_drive, parametric blobs (gated exact
-        # Hessian), bicycle (state-dependent heading rows)
+        # Hessian), bicycle (state-dependent heading rows) — plus the
+        # long-horizon compact straggler schedule (schedule='auto'
+        # resolves to compact for every N > 32 since round 4; its
+        # gather/resume/scatter pass is kernel machinery the N=30 check
+        # never exercises)
+        import dataclasses as _dc
+
         t0 = time.time()
         out = {"metric": "kernel_parity_on_chip", "device": str(dev)}
         ok = True
@@ -321,6 +327,11 @@ def main() -> None:
                                variant=variant)
             ok = ok and kv["ok"]
             out[variant] = kv
+        kv = kernel_verify(
+            p, _dc.replace(cfg, n_steps=48, max_sqp_iters=22),
+            dtype, batch=args.batch or 1024)
+        ok = ok and kv["ok"]
+        out["compact_n48"] = kv
         out["wall_s"] = round(time.time() - t0, 1)
         out["ok"] = ok
         print(json.dumps(out))
@@ -720,28 +731,39 @@ def main() -> None:
     # batch-1 compile artifacts plus the session's tunnel RTT and drifted
     # 26 -> 41 ms across rounds. What the tracker actually executes
     # (tracking.py) is the jitted warm-started ilqr cycle with the
-    # library-default SolverConfig (ddp off) through _cycle_jit: one
-    # packed upload, device-resident warm carry, one packed fetch.
-    def pcts(fn, n=100):
-        fn()
-        ls = []
-        for _ in range(n):
-            t0 = time.time()
-            fn()
-            ls.append(time.time() - t0)
-        a = np.asarray(ls)
-        return (round(float(np.percentile(a, 50)) * 1e3, 2),
-                round(float(np.percentile(a, 99)) * 1e3, 2))
+    # library-default SolverConfig (since round 5: ddp='auto' -> the
+    # hybrid GN->DDP backward on f32) through _cycle_jit: one packed
+    # upload, device-resident warm carry, one packed fetch.
+    def lat_stats(ls):
+        """Per-leg latency stats with the tunnel's transient stalls
+        attributed INSIDE the artifact (VERDICT r4 item 2): a stall is a
+        sample > 3x the leg's own p50 (the transport spikes measured at
+        90-230 ms against ~27 ms p50s — far past any solver-side
+        variation), counted and excluded from the net percentile so an
+        over-period p99 is self-explaining without BENCH_NOTES."""
+        a = np.asarray(ls) * 1e3
+        p50 = float(np.percentile(a, 50))
+        thr = 3.0 * p50
+        clean = a[a <= thr]
+        return {
+            "p50": round(p50, 2),
+            "p99": round(float(np.percentile(a, 99)), 2),
+            "stalls": int(np.sum(a > thr)),
+            "p99_net_of_stalls": round(
+                float(np.percentile(clean, 99)) if clean.size else
+                float("nan"), 2),
+        }
 
     # the latency floor of this environment: a bare scalar fetch (pure
     # tunnel RTT; p50 single solve ~= RTT — warm solve compute is ~2 ms).
     # The tunnel also stalls transiently (100-230 ms spikes that hit bare
-    # fetches and solves alike, ~1 per 100 round trips) — that transport
-    # tail is why the RTT p99 is reported next to the solve p99: a p99
-    # excursion past ~45 ms with rtt_p99 equally high is the wire, not
-    # the solver (BENCH_NOTES "single-solve latency")
+    # fetches and solves alike, ~1 per 100 round trips). The three legs
+    # (bare RTT, production solve, full planner cycle) are sampled
+    # INTERLEAVED in one loop so a stall burst lands in every leg's sample
+    # set with equal probability — with separate loops one leg could eat a
+    # burst the others never saw, making its p99 read as a solver
+    # regression (exactly the BENCH_r04 61.68 ms artifact).
     tiny = jax.device_put(jnp.ones((8,), dtype), dev)
-    rtt_p50, rtt_p99 = pcts(lambda: float(jnp.sum(tiny)))
 
     from mpc_ros_tpu.planner.tracking import _cycle_jit
 
@@ -759,9 +781,6 @@ def main() -> None:
                                    state["carry"], p)
         np.asarray(jax.device_get(flat))
 
-    prod_solve()   # cold start; steady-state cycles below are warm
-    p50_solve, p99_solve = pcts(prod_solve)
-
     # the full planner cycle (host path pipeline + solve + fetch) on the
     # infinity course — the end-to-end number a single-robot deployment
     # actually pays per 50 ms control period
@@ -777,9 +796,30 @@ def main() -> None:
     plan = get_shape("infinity")
     pose = np.array([plan[40, 0], plan[40, 1], plan[40, 2]])
     pl.set_plan(plan, pose)
-    p50_cycle, p99_cycle = pcts(
-        lambda: pl.compute_velocity_commands(pose, (0.3, 0.0)),
-        n=10 if args.quick else 50)
+
+    # warm all three legs (compile + first-touch), then interleave
+    float(jnp.sum(tiny))
+    prod_solve()
+    pl.compute_velocity_commands(pose, (0.3, 0.0))
+    n_lat = 10 if args.quick else 100
+    rtt_ls, solve_ls, cycle_ls = [], [], []
+    for i in range(n_lat):
+        t0 = time.time()
+        float(jnp.sum(tiny))
+        rtt_ls.append(time.time() - t0)
+        t0 = time.time()
+        prod_solve()
+        solve_ls.append(time.time() - t0)
+        if i % 2 == 0:
+            t0 = time.time()
+            pl.compute_velocity_commands(pose, (0.3, 0.0))
+            cycle_ls.append(time.time() - t0)
+    rtt_st = lat_stats(rtt_ls)
+    solve_st = lat_stats(solve_ls)
+    cycle_st = lat_stats(cycle_ls)
+    rtt_p50, rtt_p99 = rtt_st["p50"], rtt_st["p99"]
+    p50_solve, p99_solve = solve_st["p50"], solve_st["p99"]
+    p50_cycle, p99_cycle = cycle_st["p50"], cycle_st["p99"]
 
     target_per_chip = 10000.0 / 8.0  # BASELINE.md: >=10k solves/s on 1 v5e host
     suffix = ("_obstacles" if args.obstacles
@@ -811,6 +851,17 @@ def main() -> None:
         # the chip-side cost of the production solve with the transport
         # subtracted — what a locally-attached TPU would pay
         "solve_net_of_rtt_ms": round(max(p50_solve - rtt_p50, 0.0), 2),
+        # stall attribution (see lat_stats): counts of >3x-p50 transport
+        # stalls per leg and the stall-excluded p99s — an over-period p99
+        # with a nonzero stall count and a clean net p99 is the wire, not
+        # the solver
+        "latency_stalls": {"rtt": rtt_st["stalls"],
+                           "single_solve": solve_st["stalls"],
+                           "planner_cycle": cycle_st["stalls"]},
+        "p99_net_of_stalls_ms": {
+            "rtt": rtt_st["p99_net_of_stalls"],
+            "single_solve": solve_st["p99_net_of_stalls"],
+            "planner_cycle": cycle_st["p99_net_of_stalls"]},
     }
     # per-lane iteration distribution — sizes the tile-max scheduling waste
     # (a tile's while loop runs to its slowest lane)
@@ -828,7 +879,13 @@ def main() -> None:
     if (args.engine == "lane" and not args.quick
             and not (args.obstacles or args.obstacles_grid)
             and jax.default_backend() == "tpu"):
+        import dataclasses as _dc
+
         out["kernel_verify"] = kernel_verify(p, cfg, dtype)
+        # the auto->compact long-horizon schedule (every N > 32) is
+        # parity-checked on hardware each official run too (r4 item 7)
+        out["kernel_verify_compact_n48"] = kernel_verify(
+            p, _dc.replace(cfg, n_steps=48, max_sqp_iters=22), dtype)
     print(json.dumps(out))
 
     if args.roofline:

@@ -95,7 +95,19 @@ class SolverConfig:
     # diff_drive, other models run the XLA lane / vmap paths.
     model: str = "diff_drive"
     max_sqp_iters: int = 60    # outer SQP/iLQR iteration cap
-    ls_iters: int = 8          # parallel line-search step sizes (0.5^j)
+    # parallel line-search step sizes (0.5^j). None (default) resolves at
+    # solve time with the ddp profile: 4 candidates when the hybrid GN->DDP
+    # backward is engaged (DDP's Newton steps accept at alpha=1 — deeper
+    # backtracking only pads the rollout scan), 8 for pure Gauss-Newton
+    # (whose large-residual tail lanes need the deeper ladder). An explicit
+    # value is used verbatim.
+    ls_iters: "int | None" = None
+
+    def ls_for(self, dtype) -> int:
+        """Effective line-search candidate count for a compute dtype."""
+        if self.ls_iters is not None:
+            return int(self.ls_iters)
+        return 4 if self.ddp_for(dtype) else 8
     # projected-gradient convergence threshold. None (default) resolves
     # per dtype at solve time — 1e-7 in f64 (oracle-grade), 1e-4 in f32:
     # the pg certificate cannot resolve below the f32 rounding noise of
@@ -165,8 +177,29 @@ class SolverConfig:
     # once real progress exists and BEATS GN convergence there (N=60:
     # 0.9984, N=100: 0.9984 vs GN 0.9968). Auto picks 2.5 for
     # n_steps <= 32, 0.75 above — measured best at every probed horizon.
-    ddp: bool = False
+    # "auto" (the default since round 5) resolves per compute dtype at
+    # solve time: f32 — every production path (tracker, fleet, serving,
+    # bench) — engages the hybrid; f64 (oracle/regression work) keeps pure
+    # GN, whose iterates the f64 parity suite was calibrated against.
+    # Rationale (BENCH_NOTES "single-solve latency"): at the production
+    # tracker's operating point warm GN burns 33-45 iterations against the
+    # cost-stagnation stop where the gated hybrid certifies in ~4 at the
+    # same optimum (cost parity <0.1%) — off-tunnel that is ~7-9 ms vs
+    # ~1 ms of chip time per 50 ms control period. "auto" also resolves
+    # False for the two backward modes that cannot carry the second-order
+    # terms (horizon_parallel, the legacy two-kernel 'pallas' backward) —
+    # an EXPLICIT ddp=True with those still raises.
+    ddp: "bool | str" = "auto"
     ddp_gate: "float | None" = None
+
+    def ddp_for(self, dtype) -> bool:
+        """Effective hybrid GN->DDP switch for a compute dtype (the one
+        place the production-vs-oracle solver profile lives)."""
+        if self.ddp != "auto":
+            return bool(self.ddp)
+        if self.horizon_parallel or self.backward == "pallas":
+            return False   # backward modes without second-order terms
+        return bool(jnp.finfo(dtype).eps > 1e-10)   # f32 prod / f64 oracle
 
     def gate_for(self, has_obstacles: bool = False) -> float:
         """Effective DDP gate — the ONE place the gate policy lives (the

@@ -103,8 +103,10 @@ def _validate(params: MPCParams, solver: SolverConfig,
         errs.append(f"n_steps={solver.n_steps} outside [2, 1000]")
     if solver.max_sqp_iters < 1:
         errs.append(f"max_sqp_iters={solver.max_sqp_iters} < 1")
-    if solver.ls_iters < 1:
+    if solver.ls_iters is not None and solver.ls_iters < 1:
         errs.append(f"ls_iters={solver.ls_iters} < 1")
+    if solver.ddp not in (True, False, "auto"):
+        errs.append(f"ddp={solver.ddp!r} not in (True, False, 'auto')")
     for name in ("w_cte", "w_etheta", "w_vel", "w_angvel", "w_accel",
                  "w_angvel_d", "w_accel_d"):
         v = getattr(params, name)

@@ -54,16 +54,48 @@ def sample_weight_candidates(key, n: int, base: MPCParams,
 
 def tuning_sweep(key, candidates: MPCParams, n_scenarios: int,
                  cfg: SolverConfig, dtype=jnp.float32,
-                 score_cte_weight: float = 1.0) -> SweepResult:
+                 score_cte_weight: float = 1.0,
+                 presort: bool = True) -> SweepResult:
     """Evaluate `n_weights` candidates on a shared random scenario set.
 
     Total batch = n_weights * n_scenarios solves in ONE program. Scoring
     uses a fixed evaluation metric (terminal |cte| + convergence), NOT each
     candidate's own cost (costs with different weights are incomparable).
-    """
+
+    `presort` (default on since round 5): order the shared scenario set by
+    predicted solve difficulty before tiling, so similar-iteration lanes
+    share megakernel tiles (each tile pays its slowest lane — see
+    engine/presort.py; +11.5% measured on the plain ensemble). The sweep
+    consumes only per-candidate REDUCTIONS (means, fractions, argmin), all
+    permutation-invariant within a candidate's contiguous block, so the
+    reorder is semantics-free here. The ridge difficulty model is fit on
+    one calibration solve of a <=2048-scenario subsample under the first
+    candidate's weights (a 16-feature closed-form fit needs no more; at
+    full n_scenarios the calibration would eat ~1/n_weights of the sweep
+    and cancel the tile win), then predicts keys for the whole set with
+    one matvec."""
     n_weights = jax.tree.leaves(candidates)[0].shape[0]
     kz, _ = jax.random.split(key)
     z0s, coeffs = make_random_scenarios(kz, n_scenarios, dtype)
+
+    if (presort and n_scenarios >= 256 and n_scenarios % 128 == 0
+            and cfg.model in ("diff_drive", "bicycle")):
+        import numpy as np
+
+        from ..solver.batch_lane import batch_solve_lane
+        from .presort import fit_difficulty_model, predict_difficulty
+
+        n_cal = min(n_scenarios, 2048)
+        p0 = jax.tree.map(lambda leaf: leaf[0], candidates)
+        calib = batch_solve_lane(z0s[:n_cal], coeffs[:n_cal], p0, cfg)
+        z0s_h = np.asarray(z0s)
+        coeffs_h = np.asarray(coeffs)
+        dmodel = fit_difficulty_model(z0s_h[:n_cal], coeffs_h[:n_cal],
+                                      np.asarray(calib.n_iters))
+        order = np.argsort(predict_difficulty(dmodel, z0s_h, coeffs_h),
+                           kind="stable")
+        z0s = z0s[order]
+        coeffs = coeffs[order]
 
     # tile: scenario-major blocks per candidate
     z0s_t = jnp.tile(z0s, (n_weights, 1))

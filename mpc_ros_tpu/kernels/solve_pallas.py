@@ -807,7 +807,8 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
     assert B % _LANES == 0
     tol_cost_eff = max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps))
     n_blobs = 0 if blobs is None else blobs[0].shape[0]
-    sub = _pick_sub(B, T, cfg.ls_iters,
+    n_ls = cfg.ls_for(dtype)
+    sub = _pick_sub(B, T, n_ls,
                     extra=0 if refs is None else (T + 1) * 3)
     n_prog = B // (sub * _LANES)
     grid = (n_prog,)
@@ -832,7 +833,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
     n_done_needed = (tile if cfg.done_frac >= 1.0
                      else min(tile, int(math.ceil(cfg.done_frac * tile))))
     kernel = functools.partial(
-        _kernel, T, cfg.ls_iters, cfg.max_sqp_iters, float(cfg.cte_vsin_sign),
+        _kernel, T, n_ls, cfg.max_sqp_iters, float(cfg.cte_vsin_sign),
         float(cfg.tol_grad_for(dtype)), float(tol_cost_eff), float(cfg.mu_init),
         float(cfg.mu_max), float(cfg.mu_factor), dtype, n_blobs, sub,
         # full unroll wins ~40% kernel time at T<=48 on hardware; in
@@ -840,7 +841,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         # trace/compile time
         n_done_needed, bool(T <= 48 and not interpret),
         resume is not None, refs is not None, cfg.trig == "fast", cfg.model,
-        bool(cfg.ddp),
+        cfg.ddp_for(dtype),
         # blob ensembles cap the auto gate at 0.75 (basin stability with
         # the exact blob curvature — policy in SolverConfig.gate_for)
         float(cfg.gate_for(n_blobs > 0)))
@@ -887,7 +888,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
             pltpu.VMEM((T, 4, sub, _LANES), dtype),           # traj_g (trig, single-buffered)
             pltpu.VMEM((T, _M, sub, _LANES), dtype),          # ks
             pltpu.VMEM((T, _M, _N, sub, _LANES), dtype),      # Ks
-            pltpu.VMEM((cfg.ls_iters * _N, sub, _LANES), dtype),
+            pltpu.VMEM((n_ls * _N, sub, _LANES), dtype),
         ],
         interpret=interpret,
     )(rsh(zT), rsh(cT), rsh(params_pack), rsh(lb), rsh(ub), rsh(u0),
@@ -1010,7 +1011,7 @@ def _solve_compact(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype,
     the sorted schedule (tested equivalence)."""
     B = zT.shape[-1]
     T = cfg.n_controls
-    sub = _pick_sub(B, T, cfg.ls_iters,
+    sub = _pick_sub(B, T, cfg.ls_for(dtype),
                     extra=0 if refs is None else (T + 1) * 3)
     tile = sub * _LANES
     n_tail = int(-(-B * cfg.compact_tail // tile)) * tile

@@ -90,6 +90,9 @@ def _spline_terms_xy(omap: "ObstacleMap", xy: jnp.ndarray):
     point for the single-map ilqr/vmap path, weight-scaled."""
     grid = omap.grid
     H, W = grid.shape
+    # _spline_weights clamps the center knot to [1, n-2]: empty range below
+    assert H >= 3 and W >= 3, \
+        f"sampling='spline' needs a >=3x3 grid, got {H}x{W}"
     res = omap.resolution
     fx = (xy[..., 0] - omap.origin[0]) / res
     fy = (xy[..., 1] - omap.origin[1]) / res
@@ -110,11 +113,15 @@ def _spline_terms_xy(omap: "ObstacleMap", xy: jnp.ndarray):
     in_y = jnp.logical_and(fy >= 0.0, fy <= H - 1.0).astype(fy.dtype)
     inv_r = 1.0 / res
     wgt = omap.weight
+    # curvature masked per axis like the gradient: outside in x the field
+    # is frozen along x (clamped basis offset), so hxx = 0 there, while
+    # hyy in the x-border strip is still genuine (and vice versa) — a
+    # frozen axis must contribute zero damping, not phantom stiffness
     return (wgt * val,
             wgt * dx * inv_r * in_x,
             wgt * dy * inv_r * in_y,
-            wgt * jnp.maximum(hxx, 0.0) * inv_r * inv_r,
-            wgt * jnp.maximum(hyy, 0.0) * inv_r * inv_r)
+            wgt * jnp.maximum(hxx, 0.0) * inv_r * inv_r * in_x,
+            wgt * jnp.maximum(hyy, 0.0) * inv_r * inv_r * in_y)
 
 
 def obstacle_cost(omap: ObstacleMap, xy: jnp.ndarray) -> jnp.ndarray:
@@ -206,6 +213,8 @@ def _spline_terms_bl(omaps: "ObstacleMap", x: jnp.ndarray, y: jnp.ndarray):
     piecewise constant), PSD-clamped for the backward pass."""
     grids = omaps.grid
     B, H, W = grids.shape
+    assert H >= 3 and W >= 3, \
+        f"sampling='spline' needs >=3x3 grids, got {H}x{W}"
     flat = grids.reshape(B * H * W)
     res = omaps.resolution
     fx = (x - omaps.origin[:, 0]) / res
@@ -230,11 +239,12 @@ def _spline_terms_bl(omaps: "ObstacleMap", x: jnp.ndarray, y: jnp.ndarray):
     in_y = jnp.logical_and(fy >= 0.0, fy <= H - 1.0).astype(x.dtype)
     inv_r = 1.0 / res
     wgt = omaps.weight
+    # per-axis curvature masks — see _spline_terms_xy
     return (wgt * val,
             wgt * dx * inv_r * in_x,
             wgt * dy * inv_r * in_y,
-            wgt * jnp.maximum(hxx, 0.0) * inv_r * inv_r,
-            wgt * jnp.maximum(hyy, 0.0) * inv_r * inv_r)
+            wgt * jnp.maximum(hxx, 0.0) * inv_r * inv_r * in_x,
+            wgt * jnp.maximum(hyy, 0.0) * inv_r * inv_r * in_y)
 
 
 def obstacle_cost_grad_bl(omaps: "ObstacleMap", x: jnp.ndarray,

@@ -234,7 +234,7 @@ def _horizon_solve_jit(mesh, cfg: SolverConfig):
         dt = jnp.asarray(p.dt, dtype)
         sign = cfg.cte_vsin_sign
         lb, ub = mdl.control_bounds(p, dtype)
-        n_ls = cfg.ls_iters
+        n_ls = cfg.ls_for(dtype)
         alphas = jnp.asarray(0.5, dtype) ** jnp.arange(n_ls, dtype=dtype)
         tol_grad = jnp.asarray(cfg.tol_grad_for(dtype), dtype)
         tol_cost = jnp.asarray(

@@ -509,6 +509,7 @@ class DeviceFleetPlanner(FleetPlanner):
         assert wire in ("f32", "i16")
         self.wire = wire
         self._wire_ticks = None    # host int32 tick mirror (wire="i16")
+        self._wire_dirty = False   # force keyframe after a non-finite frame
         self._consts = None
         self._carry = None
         self._cycle_count = 0
@@ -645,18 +646,39 @@ class DeviceFleetPlanner(FleetPlanner):
         wire_mode = "f32"
         if self.wire == "i16":
             scl32 = np.asarray(_WIRE_SCALES, np.float32)
-            # decode the mirror exactly like the device does (f32 ops)
-            mirror = self._wire_ticks.astype(np.float32) * scl32
-            dlt = world.astype(np.float64) - mirror.astype(np.float64)
-            # yaw delta wrapped: the mirror tracks yaw modulo 2pi (every
-            # in-program use of yaw is 2pi-periodic)
-            dlt[:, 2] = (dlt[:, 2] + np.pi) % (2.0 * np.pi) - np.pi
-            dq = np.round(dlt / np.asarray(_WIRE_SCALES, np.float64))
-            if np.abs(dq).max() > 32767:
-                # teleport / fresh mirror: float32 keyframe cycle reseeds
-                # the tick mirror on both sides from the true poses
+            finite = bool(np.isfinite(world).all())
+            # Keyframe triggers:
+            # * non-finite poses/feedback (NaN comparisons are all-False, so
+            #   a plain `dq > 32767` test would cast NaN to int16 and
+            #   silently corrupt the tick mirror for a cycle) — and the
+            #   cycle AFTER one, because the device casts NaN ticks
+            #   implementation-defined, so both mirrors must reseed together
+            #   from the first finite frame;
+            # * yaw-tick budget: the yaw mirror accumulates UNWRAPPED yaw
+            #   (the delta is wrapped, the running sum is not) — ~628k
+            #   ticks per lap at 1e-5 rad/tick degrades the f32 decode
+            #   (ulp ~8 ticks at 1e8) and overflows int32 after ~3,400
+            #   laps; keyframing reseeds from the caller's (wrapped) yaw;
+            # * teleport / fresh mirror: a delta beyond int16 range.
+            need_kf = (not finite or self._wire_dirty
+                       or np.abs(self._wire_ticks[:, 2]).max() > 1e7)
+            if not need_kf:
+                # decode the mirror exactly like the device does (f32 ops)
+                mirror = self._wire_ticks.astype(np.float32) * scl32
+                dlt = world.astype(np.float64) - mirror.astype(np.float64)
+                # yaw delta wrapped: the mirror tracks yaw modulo 2pi (every
+                # in-program use of yaw is 2pi-periodic)
+                dlt[:, 2] = (dlt[:, 2] + np.pi) % (2.0 * np.pi) - np.pi
+                dq = np.round(dlt / np.asarray(_WIRE_SCALES, np.float64))
+                need_kf = not (np.abs(dq).max() <= 32767)
+            if need_kf:
+                # float32 keyframe cycle: reseeds the tick mirror on both
+                # sides from the true poses (nan_to_num keeps the host
+                # mirror finite so the wire recovers once the poses do)
                 wire_mode = "kf"
-                self._wire_ticks = np.round(world / scl32).astype(np.int32)
+                self._wire_ticks = np.round(
+                    np.nan_to_num(world) / scl32).astype(np.int32)
+                self._wire_dirty = not finite
             else:
                 wire_mode = "i16"
                 d16 = dq.astype(np.int16)

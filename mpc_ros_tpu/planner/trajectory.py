@@ -325,11 +325,17 @@ class TrajectoryTracker:
 
 import functools as _ft
 
+# device-resident trajectory constants (set_trajectories uploads once per
+# goal change; every leaf is leading-B and shards over the data axis)
+_TRAJ_CONST_KEYS = ("t", "xy", "yawu", "vseg", "len", "t_next", "x_next",
+                    "y_next", "yaw_next", "vseg_pad")
+
 
 @_ft.lru_cache(maxsize=None)
 def _traj_cycle_jit(solver_cfg: SolverConfig, M: int, max_speed: float,
                     catchup_gain: float, l_scale: float, dtype_name: str,
-                    has_blobs: bool = False):
+                    has_blobs: bool = False, mesh=None,
+                    sharded_leaves: tuple = ()):
     """Whole fleet-trajectory cycle as ONE jitted device program: timed
     sampling, frame transform, batched fit, speed-profile build, warm
     solve, command extraction. The host uploads (B, 4) world state + a
@@ -339,7 +345,14 @@ def _traj_cycle_jit(solver_cfg: SolverConfig, M: int, max_speed: float,
     ~25 MB/s tunnel) stays on device. The per-knot index search runs as N
     masked count-reductions over the padded timelines (no (B, M, N)
     materialization, no large-output gathers — the TPU-gather rule from
-    the fleet device pipeline)."""
+    the fleet device pipeline).
+
+    `mesh`: optional jax.sharding.Mesh — the whole cycle runs under
+    shard_map over the mesh's data axis (the fleet_device._cycle_jit
+    pattern): every stage is per-robot, so each device tracks B/D robots
+    with ZERO control-path collectives (SURVEY.md §5.8 rule); trajectory
+    constants and the warm bank live on their shard. `sharded_leaves`:
+    names of (B,)-shaped per-robot MPCParams leaves."""
     import jax
 
     from ..solver.batch_lane import batch_solve_lane
@@ -454,6 +467,24 @@ def _traj_cycle_jit(solver_cfg: SolverConfig, M: int, max_speed: float,
         out = jnp.stack([v_cmd, u0[:, 0], lag])
         return res.us, out
 
+    if mesh is not None:
+        import dataclasses as _dc
+
+        from jax.sharding import PartitionSpec as Ps
+
+        from ..parallel.mesh import DATA_AXIS
+
+        d = Ps(DATA_AXIS)
+        consts_spec = {k: d for k in _TRAJ_CONST_KEYS}
+        p_spec = MPCParams(**{
+            f.name: (d if f.name in sharded_leaves else Ps())
+            for f in _dc.fields(MPCParams)})
+        in_specs = [consts_spec, d, d, Ps(), p_spec]
+        if has_blobs:
+            in_specs += [d] * 4
+        fn = jax.shard_map(fn, mesh=mesh, in_specs=tuple(in_specs),
+                           out_specs=(d, Ps(None, DATA_AXIS)),
+                           check_vma=False)
     return jax.jit(fn, donate_argnums=(1,))
 
 
@@ -480,7 +511,12 @@ class FleetTrajectoryTracker:
     def __init__(self, params: MPCParams, solver_cfg: SolverConfig,
                  planner_cfg: PlannerConfig = PlannerConfig(),
                  dtype=None, catchup_gain: float = 0.8,
-                 pipeline: str = "host"):
+                 pipeline: str = "host", mesh=None):
+        """`mesh`: optional jax.sharding.Mesh (device pipeline only) —
+        the one-jit cycle runs under shard_map over the mesh's data axis,
+        B/D robots per device, zero control-path collectives; sharded ==
+        unsharded command-for-command (tests/test_trajectory_tracking.py,
+        dryrun phase 7)."""
         if dtype is None:
             import jax
 
@@ -492,11 +528,27 @@ class FleetTrajectoryTracker:
         self.dtype = dtype
         self.catchup_gain = float(catchup_gain)
         assert pipeline in ("host", "device"), pipeline
+        assert mesh is None or pipeline == "device", \
+            "mesh sharding requires pipeline='device' (the host pipeline " \
+            "already shards its batched solve via parallel.sharded)"
         self.pipeline = pipeline
+        self.mesh = mesh
         self.model = get_model(solver_cfg.model)
         self.B = 0
         self._warm_us: Optional[np.ndarray] = None
         self.world_obstacles = None
+
+    def _shard(self, a):
+        """Shard a leading-B array over the mesh's data axis (identity
+        without a mesh)."""
+        if self.mesh is None:
+            return a
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        return jax.device_put(a, NamedSharding(self.mesh, P(DATA_AXIS)))
 
     def set_obstacles(self, blobs) -> None:
         """World-frame per-robot parametric obstacles (GaussianObstacles,
@@ -533,23 +585,24 @@ class FleetTrajectoryTracker:
         self._warm_us = None
         if self.pipeline == "device":
             f32 = jnp.float32
+            sh = self._shard
             shift = lambda a: np.concatenate([a[:, 1:], a[:, -1:]], axis=1)
             M = self._t.shape[1]
             vseg_pad = np.zeros((B, M))
             vseg_pad[:, : self._vseg.shape[1]] = self._vseg
             self._dev_consts = {
-                "t": jnp.asarray(self._t, f32),
-                "xy": jnp.asarray(self._xy, f32),
-                "yawu": jnp.asarray(self._yawu, f32),
-                "vseg": jnp.asarray(self._vseg, f32),
-                "len": jnp.asarray(self._len, jnp.int32),
+                "t": sh(jnp.asarray(self._t, f32)),
+                "xy": sh(jnp.asarray(self._xy, f32)),
+                "yawu": sh(jnp.asarray(self._yawu, f32)),
+                "vseg": sh(jnp.asarray(self._vseg, f32)),
+                "len": sh(jnp.asarray(self._len, jnp.int32)),
                 # shifted timelines: a[k0+1] = masked sum of shift(a) at
                 # k0 — lets the per-knot interpolation avoid TPU gathers
-                "t_next": jnp.asarray(shift(self._t), f32),
-                "x_next": jnp.asarray(shift(self._xy[..., 0]), f32),
-                "y_next": jnp.asarray(shift(self._xy[..., 1]), f32),
-                "yaw_next": jnp.asarray(shift(self._yawu), f32),
-                "vseg_pad": jnp.asarray(vseg_pad, f32),
+                "t_next": sh(jnp.asarray(shift(self._t), f32)),
+                "x_next": sh(jnp.asarray(shift(self._xy[..., 0]), f32)),
+                "y_next": sh(jnp.asarray(shift(self._xy[..., 1]), f32)),
+                "yaw_next": sh(jnp.asarray(shift(self._yawu), f32)),
+                "vseg_pad": sh(jnp.asarray(vseg_pad, f32)),
             }
 
     def finished(self, t_now: float, poses: np.ndarray) -> np.ndarray:
@@ -695,22 +748,29 @@ class FleetTrajectoryTracker:
         world = np.empty((B, 4), np.float32)
         world[:, :3] = poses
         world[:, 3] = feedback_v
-        world = jnp.asarray(world)
+        world = self._shard(jnp.asarray(world))
         tnow = jnp.asarray(np.float32([t_now]))
         if self._warm_us is None:
-            self._warm_us = jnp.zeros((B, cfg.n_controls, 2), self.dtype)
+            self._warm_us = self._shard(
+                jnp.zeros((B, cfg.n_controls, 2), self.dtype))
         blob_leaves = ()
         if self.world_obstacles is not None:
             ob = self.world_obstacles
-            blob_leaves = (jnp.asarray(ob.cx), jnp.asarray(ob.cy),
-                           jnp.asarray(ob.gamma), jnp.asarray(ob.w))
+            blob_leaves = tuple(self._shard(jnp.asarray(a)) for a in
+                                (ob.cx, ob.cy, ob.gamma, ob.w))
+        import dataclasses as _dc
+
+        sharded_leaves = tuple(sorted(
+            f.name for f in _dc.fields(MPCParams)
+            if jnp.ndim(getattr(self.params, f.name)) >= 1))
         fn = _traj_cycle_jit(cfg, self._t.shape[1],
                              float(self.planner_cfg.max_speed),
                              self.catchup_gain,
                              float(max(self.planner_cfg.local_plan_length,
                                        1e-6)),
                              jnp.dtype(self.dtype).name,
-                             self.world_obstacles is not None)
+                             self.world_obstacles is not None,
+                             mesh=self.mesh, sharded_leaves=sharded_leaves)
         warm, out = fn(self._dev_consts, jnp.asarray(self._warm_us,
                                                      self.dtype),
                        world, tnow, self.params, *blob_leaves)

@@ -539,11 +539,14 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     # both kernel families
     use_pallas = (not use_mega) and kernels_ok and bl is None \
         and cfg.backward == "pallas" and model == "diff_drive"
-    if cfg.ddp and use_pallas:
+    if cfg.ddp is True and use_pallas:
+        # ddp="auto" resolves to GN on this backward instead of raising
         raise ValueError(
             "SolverConfig.ddp is implemented on the megakernel and XLA "
             "lane paths; the legacy two-kernel backward (backward='pallas')"
             " does not carry the second-order terms")
+    use_ddp = cfg.ddp_for(dtype)
+    n_ls = cfg.ls_for(dtype)
 
     if refs is not None and not use_mega:
         # the XLA lane stages keep the scalar FG_eval setpoints; per-stage
@@ -616,7 +619,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     mu_min = jnp.asarray(cfg.mu_init, dtype)
     mu_max = jnp.asarray(cfg.mu_max, dtype)
     mu_factor = jnp.asarray(cfg.mu_factor, dtype)
-    alphas = jnp.asarray(0.5, dtype) ** jnp.arange(cfg.ls_iters, dtype=dtype)
+    alphas = jnp.asarray(0.5, dtype) ** jnp.arange(n_ls, dtype=dtype)
 
     def cond(st):
         it, done = st[4], st[5]
@@ -633,7 +636,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # the exact blob curvature); the policy lives in
         # SolverConfig.gate_for so the three engines cannot drift
         gate_eff = cfg.gate_for(bl is not None)
-        dmask = ((gnorm < gate_eff).astype(dtype) if cfg.ddp else None)
+        dmask = ((gnorm < gate_eff).astype(dtype) if use_ddp else None)
         V_s, V_ss = _terminal_bl(ss[-1], p, dtype)
         if omaps is not None:
             from ..models.obstacles import (obstacle_cost_grad_bl,
@@ -665,7 +668,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         else:
             ks, Ks, dV1, dV2, pg = _backward_bl(
                 ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu, omaps, bl,
-                model, ddp=cfg.ddp, ddp_mask=dmask)
+                model, ddp=use_ddp, ddp_mask=dmask)
 
         pred_decrease = -(dV1 + dV2)
         tiny_model = pred_decrease <= tol_cost * (1.0 + jnp.abs(cost))
@@ -678,7 +681,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             pp = pack_params(p, B, dtype)
             ss2, us2, cost2, acc_f = forward_pallas(
                 ss, us, ks, Ks, cT, pp, sign, lb, ub, cost,
-                act.astype(dtype), n_alpha=cfg.ls_iters)
+                act.astype(dtype), n_alpha=n_ls)
             accepted = acc_f > 0.5
         else:
             ss_all, us_all, costs_all = _forward_multi_alpha_bl(
@@ -691,9 +694,9 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             improved = costs_all < cost[None]               # (n_ls, B)
             accepted = jnp.any(improved, axis=0)            # (B,)
             pick = jnp.argmin(jnp.where(
-                improved, jnp.arange(cfg.ls_iters)[:, None],
-                cfg.ls_iters + 1), axis=0)                  # (B,)
-            sel = jax.nn.one_hot(pick, cfg.ls_iters, dtype=dtype, axis=0)
+                improved, jnp.arange(n_ls)[:, None],
+                n_ls + 1), axis=0)                          # (B,)
+            sel = jax.nn.one_hot(pick, n_ls, dtype=dtype, axis=0)
             ss_n = jnp.einsum("ab,taib->tib", sel, ss_all)
             us_n = jnp.einsum("ab,tamb->tmb", sel, us_all)
             cost_n = jnp.einsum("ab,ab->b", sel, costs_all)

@@ -312,14 +312,17 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         us0 = jnp.zeros((T, _M), dtype)
     else:
         us0 = jnp.clip(jnp.asarray(u_init, dtype), lb, ub)
-    if cfg.ddp and cfg.horizon_parallel:
+    if cfg.ddp is True and cfg.horizon_parallel:
         # consistent with batch_solve_lane's backward='pallas' raise: the
         # associative-scan elements need SPD stage quadratics up front, so
         # the gated DDP contraction is sequential-path only — silently
         # running GN would let users attribute GN behavior to ddp
+        # (ddp="auto" resolves to GN here instead of raising)
         raise ValueError(
             "SolverConfig.ddp is not supported with horizon_parallel "
             "(the scan elements need SPD stage quadratics); pick one")
+    use_ddp = cfg.ddp_for(dtype)
+    n_ls = cfg.ls_for(dtype)
     sign = cfg.cte_vsin_sign
     if refs is not None:
         refs = jnp.asarray(refs, dtype)
@@ -353,7 +356,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             ks, Ks, dV1, dV2, pg = backward_pass_parallel(
                 A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
             )
-        elif cfg.ddp:
+        elif use_ddp:
             H = step_hessians(ss, us, coeffs, dt, sign, mdl, p)
             # obstacle ensembles cap the auto gate at 0.75 and restore the
             # blob Hessian's concave part — same rules as the lane/mega
@@ -390,7 +393,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # Parallel-in-alpha line search: largest step size with a cost
         # decrease wins (identical accept rule to sequential backtracking,
         # evaluated in one rollout scan).
-        alphas = jnp.asarray(0.5, dtype) ** jnp.arange(cfg.ls_iters, dtype=dtype)
+        alphas = jnp.asarray(0.5, dtype) ** jnp.arange(n_ls, dtype=dtype)
         ss_all, us_all, costs_all = forward_pass_multi_alpha(
             ss, us, ks, Ks, alphas, z0, coeffs, p, dt, lb, ub, sign, mdl,
             omap, blobs, refs
@@ -399,7 +402,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         accepted = jnp.any(improved)
         # first (largest-alpha) improving candidate
         pick = jnp.argmin(
-            jnp.where(improved, jnp.arange(cfg.ls_iters), cfg.ls_iters + 1)
+            jnp.where(improved, jnp.arange(n_ls), n_ls + 1)
         )
         ss_n = ss_all[pick]
         us_n = us_all[pick]

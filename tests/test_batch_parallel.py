@@ -304,3 +304,29 @@ def test_presorted_solve_matches_direct():
     tm_unsorted = it.reshape(-1, tile).max(1).mean()
     tm_sorted = srt.reshape(-1, tile).max(1).mean()
     assert tm_sorted < tm_unsorted - 0.3, (tm_sorted, tm_unsorted)
+
+
+def test_tuning_sweep_presort_ranking_invariant():
+    """Round-5: tuning_sweep presorts its shared scenario set by predicted
+    difficulty (default on — the consumer is per-candidate reductions,
+    permutation-invariant by construction). The ranking and statistics
+    must match the unsorted sweep up to reduction-order f32 noise."""
+    from mpc_ros_tpu.engine.sweep import (sample_weight_candidates,
+                                          tuning_sweep)
+
+    cands = sample_weight_candidates(jax.random.PRNGKey(3), 4, MPCParams(),
+                                     dtype=jnp.float32)
+    cfg = SolverConfig(n_steps=20, max_sqp_iters=12, tol_grad=1e-4)
+    sw_s = tuning_sweep(jax.random.PRNGKey(4), cands, 512, cfg,
+                        presort=True)
+    sw_u = tuning_sweep(jax.random.PRNGKey(4), cands, 512, cfg,
+                        presort=False)
+    assert sw_s.best_index == sw_u.best_index
+    np.testing.assert_allclose(np.asarray(sw_s.converged_frac),
+                               np.asarray(sw_u.converged_frac), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sw_s.mean_terminal_cte),
+                               np.asarray(sw_u.mean_terminal_cte),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sw_s.mean_iters),
+                               np.asarray(sw_u.mean_iters),
+                               rtol=1e-4, atol=1e-5)

@@ -22,6 +22,29 @@ from mpc_ros_tpu.engine import make_random_scenarios
 from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
 
 _BASE = dict(n_steps=30, ls_iters=5, tol_grad=1e-4, backward="xla")
+# GN baselines need ddp=False EXPLICITLY: since round 5 the default is
+# ddp="auto", which resolves to the hybrid on f32 (config.py ddp_for)
+_GN = dict(_BASE, ddp=False)
+
+
+def test_ddp_auto_profile():
+    """ddp='auto' (the round-5 default) resolves per compute dtype: f32
+    production paths run the hybrid with the 4-candidate line search; f64
+    oracle/regression work keeps pure GN with the 8-candidate ladder.
+    Backward modes that cannot carry second-order terms resolve to GN
+    (only an EXPLICIT ddp=True raises there); explicit values verbatim."""
+    cfg = SolverConfig()
+    assert cfg.ddp == "auto" and cfg.ls_iters is None
+    assert cfg.ddp_for(jnp.float32) is True
+    assert cfg.ddp_for(jnp.float64) is False
+    assert cfg.ls_for(jnp.float32) == 4
+    assert cfg.ls_for(jnp.float64) == 8
+    assert SolverConfig(horizon_parallel=True).ddp_for(jnp.float32) is False
+    assert SolverConfig(backward="pallas").ddp_for(jnp.float32) is False
+    assert SolverConfig(ddp=True).ddp_for(jnp.float64) is True
+    assert SolverConfig(ddp=False).ddp_for(jnp.float32) is False
+    assert SolverConfig(ls_iters=6).ls_for(jnp.float32) == 6
+    assert SolverConfig(ddp=False).ls_for(jnp.float32) == 8
 
 
 def test_ddp_same_optimum_as_gn():
@@ -29,7 +52,7 @@ def test_ddp_same_optimum_as_gn():
     z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B)
     p = MPCParams().astype(jnp.float32)
     r_gn = batch_solve_lane(z0s, coeffs, p,
-                            SolverConfig(**_BASE, max_sqp_iters=60))
+                            SolverConfig(**_GN, max_sqp_iters=60))
     r_dd = batch_solve_lane(z0s, coeffs, p,
                             SolverConfig(**_BASE, max_sqp_iters=60,
                                          ddp=True))
@@ -47,7 +70,7 @@ def test_ddp_collapses_iteration_tail():
     z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B)
     p = MPCParams().astype(jnp.float32)
     r_gn = batch_solve_lane(z0s, coeffs, p,
-                            SolverConfig(**_BASE, max_sqp_iters=60))
+                            SolverConfig(**_GN, max_sqp_iters=60))
     r_dd = batch_solve_lane(z0s, coeffs, p,
                             SolverConfig(**_BASE, max_sqp_iters=60,
                                          ddp=True))
@@ -190,7 +213,7 @@ def test_ddp_custom_model_family():
     p = MPCParams().astype(jnp.float32)
     kw = dict(n_steps=12, max_sqp_iters=40, ls_iters=5, tol_grad=1e-4,
               model="tricycle_ddp_test")
-    r_gn = batch_solve(z0s, coeffs, p, SolverConfig(**kw))
+    r_gn = batch_solve(z0s, coeffs, p, SolverConfig(**kw, ddp=False))
     r_dd = batch_solve(z0s, coeffs, p, SolverConfig(**kw, ddp=True))
     assert np.asarray(r_dd.converged).mean() >= 0.98
     rel = np.asarray(jnp.abs(r_dd.cost - r_gn.cost)

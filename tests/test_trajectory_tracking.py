@@ -357,3 +357,45 @@ def test_fleet_trajectory_obstacles_device_matches_host():
         vs = v
     # the blobs must matter by the time the robots approach them
     assert np.max(np.abs(cmd_h - cmd_p)) > 1e-4
+
+
+def test_fleet_trajectory_sharded_matches_unsharded():
+    """Round-5 (VERDICT r4 item 3): the one-jit device cycle under a data
+    mesh (B/D robots per device via shard_map, zero control-path
+    collectives) == the unsharded device cycle command-for-command over
+    several warm cycles."""
+    from mpc_ros_tpu.parallel import make_mesh
+    from mpc_ros_tpu.planner.trajectory import FleetTrajectoryTracker
+
+    B = 16
+    base = get_shape("infinity")[:240]
+    trajs = []
+    for i in range(B):
+        pl = base.copy()
+        pl[:, :2] += 3.0 * i
+        trajs.append(TimedTrajectory.from_path(pl, 0.35 + 0.01 * i))
+    p = MPCParams(dt=0.1, max_angvel=1.5, w_cte=300.0,
+                  w_angvel_d=10.0, w_accel_d=10.0)
+    kw = dict(planner_cfg=PlannerConfig(local_plan_length=2.5),
+              pipeline="device")
+    plain = FleetTrajectoryTracker(p, SolverConfig(n_steps=20), **kw)
+    shard = FleetTrajectoryTracker(p, SolverConfig(n_steps=20),
+                                   mesh=make_mesh(n_data=4), **kw)
+    plain.set_trajectories(trajs)
+    shard.set_trajectories(trajs)
+    poses = np.stack([t.xy[0] for t in trajs])
+    poses = np.concatenate([poses, np.array([[t.yaw[0]] for t in trajs])], 1)
+    vs = np.zeros(B)
+    dt = 0.1
+    for cycle in range(4):
+        t_now = cycle * dt
+        cmd_p, lag_p = plain.compute(t_now, poses, vs)
+        cmd_s, lag_s = shard.compute(t_now, poses, vs)
+        # identical program per robot; only the device placement differs
+        assert np.max(np.abs(cmd_p - cmd_s)) < 1e-5, cycle
+        assert np.max(np.abs(np.asarray(lag_p) - np.asarray(lag_s))) < 1e-5
+        v, w = cmd_p[:, 0], cmd_p[:, 1]
+        poses[:, 0] += dt * v * np.cos(poses[:, 2])
+        poses[:, 1] += dt * v * np.sin(poses[:, 2])
+        poses[:, 2] += dt * w
+        vs = v
