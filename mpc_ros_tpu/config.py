@@ -223,6 +223,21 @@ class SolverConfig:
     def ddp_gate_eff(self) -> float:
         """Obstacle-free effective gate (alias of `gate_for(False)`)."""
         return self.gate_for(False)
+    # one-sided weight-scale equivariance (round 5, VERDICT r4 item 5).
+    # The solver's absolute knobs — mu floor/ceiling, projected-gradient
+    # tolerance, DDP gate — are in COST units, so a problem with weights
+    # uniformly scaled by c > 1 behaves like the unscaled problem with
+    # mu/tol/gate ÷ c: relatively weaker damping, a relatively tighter
+    # certificate, and a DDP gate the endgame gradient never falls below
+    # (the round-4 census's one real gap: N=60 c=5 degraded ddp to
+    # effective GN at conv 0.9961). When True, each lane scales those
+    # knobs by s = max(1, sum(weights)/470) (470 = the default weight
+    # sum), which restores EXACT c=1 iterates for uniformly up-scaled
+    # problems (bit-identical at power-of-two scales — pinned in
+    # tests/test_ddp.py). One-sided because DOWN-scaled weights are
+    # measurably rescued by the absolute mu floor (census: N=60 c=0.05
+    # fixed it=5.52/conv 1.000 vs scaled it=7.52) — s < 1 is clamped.
+    scale_adaptive: bool = True
     # cte/etheta coupling sign: +1.0 = reference-exact (default, FG_eval
     # parity); -1.0 = the internally-consistent yaw-minus-path convention
     # (reference quirk Q11 — see models/diff_drive.py docstring; closed-loop

@@ -55,25 +55,29 @@ def sample_weight_candidates(key, n: int, base: MPCParams,
 def tuning_sweep(key, candidates: MPCParams, n_scenarios: int,
                  cfg: SolverConfig, dtype=jnp.float32,
                  score_cte_weight: float = 1.0,
-                 presort: bool = True) -> SweepResult:
+                 presort: bool = False) -> SweepResult:
     """Evaluate `n_weights` candidates on a shared random scenario set.
 
     Total batch = n_weights * n_scenarios solves in ONE program. Scoring
     uses a fixed evaluation metric (terminal |cte| + convergence), NOT each
     candidate's own cost (costs with different weights are incomparable).
 
-    `presort` (default on since round 5): order the shared scenario set by
-    predicted solve difficulty before tiling, so similar-iteration lanes
-    share megakernel tiles (each tile pays its slowest lane — see
-    engine/presort.py; +11.5% measured on the plain ensemble). The sweep
-    consumes only per-candidate REDUCTIONS (means, fractions, argmin), all
-    permutation-invariant within a candidate's contiguous block, so the
-    reorder is semantics-free here. The ridge difficulty model is fit on
-    one calibration solve of a <=2048-scenario subsample under the first
-    candidate's weights (a 16-feature closed-form fit needs no more; at
-    full n_scenarios the calibration would eat ~1/n_weights of the sweep
-    and cancel the tile win), then predicts keys for the whole set with
-    one matvec."""
+    `presort`: order the shared scenario set by predicted solve difficulty
+    before tiling, so similar-iteration lanes share megakernel tiles (see
+    engine/presort.py). SEMANTICS-FREE here — the sweep consumes only
+    per-candidate reductions (means, fractions, argmin), permutation-
+    invariant within each candidate's contiguous block; ranking
+    invariance is pinned in tests/test_batch_parallel.py. MEASURED OFF by
+    default on the axon tunnel (round 5, in-session A/B at the bench
+    shape 8x16,384): ~90-100 ms unsorted vs ~290-300 ms presorted — the
+    calibration solve's sync plus the scenario-set host fetches cost 3-4
+    extra ~27 ms tunnel round-trips + ~0.6 MB of downloads, swamping the
+    ~4 ms tile-max saving of a 131k-lane solve (the +11.5% presort win
+    amortizes over pipelined STREAMS, bench --presort, not a one-shot
+    program with host round-trips). A locally-attached TPU (~0 RTT) would
+    flip the sign; re-measure there before changing the default. The
+    ridge model is fit on a <=2048-scenario calibration subsample under
+    the first candidate's weights, then predicts keys with one matvec."""
     n_weights = jax.tree.leaves(candidates)[0].shape[0]
     kz, _ = jax.random.split(key)
     z0s, coeffs = make_random_scenarios(kz, n_scenarios, dtype)

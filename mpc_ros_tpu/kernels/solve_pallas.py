@@ -55,7 +55,8 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             mu_max: float, mu_factor: float, dtype, n_blobs: int,
             sub: int, n_done_needed: int, unroll_bwd: bool,
             has_resume: bool, has_setp: bool, fast_trig: bool,
-            model: str, ddp: bool, ddp_gate: float, *refs):
+            model: str, ddp: bool, ddp_gate: float, adaptive: bool,
+            *refs):
     # Per-lane values are (sub, 128) tiles. With sub=8 each value fills a
     # native f32 vreg (8 sublanes x 128 lanes): one vector op processes
     # 1024 scenarios. sub=1 wastes 7/8 of the VPU rows — it exists only as
@@ -127,6 +128,27 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
     we2 = 2.0 * par[P_WETH]
     ww2 = 2.0 * par[P_WANG]
     wa2 = 2.0 * par[P_WACC]
+
+    # one-sided weight-scale equivariance (SolverConfig.scale_adaptive,
+    # models/costs.weight_scale): mu floor/ceiling scale per lane with
+    # s = max(1, sum(w)/470); the pg MEASUREMENT normalizes by 1/s so the
+    # tol_grad / ddp_gate comparisons stay in c=1 units (scaling the
+    # thresholds instead would re-enter pg's control-unit clipped plateau
+    # and mis-engage the gate). Pure VPU math on weights already resident
+    # in the params tile — up-scaled lanes solve with exact c=1 iterates.
+    if adaptive:
+        wscl = jnp.maximum(
+            (par[P_WCTE] + par[P_WETH] + par[P_WVEL] + par[P_WANG]
+             + par[P_WACC] + par[P_WDANG] + par[P_WDACC]) * (1.0 / 470.0),
+            1.0)
+        inv_wscl = 1.0 / wscl
+    else:
+        wscl = jnp.ones(vshape, dtype)
+        inv_wscl = wscl
+    tolg = tol_grad
+    mu_lo = mu_min * wscl
+    mu_hi = mu_max * wscl
+    gate_v = jnp.full(vshape, ddp_gate, dtype)
 
     # per-knot (ref_cte, ref_etheta, ref_vel) setpoints: a time-indexed
     # VMEM profile in trajectory-tracking mode (solver/ilqr.py `refs`),
@@ -323,7 +345,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         # second-order terms (dynamics + the blob concave part) engage
         # once the previous iteration's projected gradient is below
         # ddp_gate (gnorm starts at +inf -> first iteration is pure GN)
-        g_ddp = (gnorm < ddp_gate).astype(dtype) if ddp else None
+        g_ddp = (gnorm < gate_v).astype(dtype) if ddp else None
 
         # ---- backward scan with inline linearization ----
         sT = traj_s[cur, T]
@@ -587,9 +609,13 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             Ks_ref[t] = K
             dv1 = dv1 + k[0] * Qu[0] + k[1] * Qu[1]
             dv2 = dv2 + 0.5 * (k[0] * Quu_k[0] + k[1] * Quu_k[1])
+            # pg on the weight-scale-NORMALIZED gradient (inv_wscl == 1/s;
+            # equals the c=1 problem's pg for uniform weight scalings)
             pg_t = jnp.maximum(
-                jnp.abs(u_t[0] - jnp.clip(u_t[0] - Qu[0], lb[0], ub[0])),
-                jnp.abs(u_t[1] - jnp.clip(u_t[1] - Qu[1], lb[1], ub[1])))
+                jnp.abs(u_t[0] - jnp.clip(u_t[0] - Qu[0] * inv_wscl,
+                                          lb[0], ub[0])),
+                jnp.abs(u_t[1] - jnp.clip(u_t[1] - Qu[1] * inv_wscl,
+                                          lb[1], ub[1])))
             return (Vs_n, Vss_n, dv1, dv2, jnp.maximum(pg, pg_t))
 
         # fully unrolled: Mosaic supports only unroll=1 or full unroll;
@@ -703,8 +729,8 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
 
         # ---- per-lane bookkeeping (matches batch_lane) ----
         mu2 = jnp.where(
-            upd > 0.5, jnp.maximum(mu / mu_factor, mu_min),
-            jnp.where(act > 0.5, jnp.minimum(mu * mu_factor, mu_max), mu))
+            upd > 0.5, jnp.maximum(mu / mu_factor, mu_lo),
+            jnp.where(act > 0.5, jnp.minimum(mu * mu_factor, mu_hi), mu))
         small_step = accepted * (
             jnp.abs(cost - cost2)
             <= tol_cost_eff * (1.0 + jnp.abs(cost))).astype(dtype)
@@ -715,13 +741,13 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         # open; under inflated mu it is a stall only if the step was ALSO
         # rejected — accepted tiny steps keep iterating while mu decays
         # toward an honest certificate (see ilqr.py) — per lane
-        mu_open = (mu <= mu_min * mu_factor).astype(dtype)
+        mu_open = (mu <= mu_lo * mu_factor).astype(dtype)
         converged_now = jnp.maximum(
-            jnp.maximum((pg < tol_grad).astype(dtype),
+            jnp.maximum((pg < tolg).astype(dtype),
                         (n_small2 >= 2.0).astype(dtype)),
             tiny_model * mu_open)
         stalled = jnp.maximum(
-            (1.0 - accepted) * (mu2 >= mu_max).astype(dtype),
+            (1.0 - accepted) * (mu2 >= mu_hi).astype(dtype),
             tiny_model * (1.0 - mu_open) * (1.0 - accepted))
         done2 = jnp.where(act > 0.5,
                           jnp.maximum(converged_now, stalled), done)
@@ -742,8 +768,8 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             cost0, r0[2], zeros, r0[0], r0[1], r0[3], zeros, zeros])
     else:
         regs0 = jnp.stack([
-            cost0, jnp.full(vshape, mu_min, dtype), zeros, zeros, zeros,
-            jnp.full(vshape, jnp.inf, dtype), zeros, zeros])
+            cost0, jnp.broadcast_to(mu_lo, vshape).astype(dtype), zeros,
+            zeros, zeros, jnp.full(vshape, jnp.inf, dtype), zeros, zeros])
     (_, cur_f, regs_f) = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                      regs0))
@@ -844,7 +870,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         cfg.ddp_for(dtype),
         # blob ensembles cap the auto gate at 0.75 (basin stability with
         # the exact blob curvature — policy in SolverConfig.gate_for)
-        float(cfg.gate_for(n_blobs > 0)))
+        float(cfg.gate_for(n_blobs > 0)), cfg.scale_adaptive)
     setp_inputs = [] if refs is None else [rsh(refs)]
     setp_specs = [] if refs is None else [lane_spec(T + 1, 3)]
     resume_inputs = [] if resume is None else [rsh(jnp.stack(resume))]
@@ -938,13 +964,18 @@ def solve_pallas_scheduled(zT, cT, params_pack, lb, ub, u0, cfg, *,
         # straggler schedule wins LONG horizons on both axes — N=48:
         # 3.88M solves/s @ conv 0.9997 vs 2.74M @ 0.9982 single-pass;
         # N=60: 2.72M @ 0.9997 vs 1.76M @ 0.9982; N=100 (B=16k): 587k @
-        # 0.9996 vs 320k @ 0.9984. The long-horizon tail (~1,650 ppm,
-        # censused in tools/census_horizon.py) needs 27-68 iterations —
-        # exactly the genuinely-hard shape compaction serves: pass-1
-        # tiles exit at their p97 lane (throughput) and the stragglers
-        # get a fresh budget to 2x cap (conv). Short horizons keep the
-        # single pass (DDP collapsed their tail; compact measured ~2.5%
-        # slower there, BENCH_NOTES "Tried and rejected" #0).
+        # 0.9996 vs 320k @ 0.9984. Round 5 censused the 33-47 interior
+        # (tools/probe_n40_compact.py, B=131072): compact wins every
+        # probed point — N=36: 5.26M @ 0.9998 vs 4.62M @ 0.9990; N=40:
+        # 4.71M @ 0.9997 vs 3.69M @ 0.9984; N=44: 4.12M @ 0.9997 vs
+        # 3.12M @ 0.9984 — so the >32 threshold is measured from N=36 up,
+        # not interpolated. The long-horizon tail (~1,650 ppm, censused
+        # in tools/census_horizon.py) needs 27-68 iterations — exactly
+        # the genuinely-hard shape compaction serves: pass-1 tiles exit
+        # at their p97 lane (throughput) and the stragglers get a fresh
+        # budget to 2x cap (conv). Short horizons keep the single pass
+        # (DDP collapsed their tail; compact measured ~2.5% slower there,
+        # BENCH_NOTES "Tried and rejected" #0).
         schedule = "compact"
     if schedule == "compact":
         return _solve_compact(zT, cT, params_pack, lb, ub, u0, cfg,

@@ -76,6 +76,27 @@ def state_weights(p: MPCParams, dtype):
     return wz, ref
 
 
+# the default MPCParams weight sum (100+100+100+100+50+10+10): the
+# normalization anchor of the solver's weight-scale proxy
+W_DEFAULT_SUM = 470.0
+
+
+def weight_scale(p: MPCParams, dtype):
+    """One-sided cost-magnitude proxy s = max(1, sum(weights)/470) —
+    scalar or per-lane, following the param leaves' shape.
+
+    The solver's absolute knobs (mu floor/ceiling, pg tolerance, DDP
+    gate) are in cost units; scaling them by s makes uniformly up-scaled
+    problems solve with EXACTLY the c=1 iterates (the iLQR update is
+    equivariant under J -> cJ with mu -> c mu; at power-of-two c the f32
+    iterates are bit-identical). One-sided: down-scaled weights keep the
+    absolute mu floor that measurably rescues their early-engaged DDP
+    model (SolverConfig.scale_adaptive docstring; BENCH_NOTES census)."""
+    s = (p.w_cte + p.w_etheta + p.w_vel + p.w_angvel + p.w_accel
+         + p.w_angvel_d + p.w_accel_d) * (1.0 / W_DEFAULT_SUM)
+    return jnp.maximum(jnp.asarray(s, dtype), jnp.asarray(1.0, dtype))
+
+
 def state_cost(z: jnp.ndarray, p: MPCParams, ref3=None) -> jnp.ndarray:
     """Per-knot tracking cost on (cte, etheta, v). z: (..., 6); `ref3`
     (..., 3) optionally replaces the scalar setpoints per knot."""

@@ -50,6 +50,13 @@ class ObstacleMap:
     resolution: Array    # scalar [m / cell]
     weight: Array        # cost multiplier w_obs
     sampling: str = struct.field(pytree_node=False, default="bilinear")
+    # optional precomputed per-cell bi-quadratic coefficient planes for
+    # sampling="spline" ((H, W, 9) or (B, H, W, 9) — see
+    # spline_coeff_planes / with_spline_coeffs): sampling becomes one
+    # packed row gather + a 2-D Horner instead of the 9-tap scattered
+    # stencil. Same polynomial, different factorization (values equal to
+    # f32 rounding).
+    coeff: "Array | None" = None
 
     @staticmethod
     def empty(extent: float = 4.0, cells: int = 64, weight: float = 0.0,
@@ -61,6 +68,15 @@ class ObstacleMap:
             resolution=jnp.asarray(extent / cells, dtype),
             weight=jnp.asarray(weight, dtype),
         )
+
+    def with_spline_coeffs(self) -> "ObstacleMap":
+        """Attach precomputed per-cell bi-quadratic coefficient planes
+        (spline_coeff_planes) so spline sampling becomes one packed row
+        gather + Horner. Requires sampling='spline'; call once per costmap
+        update (9x the grid's memory — 144 KB for a 64x64 f32 map)."""
+        assert self.sampling == "spline", \
+            "coefficient planes apply to sampling='spline' only"
+        return self.replace(coeff=spline_coeff_planes(self.grid))
 
 
 def bilinear_sample(grid: jnp.ndarray, origin, resolution,
@@ -93,6 +109,25 @@ def _spline_terms_xy(omap: "ObstacleMap", xy: jnp.ndarray):
     # _spline_weights clamps the center knot to [1, n-2]: empty range below
     assert H >= 3 and W >= 3, \
         f"sampling='spline' needs a >=3x3 grid, got {H}x{W}"
+    if omap.coeff is not None:
+        res = omap.resolution
+        fx = (xy[..., 0] - omap.origin[0]) / res
+        fy = (xy[..., 1] - omap.origin[1]) / res
+        mx = jnp.clip(jnp.round(fx).astype(jnp.int32), 1, W - 2)
+        my = jnp.clip(jnp.round(fy).astype(jnp.int32), 1, H - 2)
+        sx = jnp.clip(fx - mx.astype(fx.dtype), -0.5, 0.5)
+        sy = jnp.clip(fy - my.astype(fy.dtype), -0.5, 0.5)
+        c9 = jnp.take(omap.coeff.reshape(H * W, 9), my * W + mx, axis=0)
+        val, dvx, dvy, hxx, hyy = _spline_coeff_eval(c9, sx, sy, fx.dtype)
+        in_x = jnp.logical_and(fx >= 0.0, fx <= W - 1.0).astype(fx.dtype)
+        in_y = jnp.logical_and(fy >= 0.0, fy <= H - 1.0).astype(fy.dtype)
+        inv_r = 1.0 / res
+        wgt = omap.weight
+        return (wgt * val,
+                wgt * dvx * inv_r * in_x,
+                wgt * dvy * inv_r * in_y,
+                wgt * jnp.maximum(hxx, 0.0) * inv_r * inv_r * in_x,
+                wgt * jnp.maximum(hyy, 0.0) * inv_r * inv_r * in_y)
     res = omap.resolution
     fx = (xy[..., 0] - omap.origin[0]) / res
     fy = (xy[..., 1] - omap.origin[1]) / res
@@ -193,6 +228,61 @@ def obstacle_curv_xy(omap: ObstacleMap, xy: jnp.ndarray):
     return hxx, hyy
 
 
+# per-axis quadratic B-spline basis as polynomials in the fractional
+# offset s (cell units, s in [-0.5, 0.5]): w_i(s) = sum_p A[p, i] s^p with
+#   w0 = 0.5(0.5-s)^2, w1 = 0.75 - s^2, w2 = 0.5(0.5+s)^2
+_SPLINE_A = ((0.125, 0.75, 0.125),
+             (-0.5, 0.0, 0.5),
+             (0.5, -1.0, 0.5))
+
+
+def spline_coeff_planes(grid: jnp.ndarray) -> jnp.ndarray:
+    """Per-cell bi-quadratic coefficient planes of the quadratic B-spline
+    surface: grid (..., H, W) -> (..., H, W, 9) with
+        value(sx, sy) = sum_{p,q} C[..., my, mx, 3*p + q] sx^p sy^q,
+    sx/sy the fractional offsets from the (clamped) center knot. Computed
+    ONCE per costmap update (set_costmap time); per-sample evaluation is
+    then one packed row gather + Horner instead of the 9-tap scattered
+    stencil (tools/probe_spline_coeff.py measures the trade on TPU).
+    Border rows/cols (cell index 0 and n-1) are edge-padded copies — the
+    center knot clamps to [1, n-2], so they are never addressed."""
+    g = grid
+    pad = [(0, 0)] * (g.ndim - 2) + [(1, 1), (1, 1)]
+    gp = jnp.pad(g, pad, mode="edge")
+    H, W = g.shape[-2], g.shape[-1]
+    A = _SPLINE_A
+    planes = []
+    for p in range(3):
+        for q in range(3):
+            c = None
+            for i in range(3):
+                for j in range(3):
+                    aa = A[p][i] * A[q][j]
+                    if aa == 0.0:
+                        continue
+                    term = aa * gp[..., j:j + H, i:i + W]
+                    c = term if c is None else c + term
+            planes.append(c)
+    return jnp.stack(planes, axis=-1)           # (..., H, W, 9)
+
+
+def _spline_coeff_eval(c9, sx, sy, dtype):
+    """Evaluate the bi-quadratic and its derivatives from gathered
+    per-cell coefficients c9 (..., 9) at offsets sx/sy (...,) — pure
+    Horner, no further gathers. Returns (val, d/dsx, d/dsy, d2/dsx2,
+    d2/dsy2) in CELL units (caller scales by 1/res)."""
+    c = [c9[..., k] for k in range(9)]
+    # S_q(sx) = sum_p c[3p+q] sx^p
+    S = [c[q] + sx * (c[3 + q] + sx * c[6 + q]) for q in range(3)]
+    dS = [c[3 + q] + 2.0 * sx * c[6 + q] for q in range(3)]
+    val = S[0] + sy * (S[1] + sy * S[2])
+    dvx = dS[0] + sy * (dS[1] + sy * dS[2])
+    dvy = S[1] + 2.0 * sy * S[2]
+    hxx = 2.0 * (c[6] + sy * (c[7] + sy * c[8]))
+    hyy = 2.0 * (S[2])
+    return val, dvx, dvy, hxx, hyy
+
+
 def _spline_weights(f, n: int):
     """3-tap uniform quadratic B-spline weights/derivatives on one axis.
     f: continuous coordinate in cell units; n: axis size. Center knot
@@ -206,11 +296,45 @@ def _spline_weights(f, n: int):
     return m, w, dw
 
 
+def _spline_coeff_terms_bl(omaps: "ObstacleMap", x: jnp.ndarray,
+                           y: jnp.ndarray):
+    """Coefficient-plane twin of `_spline_terms_bl`: same bi-quadratic
+    surface evaluated from the precomputed (B, H, W, 9) planes — one
+    packed row gather (jnp.take of 9-wide rows at the cell index) + a 2-D
+    Horner, instead of 9 scattered single-element gathers."""
+    grids = omaps.grid
+    B, H, W = grids.shape
+    res = omaps.resolution
+    fx = (x - omaps.origin[:, 0]) / res
+    fy = (y - omaps.origin[:, 1]) / res
+    mx = jnp.clip(jnp.round(fx).astype(jnp.int32), 1, W - 2)
+    my = jnp.clip(jnp.round(fy).astype(jnp.int32), 1, H - 2)
+    sx = jnp.clip(fx - mx.astype(fx.dtype), -0.5, 0.5)
+    sy = jnp.clip(fy - my.astype(fy.dtype), -0.5, 0.5)
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), mx.shape)
+    cell = (b_idx * H + my) * W + mx
+    c9 = jnp.take(omaps.coeff.reshape(B * H * W, 9), cell, axis=0)
+    val, dvx, dvy, hxx, hyy = _spline_coeff_eval(c9, sx, sy, x.dtype)
+    in_x = jnp.logical_and(fx >= 0.0, fx <= W - 1.0).astype(x.dtype)
+    in_y = jnp.logical_and(fy >= 0.0, fy <= H - 1.0).astype(x.dtype)
+    inv_r = 1.0 / res
+    wgt = omaps.weight
+    return (wgt * val,
+            wgt * dvx * inv_r * in_x,
+            wgt * dvy * inv_r * in_y,
+            wgt * jnp.maximum(hxx, 0.0) * inv_r * inv_r * in_x,
+            wgt * jnp.maximum(hyy, 0.0) * inv_r * inv_r * in_y)
+
+
 def _spline_terms_bl(omaps: "ObstacleMap", x: jnp.ndarray, y: jnp.ndarray):
     """C1 quadratic-B-spline field terms, lane-major batched:
     (val, dx, dy, hxx, hyy), each shaped like x, weight-scaled. The
     second derivatives are analytic (d2B = (1, -2, 1)/res^2 per axis,
-    piecewise constant), PSD-clamped for the backward pass."""
+    piecewise constant), PSD-clamped for the backward pass. With
+    precomputed coefficient planes (`with_spline_coeffs`), evaluation
+    routes to the packed-gather twin."""
+    if omaps.coeff is not None:
+        return _spline_coeff_terms_bl(omaps, x, y)
     grids = omaps.grid
     B, H, W = grids.shape
     assert H >= 3 and W >= 3, \
@@ -624,15 +748,21 @@ def gaussian_blob_map(center, sigma: float = 0.4, extent: float = 4.0,
                       cells: int = 64, weight: float = 50.0,
                       dtype=jnp.float32,
                       sampling: str = "bilinear") -> ObstacleMap:
-    """Synthetic costmap: one Gaussian obstacle blob (benchmarks/tests)."""
+    """Synthetic costmap: one Gaussian obstacle blob (benchmarks/tests).
+    sampling="spline_coeff" builds a spline map with precomputed per-cell
+    coefficient planes attached (with_spline_coeffs)."""
+    coeffs = sampling == "spline_coeff"
+    if coeffs:
+        sampling = "spline"
     xs = jnp.linspace(-extent / 2, extent / 2, cells, dtype=dtype)
     X, Y = jnp.meshgrid(xs, xs)
     cx, cy = center
     g = jnp.exp(-((X - cx) ** 2 + (Y - cy) ** 2) / (2.0 * sigma**2))
-    return ObstacleMap(
+    m = ObstacleMap(
         grid=g.astype(dtype),
         origin=jnp.asarray([-extent / 2, -extent / 2], dtype),
         resolution=jnp.asarray(extent / (cells - 1), dtype),
         weight=jnp.asarray(weight, dtype),
         sampling=sampling,
     )
+    return m.with_spline_coeffs() if coeffs else m

@@ -242,6 +242,16 @@ def _horizon_solve_jit(mesh, cfg: SolverConfig):
         mu_min = jnp.asarray(cfg.mu_init, dtype)
         mu_max = jnp.asarray(cfg.mu_max, dtype)
         mu_factor = jnp.asarray(cfg.mu_factor, dtype)
+        inv_scl = None
+        if cfg.scale_adaptive:
+            # one-sided weight-scale equivariance: mu scales with s, the
+            # pg measurement normalizes by 1/s (see ilqr.solve)
+            from ..models.costs import weight_scale
+
+            wscl = weight_scale(p, dtype)
+            mu_min = mu_min * wscl
+            mu_max = mu_max * wscl
+            inv_scl = 1.0 / wscl
 
         rollout = jax.vmap(
             lambda z, u, c: ilqr._rollout_aug(z, u, c, dt, sign, mdl, p))
@@ -271,8 +281,8 @@ def _horizon_solve_jit(mesh, cfg: SolverConfig):
             V_s, V_ss = jax.vmap(
                 lambda s: ilqr._terminal_expansion(s, p))(ss[:, -1])
             ks, Ks, dV1, dV2, pg = jax.vmap(
-                lambda *a: ilqr.backward_pass_parallel(*a[:-1], lb, ub,
-                                                       a[-1])
+                lambda *a: ilqr.backward_pass_parallel(
+                    *a[:-1], lb, ub, a[-1], inv_scale=inv_scl)
             )(A, Bm, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, mu)
             # gains come home to data-only sharding for the sequential
             # forward rollout
@@ -324,7 +334,8 @@ def _horizon_solve_jit(mesh, cfg: SolverConfig):
             return (ss2, us2, cost2, mu2, it + 1, done2, gnorm2, n_small2,
                     conv2, iters2)
 
-        init = (ss0, us0, cost0, jnp.full((Bsz,), mu_min, dtype),
+        init = (ss0, us0, cost0,
+                jnp.broadcast_to(mu_min, (Bsz,)).astype(dtype),
                 jnp.asarray(0, jnp.int32), jnp.zeros((Bsz,), bool),
                 jnp.full((Bsz,), jnp.inf, dtype),
                 jnp.zeros((Bsz,), jnp.int32), jnp.zeros((Bsz,), bool),

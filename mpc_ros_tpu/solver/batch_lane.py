@@ -302,7 +302,7 @@ def _stage_linexp_bl(s, u, coeffs, dt, sign, rate_on, p, dtype,
 
 def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
                  omaps=None, blobs=None, model="diff_drive", ddp=False,
-                 ddp_mask=None):
+                 ddp_mask=None, inv_scale=None):
     """Control-limited Riccati scan, batch-last. mu: (B,).
 
     Stage Jacobians/quadratics are materialized for all T stages up front
@@ -313,6 +313,8 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
     arrays stream from HBM at line rate."""
     dtype = ss.dtype
     T = us.shape[0]
+    i_scl = (jnp.asarray(1.0, dtype) if inv_scale is None
+             else jnp.asarray(inv_scale, dtype))
     eye2 = jnp.eye(2, dtype=dtype)[:, :, None]
     rate = jnp.concatenate([jnp.zeros((1,), dtype), jnp.ones((T - 1,), dtype)])
     A, Bm, l_s, l_u, l_ss, l_uu, l_us = jax.vmap(
@@ -411,7 +413,10 @@ def _backward_bl(ss, us, coeffs, dt, sign, p, V_s, V_ss, lb, ub, mu,
 
         dV1 = jnp.einsum("mb,mb->b", k, Qu)
         dV2 = 0.5 * jnp.einsum("mb,mkb,kb->b", k, Quu, k)
-        pg = jnp.max(jnp.abs(u_t - jnp.clip(u_t - Qu, lb, ub)), axis=0)
+        # pg on the weight-scale-NORMALIZED gradient (see batch_solve_lane:
+        # Q_u / s == the c=1 problem's Q_u for uniform weight scalings)
+        pg = jnp.max(jnp.abs(u_t - jnp.clip(u_t - Qu * i_scl, lb, ub)),
+                     axis=0)
         return (Vs_n, Vss_n), (k, K, dV1, dV2, pg)
 
     (_, _), (ks, Ks, dV1s, dV2s, pgs) = jax.lax.scan(
@@ -619,6 +624,20 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     mu_min = jnp.asarray(cfg.mu_init, dtype)
     mu_max = jnp.asarray(cfg.mu_max, dtype)
     mu_factor = jnp.asarray(cfg.mu_factor, dtype)
+    inv_scl = jnp.asarray(1.0, dtype)
+    if cfg.scale_adaptive and not use_pallas:
+        # one-sided weight-scale equivariance (scalar or per-lane with
+        # (B,)-shaped weight leaves): mu floor/ceiling scale with s; the
+        # pg MEASUREMENT is normalized by 1/s so tol_grad / ddp_gate stay
+        # in c=1 units — see models/costs.weight_scale and ilqr.solve
+        # (the legacy two-kernel 'pallas' backward predates this and is
+        # skipped — its pg is computed in-kernel)
+        from ..models.costs import weight_scale
+
+        wscl = weight_scale(p, dtype)
+        mu_min = mu_min * wscl
+        mu_max = mu_max * wscl
+        inv_scl = 1.0 / wscl
     alphas = jnp.asarray(0.5, dtype) ** jnp.arange(n_ls, dtype=dtype)
 
     def cond(st):
@@ -668,7 +687,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         else:
             ks, Ks, dV1, dV2, pg = _backward_bl(
                 ss, us, cT, dt, sign, p, V_s, V_ss, lb, ub, mu, omaps, bl,
-                model, ddp=use_ddp, ddp_mask=dmask)
+                model, ddp=use_ddp, ddp_mask=dmask, inv_scale=inv_scl)
 
         pred_decrease = -(dV1 + dV2)
         tiny_model = pred_decrease <= tol_cost * (1.0 + jnp.abs(cost))
@@ -734,7 +753,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                 iters2)
 
     init = (ss0, us0, cost0,
-            jnp.full((B,), mu_min, dtype),
+            jnp.broadcast_to(mu_min, (B,)).astype(dtype),
             jnp.asarray(0, jnp.int32),
             jnp.zeros((B,), bool),
             jnp.full((B,), jnp.inf, dtype),

@@ -149,7 +149,8 @@ def step_hessians(ss, us, coeffs, dt, sign, mdl: Model, p: MPCParams):
 
 
 def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
-                  us, lb, ub, mu, H=None, ddp_gate_val=None):
+                  us, lb, ub, mu, H=None, ddp_gate_val=None,
+                  inv_scale=None):
     """Control-limited Riccati recursion (sequential `lax.scan`, reverse).
 
     `H` (T, 8, 10, 10) = exact dynamics Hessians (step_hessians): when
@@ -164,6 +165,10 @@ def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
         H = jnp.zeros((us.shape[0], 0, _S + _M, _S + _M), us.dtype)
     gate = (jnp.asarray(0.0, us.dtype) if ddp_gate_val is None
             else ddp_gate_val)
+    # weight-scale normalization of the pg MEASUREMENT (see solve):
+    # pg on Q_u / s == the c=1 problem's pg for uniform weight scalings
+    iscl = (jnp.asarray(1.0, us.dtype) if inv_scale is None
+            else jnp.asarray(inv_scale, us.dtype))
 
     def step(carry, inp):
         Vs, Vss = carry
@@ -195,7 +200,7 @@ def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
         dV1 = k @ Q_u
         dV2 = 0.5 * k @ Q_uu @ k
         # Projected gradient: zero when the KKT conditions hold on the box.
-        pg = jnp.max(jnp.abs(u_t - jnp.clip(u_t - Q_u, lb, ub)))
+        pg = jnp.max(jnp.abs(u_t - jnp.clip(u_t - Q_u * iscl, lb, ub)))
         return (Vs_new, Vss_new), (k, K, dV1, dV2, pg)
 
     (_, _), (ks, Ks, dV1s, dV2s, pgs) = jax.lax.scan(
@@ -206,7 +211,8 @@ def backward_pass(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
 
 
 def backward_pass_parallel(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
-                           us, lb, ub, mu, n_sweeps: int = 8):
+                           us, lb, ub, mu, n_sweeps: int = 8,
+                           inv_scale=None):
     """EXACT control-limited horizon-parallel backward pass: O(log T)
     associative-scan Riccati with clamped-dimension elimination, iterated
     to an active-set fixed point (solver/riccati.parallel_gains_boxed).
@@ -231,7 +237,9 @@ def backward_pass_parallel(A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss,
         n_sweeps=n_sweeps)
     dV1 = jnp.sum(jnp.einsum("tm,tm->t", ks, Q_u))
     dV2 = 0.5 * jnp.sum(jnp.einsum("tm,tmk,tk->t", ks, Q_uu, ks))
-    pg = jnp.max(jnp.abs(us - jnp.clip(us - Q_u, lb, ub)))
+    iscl = (jnp.asarray(1.0, us.dtype) if inv_scale is None
+            else jnp.asarray(inv_scale, us.dtype))
+    pg = jnp.max(jnp.abs(us - jnp.clip(us - Q_u * iscl, lb, ub)))
     return ks, Ks, dV1, dV2, pg
 
 
@@ -337,6 +345,22 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     mu_min = jnp.asarray(cfg.mu_init, dtype)
     mu_max = jnp.asarray(cfg.mu_max, dtype)
     mu_factor = jnp.asarray(cfg.mu_factor, dtype)
+    inv_scl = None
+    if cfg.scale_adaptive:
+        # one-sided weight-scale equivariance (SolverConfig.scale_adaptive;
+        # models/costs.weight_scale): mu lives in COST units -> floor and
+        # ceiling scale with s; the projected gradient's clipped plateau
+        # lives in CONTROL units, so instead of scaling its thresholds
+        # (which would re-enter the plateau and mis-engage the DDP gate)
+        # the MEASUREMENT is normalized — pg is computed on Q_u / s, which
+        # equals the c=1 problem's Q_u exactly for uniform scalings. The
+        # tol_grad / ddp_gate comparisons then stay in c=1 units verbatim.
+        from ..models.costs import weight_scale
+
+        wscl = weight_scale(p, dtype)
+        mu_min = mu_min * wscl
+        mu_max = mu_max * wscl
+        inv_scl = 1.0 / wscl
 
     def cond(state):
         _, _, _, mu, it, done, _, _, _ = state
@@ -354,7 +378,8 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             # the associative-scan elements need SPD stage quadratics up
             # front; the gated DDP contraction is sequential-path only
             ks, Ks, dV1, dV2, pg = backward_pass_parallel(
-                A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
+                A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub,
+                mu, inv_scale=inv_scl
             )
         elif use_ddp:
             H = step_hessians(ss, us, coeffs, dt, sign, mdl, p)
@@ -377,11 +402,12 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                 V_ss = V_ss.at[0, 0].add(-corrT).at[1, 1].add(-corrT)
             ks, Ks, dV1, dV2, pg = backward_pass(
                 A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub,
-                mu, H=H, ddp_gate_val=g
+                mu, H=H, ddp_gate_val=g, inv_scale=inv_scl
             )
         else:
             ks, Ks, dV1, dV2, pg = backward_pass(
-                A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub, mu
+                A, B, l_s, l_u, l_ss, l_uu, l_us, V_s, V_ss, us, lb, ub,
+                mu, inv_scale=inv_scl
             )
         # Expected full-step improvement -(dV1 + dV2); when the model predicts
         # no meaningful decrease we are at a (numerical) optimum — the

@@ -400,3 +400,74 @@ def test_spline_sampling_c1_and_convergence():
         convs[samp] = float(np.mean(np.asarray(r.converged)))
     assert convs["spline"] >= 0.99, convs
     assert convs["spline"] > convs["bilinear"], convs
+
+
+def test_spline_coeff_planes_match_stencil():
+    """Round-5 (VERDICT r4 item 4): precomputed per-cell bi-quadratic
+    coefficient planes evaluate the SAME spline surface as the 9-tap
+    stencil — value, gradient, curvature, masks — on both the unbatched
+    and the lane-major batched paths, including the border strip and
+    out-of-map points."""
+    import jax
+
+    from mpc_ros_tpu.models.obstacles import (ObstacleMap,
+                                              _spline_terms_bl,
+                                              _spline_terms_xy,
+                                              gaussian_blob_map)
+
+    omap = gaussian_blob_map((0.4, -0.2), sigma=0.35, extent=4.0,
+                             cells=32, weight=70.0, sampling="spline")
+    omap_c = omap.with_spline_coeffs()
+    rng = np.random.default_rng(0)
+    # interior, border strip, and out-of-map points
+    pts = np.concatenate([
+        rng.uniform(-1.8, 1.8, (200, 2)),
+        rng.uniform(1.9, 2.4, (50, 2)) * rng.choice([-1, 1], (50, 2)),
+    ]).astype(np.float32)
+    a = _spline_terms_xy(omap, jnp.asarray(pts))
+    b = _spline_terms_xy(omap_c, jnp.asarray(pts))
+    for ta, tb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
+                                   rtol=1e-4, atol=1e-3)
+
+    # batched lane path: B maps, batch-last points
+    B = 8
+    centers = rng.uniform(-0.8, 0.8, (B, 2)).astype(np.float32)
+    mk = lambda samp: jax.vmap(lambda c: gaussian_blob_map(
+        (c[0], c[1]), sigma=0.35, cells=32, weight=70.0,
+        sampling=samp))(jnp.asarray(centers))
+    om_b = mk("spline")
+    om_cb = mk("spline_coeff")
+    assert om_cb.coeff is not None and om_cb.coeff.shape == (B, 32, 32, 9)
+    x = jnp.asarray(rng.uniform(-2.2, 2.2, (40, B)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-2.2, 2.2, (40, B)).astype(np.float32))
+    for ta, tb in zip(_spline_terms_bl(om_b, x, y),
+                      _spline_terms_bl(om_cb, x, y)):
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_spline_coeff_solver_path():
+    """The coefficient-plane maps run through the batched grid solver with
+    the same results as the stencil maps (same surface -> same optima)."""
+    import jax
+
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.models.obstacles import gaussian_blob_map
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    B = 128
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B)
+    centers = jax.random.uniform(jax.random.PRNGKey(1), (B, 2),
+                                 jnp.float32, 0.3, 1.2)
+    mk = lambda samp: jax.vmap(lambda c: gaussian_blob_map(
+        (c[0], c[1]), sigma=0.3, weight=100.0,
+        sampling=samp))(centers)
+    p = MPCParams().astype(jnp.float32)
+    cfg = SolverConfig(n_steps=20, max_sqp_iters=20, tol_grad=1e-4)
+    r_s = batch_solve_lane(z0s, coeffs, p, cfg, omaps=mk("spline"))
+    r_c = batch_solve_lane(z0s, coeffs, p, cfg, omaps=mk("spline_coeff"))
+    assert float(np.mean(np.asarray(r_c.converged))) >= 0.98
+    rel = np.abs(np.asarray(r_c.cost) - np.asarray(r_s.cost)) \
+        / (1.0 + np.abs(np.asarray(r_s.cost)))
+    assert float(rel.max()) < 1e-3, rel.max()
