@@ -305,6 +305,18 @@ class SolverConfig:
         return 6 * self.n_steps
 
 
+def per_lane_leaf_names(params: MPCParams) -> tuple:
+    """Sorted names of the (B,)-shaped per-robot/per-scenario MPCParams
+    leaves — the shard_map partition-spec signature shared by the device
+    fleet planner and the fleet trajectory tracker (one definition so
+    their sharded==unsharded parity cannot drift)."""
+    import numpy as np
+
+    return tuple(sorted(
+        f.name for f in dataclasses.fields(MPCParams)
+        if np.ndim(getattr(params, f.name)) >= 1))
+
+
 @dataclasses.dataclass(frozen=True)
 class PlannerLimits:
     """Generic local-planner limits (successor of

@@ -629,8 +629,10 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             unroll=unroll_bwd)
 
         pred_decrease = -(dv1 + dv2)
+        # wscl floor: tol*(s+|J|) keeps the relative-cost guards exactly
+        # equivariant under uniform weight scaling (matches ilqr/batch_lane)
         tiny_model = (pred_decrease
-                      <= tol_cost_eff * (1.0 + jnp.abs(cost))).astype(dtype)
+                      <= tol_cost_eff * (wscl + jnp.abs(cost))).astype(dtype)
 
         # ---- multi-alpha line search ----
         s0_t = read_s(cur, 0)
@@ -733,7 +735,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
             jnp.where(act > 0.5, jnp.minimum(mu * mu_factor, mu_hi), mu))
         small_step = accepted * (
             jnp.abs(cost - cost2)
-            <= tol_cost_eff * (1.0 + jnp.abs(cost))).astype(dtype)
+            <= tol_cost_eff * (wscl + jnp.abs(cost))).astype(dtype)
         n_small2 = jnp.where(act > 0.5,
                              jnp.where(small_step > 0.5, n_small + 1.0, 0.0),
                              n_small)

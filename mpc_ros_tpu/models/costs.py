@@ -97,6 +97,21 @@ def weight_scale(p: MPCParams, dtype):
     return jnp.maximum(jnp.asarray(s, dtype), jnp.asarray(1.0, dtype))
 
 
+def scaled_solver_knobs(cfg, p: MPCParams, dtype):
+    """The ONE resolution of the weight-scale-equivariant solver knobs
+    shared by the ilqr, lane, and sharded engines (the megakernel
+    computes the same quantities in-kernel from its params tile):
+    (mu_min, mu_max, inv_scale_or_None, cost_guard) with mu bounds scaled
+    by s = weight_scale(p), the pg-normalization reciprocal 1/s, and the
+    relative-cost guard floor s (tol*(s+|J|) — exactly equivariant)."""
+    mu_min = jnp.asarray(cfg.mu_init, dtype)
+    mu_max = jnp.asarray(cfg.mu_max, dtype)
+    if not cfg.scale_adaptive:
+        return mu_min, mu_max, None, jnp.asarray(1.0, dtype)
+    wscl = weight_scale(p, dtype)
+    return mu_min * wscl, mu_max * wscl, 1.0 / wscl, wscl
+
+
 def state_cost(z: jnp.ndarray, p: MPCParams, ref3=None) -> jnp.ndarray:
     """Per-knot tracking cost on (cte, etheta, v). z: (..., 6); `ref3`
     (..., 3) optionally replaces the scalar setpoints per knot."""

@@ -43,6 +43,13 @@ class ObstacleMap:
         backward pass. An APPROXIMATING spline: the field is a smoothed
         (~1-cell blur) version of the grid — the honest trade for C1,
         equivalent to one extra inflation-smoothing pass on the costmap.
+      "spline_coeff" — the SAME spline surface evaluated from per-cell
+        bi-quadratic coefficient planes (one packed row gather + Horner
+        instead of the 9-tap scattered stencil; measured +60% over the
+        stencil and faster than bilinear on v5e — the recommended grid
+        mode since round 5). Planes are derived inline per call if not
+        attached; `with_spline_coeffs()` precomputes them once per
+        costmap update (use `with_grid` for updates — see its docstring).
     """
 
     grid: Array          # (H, W) float
@@ -72,11 +79,42 @@ class ObstacleMap:
     def with_spline_coeffs(self) -> "ObstacleMap":
         """Attach precomputed per-cell bi-quadratic coefficient planes
         (spline_coeff_planes) so spline sampling becomes one packed row
-        gather + Horner. Requires sampling='spline'; call once per costmap
-        update (9x the grid's memory — 144 KB for a 64x64 f32 map)."""
-        assert self.sampling == "spline", \
-            "coefficient planes apply to sampling='spline' only"
+        gather + Horner. Requires a spline sampling mode; call once per
+        costmap update (9x the grid's memory — 144 KB for a 64x64 f32
+        map). STALENESS: the planes are derived from the CURRENT grid —
+        a later `.replace(grid=...)` does NOT invalidate them; update
+        the grid through `with_grid` instead (it re-derives any attached
+        planes)."""
+        assert self.sampling in ("spline", "spline_coeff"), \
+            "coefficient planes apply to spline sampling only"
         return self.replace(coeff=spline_coeff_planes(self.grid))
+
+    def with_grid(self, grid) -> "ObstacleMap":
+        """Install a new cost grid, re-deriving the precomputed spline
+        coefficient planes when present (the safe per-update path — a raw
+        `.replace(grid=...)` would keep sampling the OLD surface through
+        stale planes)."""
+        m = self.replace(grid=jnp.asarray(grid, self.grid.dtype))
+        if self.coeff is not None:
+            m = m.replace(coeff=spline_coeff_planes(m.grid))
+        return m
+
+
+def _sampling_mode(omap) -> str:
+    """Dispatch family of an ObstacleMap's sampling string: 'spline'
+    (covers both the stencil 'spline' and the coefficient-plane
+    'spline_coeff' spelling — same surface) or 'bilinear'. Rejects
+    unknown strings loudly instead of silently falling through to the
+    bilinear branch (a misspelled mode would otherwise sample C0 with no
+    warning — the worst of the modes for the solver's certificate)."""
+    s = omap.sampling
+    if s in ("spline", "spline_coeff"):
+        return "spline"
+    if s == "bilinear":
+        return "bilinear"
+    raise ValueError(
+        f"unknown ObstacleMap.sampling {s!r}; expected 'bilinear', "
+        f"'spline', or 'spline_coeff'")
 
 
 def bilinear_sample(grid: jnp.ndarray, origin, resolution,
@@ -109,25 +147,17 @@ def _spline_terms_xy(omap: "ObstacleMap", xy: jnp.ndarray):
     # _spline_weights clamps the center knot to [1, n-2]: empty range below
     assert H >= 3 and W >= 3, \
         f"sampling='spline' needs a >=3x3 grid, got {H}x{W}"
+    if omap.coeff is None and omap.sampling == "spline_coeff":
+        # planes requested but not attached: derive them inline from the
+        # grid — always fresh (no staleness), but recomputed per call;
+        # attach once via with_spline_coeffs for the fast path
+        omap = omap.replace(coeff=spline_coeff_planes(grid))
     if omap.coeff is not None:
         res = omap.resolution
         fx = (xy[..., 0] - omap.origin[0]) / res
         fy = (xy[..., 1] - omap.origin[1]) / res
-        mx = jnp.clip(jnp.round(fx).astype(jnp.int32), 1, W - 2)
-        my = jnp.clip(jnp.round(fy).astype(jnp.int32), 1, H - 2)
-        sx = jnp.clip(fx - mx.astype(fx.dtype), -0.5, 0.5)
-        sy = jnp.clip(fy - my.astype(fy.dtype), -0.5, 0.5)
-        c9 = jnp.take(omap.coeff.reshape(H * W, 9), my * W + mx, axis=0)
-        val, dvx, dvy, hxx, hyy = _spline_coeff_eval(c9, sx, sy, fx.dtype)
-        in_x = jnp.logical_and(fx >= 0.0, fx <= W - 1.0).astype(fx.dtype)
-        in_y = jnp.logical_and(fy >= 0.0, fy <= H - 1.0).astype(fy.dtype)
-        inv_r = 1.0 / res
-        wgt = omap.weight
-        return (wgt * val,
-                wgt * dvx * inv_r * in_x,
-                wgt * dvy * inv_r * in_y,
-                wgt * jnp.maximum(hxx, 0.0) * inv_r * inv_r * in_x,
-                wgt * jnp.maximum(hyy, 0.0) * inv_r * inv_r * in_y)
+        return _coeff_terms_core(omap.coeff.reshape(H * W, 9), fx, fy,
+                                 H, W, res, omap.weight)
     res = omap.resolution
     fx = (xy[..., 0] - omap.origin[0]) / res
     fy = (xy[..., 1] - omap.origin[1]) / res
@@ -162,7 +192,7 @@ def _spline_terms_xy(omap: "ObstacleMap", xy: jnp.ndarray):
 def obstacle_cost(omap: ObstacleMap, xy: jnp.ndarray) -> jnp.ndarray:
     """Total obstacle penalty over points xy (..., 2) (summed over the
     leading axes)."""
-    if omap.sampling == "spline":
+    if _sampling_mode(omap) == "spline":
         val, _, _, _, _ = _spline_terms_xy(omap, xy)
         return jnp.sum(val)
     vals = bilinear_sample(omap.grid, omap.origin, omap.resolution, xy)
@@ -176,7 +206,7 @@ def obstacle_grad_xy(omap: ObstacleMap, xy: jnp.ndarray) -> jnp.ndarray:
       d/dx = [(1-ty)(g01-g00) + ty(g11-g10)] / res
       d/dy = [(1-tx)(g10-g00) + tx(g11-g01)] / res
     """
-    if omap.sampling == "spline":
+    if _sampling_mode(omap) == "spline":
         _, dx, dy, _, _ = _spline_terms_xy(omap, xy)
         return jnp.stack([dx, dy], axis=-1)
     grid = omap.grid
@@ -213,7 +243,7 @@ def obstacle_curv_xy(omap: ObstacleMap, xy: jnp.ndarray):
     ilqr/vmap path — keeping the vmap engine's grid backward pass in
     lock-step with the lane path (without it the vmap engine kept the
     rejected-step-spiral behavior the curvature term fixes)."""
-    if omap.sampling == "spline":
+    if _sampling_mode(omap) == "spline":
         _, _, _, hxx, hyy = _spline_terms_xy(omap, xy)
         return hxx, hyy
     res = omap.resolution
@@ -283,6 +313,32 @@ def _spline_coeff_eval(c9, sx, sy, dtype):
     return val, dvx, dvy, hxx, hyy
 
 
+def _coeff_terms_core(coeff_rows, fx, fy, H: int, W: int, res, wgt,
+                      b_idx=None):
+    """Shared tail of the coefficient-plane evaluation (single-map and
+    lane-major twins differ only in the row index): clamp the center
+    knot/offsets exactly like `_spline_weights`, one packed row gather,
+    Horner, then the per-axis border masks and weight/res scaling —
+    ONE copy so the mask/clamp policy cannot diverge between paths."""
+    mx = jnp.clip(jnp.round(fx).astype(jnp.int32), 1, W - 2)
+    my = jnp.clip(jnp.round(fy).astype(jnp.int32), 1, H - 2)
+    sx = jnp.clip(fx - mx.astype(fx.dtype), -0.5, 0.5)
+    sy = jnp.clip(fy - my.astype(fy.dtype), -0.5, 0.5)
+    cell = my * W + mx
+    if b_idx is not None:
+        cell = b_idx * (H * W) + cell
+    c9 = jnp.take(coeff_rows, cell, axis=0)
+    val, dvx, dvy, hxx, hyy = _spline_coeff_eval(c9, sx, sy, fx.dtype)
+    in_x = jnp.logical_and(fx >= 0.0, fx <= W - 1.0).astype(fx.dtype)
+    in_y = jnp.logical_and(fy >= 0.0, fy <= H - 1.0).astype(fy.dtype)
+    inv_r = 1.0 / res
+    return (wgt * val,
+            wgt * dvx * inv_r * in_x,
+            wgt * dvy * inv_r * in_y,
+            wgt * jnp.maximum(hxx, 0.0) * inv_r * inv_r * in_x,
+            wgt * jnp.maximum(hyy, 0.0) * inv_r * inv_r * in_y)
+
+
 def _spline_weights(f, n: int):
     """3-tap uniform quadratic B-spline weights/derivatives on one axis.
     f: continuous coordinate in cell units; n: axis size. Center knot
@@ -307,23 +363,9 @@ def _spline_coeff_terms_bl(omaps: "ObstacleMap", x: jnp.ndarray,
     res = omaps.resolution
     fx = (x - omaps.origin[:, 0]) / res
     fy = (y - omaps.origin[:, 1]) / res
-    mx = jnp.clip(jnp.round(fx).astype(jnp.int32), 1, W - 2)
-    my = jnp.clip(jnp.round(fy).astype(jnp.int32), 1, H - 2)
-    sx = jnp.clip(fx - mx.astype(fx.dtype), -0.5, 0.5)
-    sy = jnp.clip(fy - my.astype(fy.dtype), -0.5, 0.5)
-    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), mx.shape)
-    cell = (b_idx * H + my) * W + mx
-    c9 = jnp.take(omaps.coeff.reshape(B * H * W, 9), cell, axis=0)
-    val, dvx, dvy, hxx, hyy = _spline_coeff_eval(c9, sx, sy, x.dtype)
-    in_x = jnp.logical_and(fx >= 0.0, fx <= W - 1.0).astype(x.dtype)
-    in_y = jnp.logical_and(fy >= 0.0, fy <= H - 1.0).astype(x.dtype)
-    inv_r = 1.0 / res
-    wgt = omaps.weight
-    return (wgt * val,
-            wgt * dvx * inv_r * in_x,
-            wgt * dvy * inv_r * in_y,
-            wgt * jnp.maximum(hxx, 0.0) * inv_r * inv_r * in_x,
-            wgt * jnp.maximum(hyy, 0.0) * inv_r * inv_r * in_y)
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), fx.shape)
+    return _coeff_terms_core(omaps.coeff.reshape(B * H * W, 9), fx, fy,
+                             H, W, res, omaps.weight, b_idx=b_idx)
 
 
 def _spline_terms_bl(omaps: "ObstacleMap", x: jnp.ndarray, y: jnp.ndarray):
@@ -332,7 +374,10 @@ def _spline_terms_bl(omaps: "ObstacleMap", x: jnp.ndarray, y: jnp.ndarray):
     second derivatives are analytic (d2B = (1, -2, 1)/res^2 per axis,
     piecewise constant), PSD-clamped for the backward pass. With
     precomputed coefficient planes (`with_spline_coeffs`), evaluation
-    routes to the packed-gather twin."""
+    routes to the packed-gather twin; sampling='spline_coeff' without
+    attached planes derives them inline (fresh per call)."""
+    if omaps.coeff is None and omaps.sampling == "spline_coeff":
+        omaps = omaps.replace(coeff=spline_coeff_planes(omaps.grid))
     if omaps.coeff is not None:
         return _spline_coeff_terms_bl(omaps, x, y)
     grids = omaps.grid
@@ -381,7 +426,7 @@ def obstacle_cost_grad_bl(omaps: "ObstacleMap", x: jnp.ndarray,
     Implemented as four flat gathers per point set (bilinear corners);
     sampling="spline" routes to the 9-gather C1 reconstruction.
     """
-    if omaps.sampling == "spline":
+    if _sampling_mode(omaps) == "spline":
         val, dx, dy, _, _ = _spline_terms_bl(omaps, x, y)
         return val, dx, dy
     grids = omaps.grid                        # (B, H, W)
@@ -431,7 +476,7 @@ def obstacle_curv_bl(omaps: "ObstacleMap", x: jnp.ndarray, y: jnp.ndarray):
     without biasing the gradient (same fixed points). sampling="spline"
     returns the spline's ANALYTIC (piecewise-constant) second
     derivatives instead — no finite differencing."""
-    if omaps.sampling == "spline":
+    if _sampling_mode(omaps) == "spline":
         _, _, _, hxx, hyy = _spline_terms_bl(omaps, x, y)
         return hxx, hyy
     c0, _, _ = obstacle_cost_grad_bl(omaps, x, y)

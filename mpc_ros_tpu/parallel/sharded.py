@@ -210,12 +210,22 @@ def _horizon_solve_jit(mesh, cfg: SolverConfig):
     honest split: the time axis parallelizes exactly the O(T) passes that
     are parallelizable.
 
-    Semantics match engine.batch.batch_solve (same per-iteration update
-    rules; lanes freeze once done) — tested on the virtual mesh.
+    Semantics match engine.batch.batch_solve at `horizon_parallel=True`
+    (same per-iteration update rules; lanes freeze once done) — tested on
+    the virtual mesh. The cfg is normalized to horizon_parallel=True up
+    front: this engine IS the horizon-parallel backward, so the solver
+    profile (ddp='auto' resolves to GN here, ls to the 8-candidate GN
+    ladder) must resolve as such even when the caller's cfg omits the
+    flag — otherwise an f32 default cfg would pair the GN backward with
+    the DDP profile's shallow 4-step line search.
     """
+    import dataclasses as _dc
+
     from ..models import diff_drive as dd
     from ..models.base import get_model
     from ..solver import ilqr
+
+    cfg = _dc.replace(cfg, horizon_parallel=True)
 
     bt = NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS))
     b_only = NamedSharding(mesh, P(DATA_AXIS))
@@ -239,19 +249,13 @@ def _horizon_solve_jit(mesh, cfg: SolverConfig):
         tol_grad = jnp.asarray(cfg.tol_grad_for(dtype), dtype)
         tol_cost = jnp.asarray(
             max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps)), dtype)
-        mu_min = jnp.asarray(cfg.mu_init, dtype)
-        mu_max = jnp.asarray(cfg.mu_max, dtype)
-        mu_factor = jnp.asarray(cfg.mu_factor, dtype)
-        inv_scl = None
-        if cfg.scale_adaptive:
-            # one-sided weight-scale equivariance: mu scales with s, the
-            # pg measurement normalizes by 1/s (see ilqr.solve)
-            from ..models.costs import weight_scale
+        # one-sided weight-scale equivariance — shared resolution in
+        # models/costs.scaled_solver_knobs (see ilqr.solve)
+        from ..models.costs import scaled_solver_knobs
 
-            wscl = weight_scale(p, dtype)
-            mu_min = mu_min * wscl
-            mu_max = mu_max * wscl
-            inv_scl = 1.0 / wscl
+        mu_min, mu_max, inv_scl, cost_guard = scaled_solver_knobs(
+            cfg, p, dtype)
+        mu_factor = jnp.asarray(cfg.mu_factor, dtype)
 
         rollout = jax.vmap(
             lambda z, u, c: ilqr._rollout_aug(z, u, c, dt, sign, mdl, p))
@@ -313,9 +317,11 @@ def _horizon_solve_jit(mesh, cfg: SolverConfig):
                 jnp.where(act, jnp.minimum(mu * mu_factor, mu_max), mu))
 
             pred_decrease = -(dV1 + dV2)
-            tiny_model = pred_decrease <= tol_cost * (1.0 + jnp.abs(cost))
+            tiny_model = pred_decrease <= tol_cost * (
+                cost_guard + jnp.abs(cost))
             small_step = jnp.logical_and(
-                upd, jnp.abs(cost - cost2) <= tol_cost * (1.0 + jnp.abs(cost)))
+                upd, jnp.abs(cost - cost2) <= tol_cost * (
+                    cost_guard + jnp.abs(cost)))
             n_small2 = jnp.where(act,
                                  jnp.where(small_step, n_small + 1, 0),
                                  n_small)

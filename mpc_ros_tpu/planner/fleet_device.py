@@ -693,11 +693,9 @@ class DeviceFleetPlanner(FleetPlanner):
             ob = self.world_obstacles
             blob_leaves = (jnp.asarray(ob.cx), jnp.asarray(ob.cy),
                            jnp.asarray(ob.gamma), jnp.asarray(ob.w))
-        import dataclasses as _dc
+        from ..config import per_lane_leaf_names
 
-        sharded_leaves = tuple(sorted(
-            f.name for f in _dc.fields(MPCParams)
-            if jnp.ndim(getattr(self.params, f.name)) >= 1))
+        sharded_leaves = per_lane_leaf_names(self.params)
         fn = _cycle_jit(self.solver_cfg, self.planner_cfg, M, Mk,
                         has_blobs, jnp.dtype(self.dtype).name,
                         mesh=self.mesh, sharded_leaves=sharded_leaves,

@@ -758,11 +758,9 @@ class FleetTrajectoryTracker:
             ob = self.world_obstacles
             blob_leaves = tuple(self._shard(jnp.asarray(a)) for a in
                                 (ob.cx, ob.cy, ob.gamma, ob.w))
-        import dataclasses as _dc
+        from ..config import per_lane_leaf_names
 
-        sharded_leaves = tuple(sorted(
-            f.name for f in _dc.fields(MPCParams)
-            if jnp.ndim(getattr(self.params, f.name)) >= 1))
+        sharded_leaves = per_lane_leaf_names(self.params)
         fn = _traj_cycle_jit(cfg, self._t.shape[1],
                              float(self.planner_cfg.max_speed),
                              self.catchup_gain,

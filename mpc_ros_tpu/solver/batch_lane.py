@@ -621,23 +621,20 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     tol_grad = jnp.asarray(cfg.tol_grad_for(dtype), dtype)
     tol_cost = jnp.asarray(
         max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps)), dtype)
-    mu_min = jnp.asarray(cfg.mu_init, dtype)
-    mu_max = jnp.asarray(cfg.mu_max, dtype)
-    mu_factor = jnp.asarray(cfg.mu_factor, dtype)
-    inv_scl = jnp.asarray(1.0, dtype)
-    if cfg.scale_adaptive and not use_pallas:
-        # one-sided weight-scale equivariance (scalar or per-lane with
-        # (B,)-shaped weight leaves): mu floor/ceiling scale with s; the
-        # pg MEASUREMENT is normalized by 1/s so tol_grad / ddp_gate stay
-        # in c=1 units — see models/costs.weight_scale and ilqr.solve
-        # (the legacy two-kernel 'pallas' backward predates this and is
-        # skipped — its pg is computed in-kernel)
-        from ..models.costs import weight_scale
+    # one-sided weight-scale equivariance (scalar or per-lane with
+    # (B,)-shaped weight leaves) — shared resolution in
+    # models/costs.scaled_solver_knobs; see the ilqr.solve comment. The
+    # legacy two-kernel 'pallas' backward predates this and is skipped
+    # (its pg is computed in-kernel).
+    from ..models.costs import scaled_solver_knobs
 
-        wscl = weight_scale(p, dtype)
-        mu_min = mu_min * wscl
-        mu_max = mu_max * wscl
-        inv_scl = 1.0 / wscl
+    import dataclasses as _dc2
+
+    knob_cfg = (cfg if not use_pallas
+                else _dc2.replace(cfg, scale_adaptive=False))
+    mu_min, mu_max, inv_scl, cost_guard = scaled_solver_knobs(
+        knob_cfg, p, dtype)
+    mu_factor = jnp.asarray(cfg.mu_factor, dtype)
     alphas = jnp.asarray(0.5, dtype) ** jnp.arange(n_ls, dtype=dtype)
 
     def cond(st):
@@ -690,7 +687,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
                 model, ddp=use_ddp, ddp_mask=dmask, inv_scale=inv_scl)
 
         pred_decrease = -(dV1 + dV2)
-        tiny_model = pred_decrease <= tol_cost * (1.0 + jnp.abs(cost))
+        tiny_model = pred_decrease <= tol_cost * (cost_guard + jnp.abs(cost))
 
         act = jnp.logical_not(done)                         # still-solving lanes
         if use_pallas:
@@ -729,7 +726,8 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             jnp.where(act, jnp.minimum(mu * mu_factor, mu_max), mu))
 
         small_step = jnp.logical_and(
-            accepted, jnp.abs(cost - cost2) <= tol_cost * (1.0 + jnp.abs(cost)))
+            accepted,
+            jnp.abs(cost - cost2) <= tol_cost * (cost_guard + jnp.abs(cost)))
         n_small2 = jnp.where(act, jnp.where(small_step, n_small + 1, 0),
                              n_small)
         # tiny predicted decrease = optimum only with the trust region

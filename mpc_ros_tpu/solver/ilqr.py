@@ -342,25 +342,21 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     tol_cost = jnp.asarray(
         max(cfg.tol_cost, 10.0 * float(jnp.finfo(dtype).eps)), dtype
     )
-    mu_min = jnp.asarray(cfg.mu_init, dtype)
-    mu_max = jnp.asarray(cfg.mu_max, dtype)
-    mu_factor = jnp.asarray(cfg.mu_factor, dtype)
-    inv_scl = None
-    if cfg.scale_adaptive:
-        # one-sided weight-scale equivariance (SolverConfig.scale_adaptive;
-        # models/costs.weight_scale): mu lives in COST units -> floor and
-        # ceiling scale with s; the projected gradient's clipped plateau
-        # lives in CONTROL units, so instead of scaling its thresholds
-        # (which would re-enter the plateau and mis-engage the DDP gate)
-        # the MEASUREMENT is normalized — pg is computed on Q_u / s, which
-        # equals the c=1 problem's Q_u exactly for uniform scalings. The
-        # tol_grad / ddp_gate comparisons then stay in c=1 units verbatim.
-        from ..models.costs import weight_scale
+    # one-sided weight-scale equivariance (SolverConfig.scale_adaptive):
+    # mu lives in COST units -> floor and ceiling scale with s; the
+    # projected gradient's clipped plateau lives in CONTROL units, so
+    # instead of scaling its thresholds (which would re-enter the plateau
+    # and mis-engage the DDP gate) the MEASUREMENT is normalized — pg is
+    # computed on Q_u / s, which equals the c=1 problem's Q_u exactly for
+    # uniform scalings; tol_grad / ddp_gate comparisons stay in c=1 units
+    # verbatim. The relative-cost guards' absolute floor scales too:
+    # tol*(s+|J|) == s * tol*(1+|J1|) (a plain 1+|J| breaks exactness on
+    # lanes whose costs are O(1)). One resolution shared by all engines:
+    # models/costs.scaled_solver_knobs.
+    from ..models.costs import scaled_solver_knobs
 
-        wscl = weight_scale(p, dtype)
-        mu_min = mu_min * wscl
-        mu_max = mu_max * wscl
-        inv_scl = 1.0 / wscl
+    mu_min, mu_max, inv_scl, cost_guard = scaled_solver_knobs(cfg, p, dtype)
+    mu_factor = jnp.asarray(cfg.mu_factor, dtype)
 
     def cond(state):
         _, _, _, mu, it, done, _, _, _ = state
@@ -414,7 +410,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # standard iLQR stop, and the one that matters in f32 where strict
         # line-search decreases drown in roundoff near convergence.
         pred_decrease = -(dV1 + dV2)
-        tiny_model = pred_decrease <= tol_cost * (1.0 + jnp.abs(cost))
+        tiny_model = pred_decrease <= tol_cost * (cost_guard + jnp.abs(cost))
 
         # Parallel-in-alpha line search: largest step size with a cost
         # decrease wins (identical accept rule to sequential backtracking,
@@ -445,7 +441,8 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # single flat line search near the optimum doesn't end the solve
         # while the projected gradient is still loose.
         small_step = jnp.logical_and(
-            accepted, jnp.abs(cost - cost2) <= tol_cost * (1.0 + jnp.abs(cost))
+            accepted,
+            jnp.abs(cost - cost2) <= tol_cost * (cost_guard + jnp.abs(cost))
         )
         n_small2 = jnp.where(small_step, n_small + 1, 0)
         # a tiny predicted decrease certifies an optimum only while the

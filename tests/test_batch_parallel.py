@@ -190,7 +190,11 @@ def test_sharded_horizon_solve_saturated():
     from mpc_ros_tpu.parallel import sharded_horizon_solve
 
     mesh = make_mesh(n_data=4, n_time=2)
-    cfg = SolverConfig(n_steps=16, max_sqp_iters=25, tol_grad=1e-6)
+    # horizon_parallel EXPLICIT so the unsharded reference resolves the
+    # same GN solver profile as the time-sharded engine (which normalizes
+    # its cfg to horizon_parallel=True — see parallel/sharded.py)
+    cfg = SolverConfig(n_steps=16, max_sqp_iters=25, tol_grad=1e-6,
+                       horizon_parallel=True)
     p = MPCParams(max_angvel=0.3, max_throttle=0.2,
                   w_cte=300.0).astype(jnp.float32)
     B = 16
