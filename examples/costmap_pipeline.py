@@ -10,9 +10,13 @@ is a first-class obstacle source with three routes (round 4):
   2. `FleetPlanner.set_costmaps(omaps)` — fleet: the batched jitted
      DEVICE fit (`fit_gaussians_to_maps`, 8,192 64x64 maps in 8.3 ms on
      v5e) converts every robot's map in one program.
-  3. `ObstacleMap(sampling="spline")` — stay on the grid directly with
-     the C1 quadratic-B-spline reconstruction (conv 0.998 vs bilinear's
-     0.95; use when exact grid semantics matter more than throughput).
+  3. `ObstacleMap(sampling="spline").with_spline_coeffs()` — stay on the
+     grid directly with the C1 quadratic-B-spline reconstruction
+     evaluated from precomputed per-cell coefficient planes (round 5:
+     conv 0.998 at 2,692 solves/s @ B=4096 — faster than BOTH the 9-tap
+     stencil and bilinear; re-derive planes on grid updates via
+     `with_grid`). Plain "spline" keeps the stencil; "bilinear" is the
+     costmap_2d-exact C0 mode (conv ~0.94).
 
 Run (CPU works fine for this size):
 
@@ -75,10 +79,11 @@ def main():
                                                      np.zeros((B, 2)))
     print(f"fleet cycle: commands {np.round(cmds[0], 3)} x{B} robots")
 
-    # route 3: solve against the C1 spline grid directly
+    # route 3: solve against the C1 spline grid directly — coefficient
+    # planes precomputed once per costmap update (the fast grid mode)
     spline = ObstacleMap(grid=omap.grid, origin=omap.origin,
                          resolution=omap.resolution, weight=omap.weight,
-                         sampling="spline")
+                         sampling="spline").with_spline_coeffs()
     planner2 = MPCPlanner(params=p, solver_cfg=SolverConfig(n_steps=20),
                           planner_cfg=PlannerConfig(local_plan_length=2.5))
     planner2.initialize()

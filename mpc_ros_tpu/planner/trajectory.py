@@ -465,7 +465,15 @@ def _traj_cycle_jit(solver_cfg: SolverConfig, M: int, max_speed: float,
         u0 = res.us[:, 0, :].astype(t.dtype)
         v_cmd = jnp.clip(v_fb + u0[:, 1] * dt, 0.0, max_speed)
         out = jnp.stack([v_cmd, u0[:, 0], lag])
-        return res.us, out
+        # per-robot observability tile (the DeviceFleetPlanner obs
+        # pattern): (6, B) = cte, etheta, ref_v[0], cost, converged,
+        # iters — fetched only when the host wants it (obs_every)
+        obs = jnp.stack([
+            cte.astype(t.dtype), etheta.astype(t.dtype), v_ref[:, 0],
+            res.cost.astype(t.dtype),
+            res.converged.astype(t.dtype),
+            res.n_iters.astype(t.dtype)])
+        return res.us, out, obs
 
     if mesh is not None:
         import dataclasses as _dc
@@ -483,7 +491,8 @@ def _traj_cycle_jit(solver_cfg: SolverConfig, M: int, max_speed: float,
         if has_blobs:
             in_specs += [d] * 4
         fn = jax.shard_map(fn, mesh=mesh, in_specs=tuple(in_specs),
-                           out_specs=(d, Ps(None, DATA_AXIS)),
+                           out_specs=(d, Ps(None, DATA_AXIS),
+                                      Ps(None, DATA_AXIS)),
                            check_vma=False)
     return jax.jit(fn, donate_argnums=(1,))
 
@@ -511,12 +520,18 @@ class FleetTrajectoryTracker:
     def __init__(self, params: MPCParams, solver_cfg: SolverConfig,
                  planner_cfg: PlannerConfig = PlannerConfig(),
                  dtype=None, catchup_gain: float = 0.8,
-                 pipeline: str = "host", mesh=None):
+                 pipeline: str = "host", mesh=None, obs_every: int = 0):
         """`mesh`: optional jax.sharding.Mesh (device pipeline only) —
         the one-jit cycle runs under shard_map over the mesh's data axis,
         B/D robots per device, zero control-path collectives; sharded ==
         unsharded command-for-command (tests/test_trajectory_tracking.py,
-        dryrun phase 7)."""
+        dryrun phase 7).
+
+        `obs_every`: populate `self.last_obs` — a (6, B) per-robot tile
+        (cte, etheta, ref_v[0], cost, converged, iters), the
+        DeviceFleetPlanner observability pattern — every K cycles
+        (0 = never, the transfer-lean default: commands + lag only on
+        the wire; on skipped cycles last_obs is None)."""
         if dtype is None:
             import jax
 
@@ -533,6 +548,9 @@ class FleetTrajectoryTracker:
             "already shards its batched solve via parallel.sharded)"
         self.pipeline = pipeline
         self.mesh = mesh
+        self.obs_every = int(obs_every)
+        self.last_obs: Optional[np.ndarray] = None
+        self._cycle_count = 0
         self.model = get_model(solver_cfg.model)
         self.B = 0
         self._warm_us: Optional[np.ndarray] = None
@@ -583,6 +601,8 @@ class FleetTrajectoryTracker:
         self._t_end = np.array([tr.t[-1] for tr in trajs])
         self._goal = np.stack([tr.xy[-1] for tr in trajs])
         self._warm_us = None
+        self.last_obs = None
+        self._cycle_count = 0
         if self.pipeline == "device":
             f32 = jnp.float32
             sh = self._shard
@@ -733,6 +753,19 @@ class FleetTrajectoryTracker:
         import jax
 
         self._warm_us = res.us            # stays on device for next cycle
+        want_obs = self.obs_every > 0 and (
+            self._cycle_count % self.obs_every == 0)
+        self._cycle_count += 1
+        if want_obs:
+            cost_h, conv_h, it_h = jax.device_get(
+                (res.cost, res.converged, res.n_iters))
+            self.last_obs = np.stack([
+                np.asarray(cte, float), np.asarray(etheta, float),
+                np.asarray(v_ref[:, 0], float),
+                np.asarray(cost_h, float), np.asarray(conv_h, float),
+                np.asarray(it_h, float)])
+        else:
+            self.last_obs = None
         u0 = np.asarray(jax.device_get(res.us[:, 0, :]), float)
         v_cmd = np.clip(np.asarray(feedback_v, float) + u0[:, 1] * dt,
                         0.0, self.planner_cfg.max_speed)
@@ -769,9 +802,14 @@ class FleetTrajectoryTracker:
                              jnp.dtype(self.dtype).name,
                              self.world_obstacles is not None,
                              mesh=self.mesh, sharded_leaves=sharded_leaves)
-        warm, out = fn(self._dev_consts, jnp.asarray(self._warm_us,
-                                                     self.dtype),
-                       world, tnow, self.params, *blob_leaves)
+        warm, out, obs = fn(self._dev_consts, jnp.asarray(self._warm_us,
+                                                          self.dtype),
+                            world, tnow, self.params, *blob_leaves)
         self._warm_us = warm
+        want_obs = self.obs_every > 0 and (
+            self._cycle_count % self.obs_every == 0)
+        self._cycle_count += 1
+        self.last_obs = (np.asarray(jax.device_get(obs), float)
+                         if want_obs else None)
         o = np.asarray(jax.device_get(out), float)
         return np.stack([o[0], o[1]], -1), o[2]

@@ -399,3 +399,49 @@ def test_fleet_trajectory_sharded_matches_unsharded():
         poses[:, 1] += dt * v * np.sin(poses[:, 2])
         poses[:, 2] += dt * w
         vs = v
+
+
+def test_fleet_trajectory_obs_tile_device_matches_host():
+    """Round-5: the fleet trajectory tracker's per-robot observability
+    tile (obs_every — the DeviceFleetPlanner pattern: cte, etheta,
+    ref_v0, cost, converged, iters) matches between the host and device
+    pipelines, and is None on skipped cycles."""
+    from mpc_ros_tpu.planner.trajectory import FleetTrajectoryTracker
+
+    B = 8
+    base = get_shape("infinity")[:240]
+    trajs = []
+    for i in range(B):
+        pl = base.copy()
+        pl[:, :2] += 3.0 * i
+        trajs.append(TimedTrajectory.from_path(pl, 0.35 + 0.02 * i))
+    p = MPCParams(dt=0.1, max_angvel=1.5, w_cte=300.0,
+                  w_angvel_d=10.0, w_accel_d=10.0)
+    kw = dict(planner_cfg=PlannerConfig(local_plan_length=2.5),
+              obs_every=2)
+    host = FleetTrajectoryTracker(p, SolverConfig(n_steps=20), **kw)
+    dev = FleetTrajectoryTracker(p, SolverConfig(n_steps=20),
+                                 pipeline="device", **kw)
+    host.set_trajectories(trajs)
+    dev.set_trajectories(trajs)
+    poses = np.stack([t.xy[0] for t in trajs])
+    poses = np.concatenate([poses, np.array([[t.yaw[0]] for t in trajs])], 1)
+    vs = np.zeros(B)
+    for cycle in range(3):
+        host.compute(cycle * 0.1, poses, vs)
+        dev.compute(cycle * 0.1, poses, vs)
+        if cycle % 2 == 0:
+            assert host.last_obs is not None and dev.last_obs is not None
+            assert host.last_obs.shape == (6, B)
+            # cte/etheta/ref_v0 rows: f32-vs-f64 pipeline noise only
+            np.testing.assert_allclose(dev.last_obs[:3], host.last_obs[:3],
+                                       atol=2e-3)
+            # conv flags equal; iteration counts within one certificate
+            # flip; costs to solver noise
+            np.testing.assert_allclose(dev.last_obs[4], host.last_obs[4],
+                                       atol=0)
+            assert np.max(np.abs(dev.last_obs[5] - host.last_obs[5])) <= 1
+            np.testing.assert_allclose(dev.last_obs[3], host.last_obs[3],
+                                       rtol=1e-3)
+        else:
+            assert host.last_obs is None and dev.last_obs is None
