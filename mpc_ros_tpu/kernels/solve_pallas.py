@@ -142,13 +142,13 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
              + par[P_WACC] + par[P_WDANG] + par[P_WDACC]) * (1.0 / 470.0),
             1.0)
         inv_wscl = 1.0 / wscl
+        mu_lo = mu_min * wscl
+        mu_hi = mu_max * wscl
     else:
-        wscl = jnp.ones(vshape, dtype)
-        inv_wscl = wscl
-    tolg = tol_grad
-    mu_lo = mu_min * wscl
-    mu_hi = mu_max * wscl
-    gate_v = jnp.full(vshape, ddp_gate, dtype)
+        wscl = 1.0
+        inv_wscl = 1.0
+        mu_lo = jnp.full(vshape, mu_min, dtype)
+        mu_hi = jnp.full(vshape, mu_max, dtype)
 
     # per-knot (ref_cte, ref_etheta, ref_vel) setpoints: a time-indexed
     # VMEM profile in trajectory-tracking mode (solver/ilqr.py `refs`),
@@ -345,7 +345,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         # second-order terms (dynamics + the blob concave part) engage
         # once the previous iteration's projected gradient is below
         # ddp_gate (gnorm starts at +inf -> first iteration is pure GN)
-        g_ddp = (gnorm < gate_v).astype(dtype) if ddp else None
+        g_ddp = (gnorm < ddp_gate).astype(dtype) if ddp else None
 
         # ---- backward scan with inline linearization ----
         sT = traj_s[cur, T]
@@ -745,7 +745,7 @@ def _kernel(T: int, n_alpha: int, max_iters: int, sign: float,
         # toward an honest certificate (see ilqr.py) — per lane
         mu_open = (mu <= mu_lo * mu_factor).astype(dtype)
         converged_now = jnp.maximum(
-            jnp.maximum((pg < tolg).astype(dtype),
+            jnp.maximum((pg < tol_grad).astype(dtype),
                         (n_small2 >= 2.0).astype(dtype)),
             tiny_model * mu_open)
         stalled = jnp.maximum(
