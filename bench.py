@@ -95,8 +95,6 @@ def kernel_verify(p, cfg, dtype, batch: int = 1024, strict_trig: bool = True,
     conv_x = np.asarray(r_x.converged, np.float32)
     it_m = np.asarray(r_m.n_iters, np.float32)
     it_x = np.asarray(r_x.n_iters, np.float32)
-    du = float(np.max(np.abs(us_m - us_x)))
-    dc = float(np.max(np.abs(cost_m - cost_x) / (1.0 + np.abs(cost_x))))
     conv_match = float(np.mean(conv_m == conv_x))
     it_match = float(np.mean(it_m == it_x))
     d_it = float(abs(it_m.mean() - it_x.mean()))
@@ -104,17 +102,27 @@ def kernel_verify(p, cfg, dtype, batch: int = 1024, strict_trig: bool = True,
     du_tol = 2e-3 * max(1.0, T / 29.0)
     short = cfg.n_steps <= 32
     rel_dc = np.abs(cost_m - cost_x) / (1.0 + np.abs(cost_x))
-    # lanes whose two engines landed in DIFFERENT local optima: at long
-    # horizons the ensemble turns multi-modal and f32 rounding flips a
-    # handful of borderline lanes' basins — genuine solver sensitivity,
-    # not a kernel regression (both costs are valid optima)
-    flip_frac = float(np.mean(rel_dc > 1e-3))
+    # numerics are compared over lanes BOTH engines converged in the SAME
+    # basin: lanes whose two engines landed in different local optima (at
+    # long horizons the ensemble turns multi-modal and f32 rounding flips
+    # a handful of borderline lanes) carry genuine solver sensitivity,
+    # not kernel numerics — as do straggler lanes the compact schedule's
+    # policy-switched rescue (round 5) solves while the XLA single loop
+    # leaves them at its cap. Their FRACTION is gated instead.
+    oneside = (conv_m > 0.5) != (conv_x > 0.5)
+    flip = ~oneside & (rel_dc > 1e-3)
+    cmp_lanes = ~oneside & ~flip   # incl. both-unconverged-alike lanes
+    flip_frac = float(np.mean(flip | oneside))
+    du = float(np.max(np.where(cmp_lanes[:, None, None],
+                               np.abs(us_m - us_x), 0.0)))
+    dc = float(np.max(np.where(cmp_lanes, rel_dc, 0.0)))
     out = {
         "batch": B,
         "max_du": round(du, 6),
         "max_rel_dcost": float(f"{dc:.2e}"),
         "conv_match_frac": round(conv_match, 4),
         "iters_match_frac": round(it_match, 4),
+        "flip_or_oneside_frac": round(flip_frac, 4),
         "mean_iters_mega_xla": [round(float(it_m.mean()), 3),
                                 round(float(it_x.mean()), 3)],
     }
@@ -122,14 +130,12 @@ def kernel_verify(p, cfg, dtype, batch: int = 1024, strict_trig: bool = True,
         out["ok"] = bool(du <= du_tol and dc <= 1e-4
                          and conv_match >= (0.999 if short else 0.995)
                          and it_match >= (0.90 if short else 0.88)
-                         and d_it <= 0.25)
+                         and flip_frac <= (0.002 if short else 0.01)
+                         and d_it <= (0.25 if short else 2.5))
     else:
-        # past N~60 the regression gate is not applicable (basin flips
-        # dominate max-deviations); report the flip fraction instead and
-        # gate only on gross disagreement
-        out["basin_flip_frac"] = round(flip_frac, 4)
+        # past N~60 basin flips dominate; gate only on gross disagreement
         out["ok"] = bool(flip_frac <= 0.01 and conv_match >= 0.99
-                         and d_it <= 0.25)
+                         and d_it <= 2.5)
     return out
 
 

@@ -125,9 +125,49 @@ class SolverConfig:
             return float(self.tol_grad)
         return 1e-4 if jnp.finfo(dtype).eps > 1e-10 else 1e-7
     tol_cost: float = 1e-12    # relative cost-decrease threshold
-    mu_init: float = 1e-6      # initial Levenberg regularization
+    # initial Levenberg regularization. "auto" (default since round 5)
+    # resolves with the horizon-aware DDP gate as a COUPLED pair (see
+    # _long_horizon_pair): 1e-6 everywhere except the long-horizon
+    # damped-early-engagement configuration, where the floor rises to
+    # 1e-2 so the DDP terms can engage at gate 1.5 while mu still damps
+    # the transiently indefinite model (engaging early UNdamped loses:
+    # N=100 @ mu 1e-4 conv 0.83). An explicit float is used verbatim —
+    # and an explicit mu_init also reverts the auto gate to the
+    # conservative 0.75 (the pair ships together or not at all).
+    mu_init: "float | str" = "auto"
     mu_factor: float = 10.0    # regularization update factor
     mu_max: float = 1e8        # regularization ceiling
+
+    def _long_horizon_pair(self, dtype, has_obstacles: bool) -> bool:
+        """True when the long-horizon (gate 1.5, mu floor 1e-2) coupled
+        auto policy applies: DDP active in this dtype, N > 32, both knobs
+        on auto, no parametric blob terms (`has_obstacles` carries the
+        SAME blobs-presence flag as the gate's basin-stability cap, so
+        gate and mu always resolve the pair identically — a 1.5 gate
+        with an unraised mu floor is the measured-bad combination).
+        The mu floor is what makes the early gate safe: the rescue
+        mechanism the weight-scale census identified, applied
+        deliberately. CPU lane path (B=1024): N=36 it 5.67 -> 4.07 @
+        conv 1.000; N=60 7.53 -> 5.34 @ 1.000. Under the compact
+        schedule the pair additionally switches the straggler pass to
+        the conservative policy and re-enters pass-1 STALLED lanes
+        (see _solve_compact) — measured on v5e
+        (tools/probe_pair_tpu.py, B=131k/16k, production caps) vs the
+        round-4 (0.75, 1e-6) policy: N=48 4.59M solves/s @ conv 1.0000
+        (8 ppm) vs 3.66M @ 0.9997 (290 ppm); N=60 3.24M @ 1.0000
+        (0 ppm) vs 2.62M @ 0.9997; N=100 722k @ 0.9999 (61 ppm) vs
+        552k @ 0.9996 — +24-31% throughput at strictly better
+        convergence."""
+        return (self.n_steps > 32 and not has_obstacles
+                and self.ddp_gate is None and self.mu_init == "auto"
+                and dtype is not None and self.ddp_for(dtype))
+
+    def mu_init_for(self, dtype=None, has_obstacles: bool = False) -> float:
+        """Effective initial/floor regularization (see mu_init)."""
+        if self.mu_init != "auto":
+            return float(self.mu_init)
+        return 1e-2 if self._long_horizon_pair(dtype, has_obstacles) \
+            else 1e-6
     # batched-solve early exit: stop iterating once this fraction of lanes
     # has converged (stragglers keep their current iterate and report
     # converged=False). 1.0 = run until every lane is done — the whole
@@ -201,7 +241,7 @@ class SolverConfig:
             return False   # backward modes without second-order terms
         return bool(jnp.finfo(dtype).eps > 1e-10)   # f32 prod / f64 oracle
 
-    def gate_for(self, has_obstacles: bool = False) -> float:
+    def gate_for(self, has_obstacles: bool = False, dtype=None) -> float:
         """Effective DDP gate — the ONE place the gate policy lives (the
         lane, vmap, and megakernel paths all call this, so the obstacle
         cap cannot drift between engines).
@@ -209,14 +249,21 @@ class SolverConfig:
         An explicitly-set `ddp_gate` is honored verbatim, obstacles or
         not (the user overrode the policy; silently clamping it made the
         knob a lie). The auto gate is horizon-aware (2.5 engages DDP from
-        the second iteration at N<=32; 0.75 above, where the second-order
-        terms compound over T backward stages) and caps at 0.75 when
-        obstacle terms are present: with the exact blob curvature an
-        early-engaged gate lets ~1% of lanes jump homotopy basins
-        (conv 0.989 vs 1.000 — measured, BENCH_NOTES gate table)."""
+        the second iteration at N<=32; above 32, 1.5 WHEN COUPLED with
+        the auto-raised mu floor — see _long_horizon_pair — else the
+        conservative 0.75, where the second-order terms compounding over
+        T backward stages would otherwise go indefinite) and caps at
+        0.75 when obstacle terms are present: with the exact blob
+        curvature an early-engaged gate lets ~1% of lanes jump homotopy
+        basins (conv 0.989 vs 1.000 — measured, BENCH_NOTES gate
+        table)."""
         if self.ddp_gate is not None:
             return float(self.ddp_gate)
-        gate = 2.5 if self.n_steps <= 32 else 0.75
+        if self.n_steps <= 32:
+            gate = 2.5
+        else:
+            gate = 1.5 if self._long_horizon_pair(dtype, has_obstacles) \
+                else 0.75
         return min(gate, 0.75) if has_obstacles else gate
 
     @property
@@ -233,8 +280,10 @@ class SolverConfig:
     # effective GN at conv 0.9961). When True, each lane scales those
     # knobs by s = max(1, sum(weights)/470) (470 = the default weight
     # sum), which restores EXACT c=1 iterates for uniformly up-scaled
-    # problems (bit-identical at power-of-two scales — pinned in
-    # tests/test_ddp.py). One-sided because DOWN-scaled weights are
+    # problems (bit-identical at power-of-two scales up to degenerate
+    # box-QP active-set ties, whose KKT tie-break mixes primal and
+    # multiplier units — pinned in tests/test_ddp.py). One-sided
+    # because DOWN-scaled weights are
     # measurably rescued by the absolute mu floor (census: N=60 c=0.05
     # fixed it=5.52/conv 1.000 vs scaled it=7.52) — s < 1 is clamped.
     scale_adaptive: bool = True

@@ -107,6 +107,10 @@ def _validate(params: MPCParams, solver: SolverConfig,
         errs.append(f"ls_iters={solver.ls_iters} < 1")
     if solver.ddp not in (True, False, "auto"):
         errs.append(f"ddp={solver.ddp!r} not in (True, False, 'auto')")
+    if solver.mu_init != "auto" and not (
+            isinstance(solver.mu_init, (int, float))
+            and float(solver.mu_init) > 0):
+        errs.append(f"mu_init={solver.mu_init!r} must be 'auto' or > 0")
     for name in ("w_cte", "w_etheta", "w_vel", "w_angvel", "w_accel",
                  "w_angvel_d", "w_accel_d"):
         v = getattr(params, name)

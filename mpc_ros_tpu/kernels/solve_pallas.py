@@ -862,7 +862,8 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
                      else min(tile, int(math.ceil(cfg.done_frac * tile))))
     kernel = functools.partial(
         _kernel, T, n_ls, cfg.max_sqp_iters, float(cfg.cte_vsin_sign),
-        float(cfg.tol_grad_for(dtype)), float(tol_cost_eff), float(cfg.mu_init),
+        float(cfg.tol_grad_for(dtype)), float(tol_cost_eff),
+        float(cfg.mu_init_for(dtype, n_blobs > 0)),
         float(cfg.mu_max), float(cfg.mu_factor), dtype, n_blobs, sub,
         # full unroll wins ~40% kernel time at T<=48 on hardware; in
         # interpret mode (tests) and at long horizons it only bloats
@@ -872,7 +873,7 @@ def solve_pallas(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype=jnp.float32,
         cfg.ddp_for(dtype),
         # blob ensembles cap the auto gate at 0.75 (basin stability with
         # the exact blob curvature — policy in SolverConfig.gate_for)
-        float(cfg.gate_for(n_blobs > 0)), cfg.scale_adaptive)
+        float(cfg.gate_for(n_blobs > 0, dtype)), cfg.scale_adaptive)
     setp_inputs = [] if refs is None else [rsh(refs)]
     setp_specs = [] if refs is None else [lane_spec(T + 1, 3)]
     resume_inputs = [] if resume is None else [rsh(jnp.stack(resume))]
@@ -1058,16 +1059,51 @@ def _solve_compact(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype,
     ss1, us1, cost1, conv1, it1, gn1, mu1, done1 = solve_pallas(
         zT, cT, params_pack, lb, ub, u0, cfg1, dtype=dtype,
         interpret=interpret, blobs=blobs, refs=refs)
-    # stable argsort: stragglers (done=0) first, original order otherwise
-    sel = jnp.argsort(done1, stable=True)[:n_tail]
+    pair = cfg._long_horizon_pair(dtype, blobs is not None)
+    # stable argsort: lanes needing rescue first, original order
+    # otherwise. Under the long-horizon pair, "needs rescue" includes
+    # pass-1 lanes that STALLED (done but unconverged): the early-gate
+    # policy occasionally stalls a lane the conservative policy solves,
+    # and a stalled lane is marked done so the plain key would skip it.
+    need = (jnp.logical_or(done1 < 0.5, conv1 < 0.5) if pair
+            else done1 < 0.5)
+    sel = jnp.argsort(jnp.logical_not(need), stable=True)[:n_tail]
     tk = lambda a: jnp.take(a, sel, axis=-1)
     blobs2 = None if blobs is None else tuple(tk(a) for a in blobs)
     refs2 = None if refs is None else tk(refs)
     cfg2 = dataclasses.replace(cfg, done_frac=1.0)
+    if pair:
+        # two-policy compaction (round 5): pass 1 runs the fast coupled
+        # (gate 1.5, mu floor 1e-2) policy for the 99.9%; the straggler
+        # pass keeps the SAME mu floor (the resume carries pass-1 mu —
+        # a lower pass-2 floor makes carried floor-level mu read as
+        # "inflated" and mislabels near-converged lanes stalled,
+        # measured 7,000+ ppm) but reverts the GATE to the conservative
+        # 0.75 — the genuinely-hard tail is the class the early gate
+        # trades away, and it is ~compact_tail of the batch, so the
+        # conservative rescue costs tail-sized work only. The rescue
+        # budget doubles (stragglers get 3x cap total vs the plain
+        # compact's 2x): the pair routes a few more borderline lanes
+        # into the tail, and at <=6% of the batch the extra iterations
+        # are noise against the +23-37% pass-1 saving.
+        cfg2 = dataclasses.replace(cfg2, ddp_gate=0.75, mu_init=1e-2,
+                                   max_sqp_iters=2 * cfg.max_sqp_iters)
+    d1s, c1s, m1s, g1s = tk(done1), tk(conv1), tk(mu1), tk(gn1)
+    if pair:
+        # stalled pass-1 lanes re-enter the conservative pass warm from
+        # their iterate, with done cleared, mu reset to the floor (their
+        # carried mu sits at the rejection ramp's top — carrying it in
+        # would re-stall immediately) and gnorm re-armed
+        stalled1 = jnp.logical_and(d1s > 0.5, c1s < 0.5)
+        floor2 = jnp.asarray(cfg2.mu_init_for(dtype, blobs is not None),
+                             d1s.dtype)
+        d1s = jnp.where(stalled1, 0.0, d1s)
+        m1s = jnp.where(stalled1, floor2, m1s)
+        g1s = jnp.where(stalled1, jnp.inf, g1s)
     (ss2, us2, cost2, conv2, it2, gn2, mu2, done2) = solve_pallas(
         tk(zT), tk(cT), tk(params_pack), tk(lb), tk(ub), tk(us1), cfg2,
         dtype=dtype, interpret=interpret, blobs=blobs2, refs=refs2,
-        resume=(tk(done1), tk(conv1), tk(mu1), tk(gn1)))
+        resume=(d1s, c1s, m1s, g1s))
     scat = lambda full, tail: full.at[..., sel].set(tail)
     return (scat(ss1, ss2), scat(us1, us2), scat(cost1, cost2),
             scat(conv1, conv2), it1.at[sel].add(it2), scat(gn1, gn2),

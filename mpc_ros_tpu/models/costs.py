@@ -89,7 +89,8 @@ def weight_scale(p: MPCParams, dtype):
     gate) are in cost units; scaling them by s makes uniformly up-scaled
     problems solve with EXACTLY the c=1 iterates (the iLQR update is
     equivariant under J -> cJ with mu -> c mu; at power-of-two c the f32
-    iterates are bit-identical). One-sided: down-scaled weights keep the
+    iterates are bit-identical up to degenerate box-QP active-set ties).
+    One-sided: down-scaled weights keep the
     absolute mu floor that measurably rescues their early-engaged DDP
     model (SolverConfig.scale_adaptive docstring; BENCH_NOTES census)."""
     s = (p.w_cte + p.w_etheta + p.w_vel + p.w_angvel + p.w_accel
@@ -97,14 +98,18 @@ def weight_scale(p: MPCParams, dtype):
     return jnp.maximum(jnp.asarray(s, dtype), jnp.asarray(1.0, dtype))
 
 
-def scaled_solver_knobs(cfg, p: MPCParams, dtype):
+def scaled_solver_knobs(cfg, p: MPCParams, dtype,
+                        has_obstacles: bool = False):
     """The ONE resolution of the weight-scale-equivariant solver knobs
     shared by the ilqr, lane, and sharded engines (the megakernel
     computes the same quantities in-kernel from its params tile):
     (mu_min, mu_max, inv_scale_or_None, cost_guard) with mu bounds scaled
     by s = weight_scale(p), the pg-normalization reciprocal 1/s, and the
-    relative-cost guard floor s (tol*(s+|J|) — exactly equivariant)."""
-    mu_min = jnp.asarray(cfg.mu_init, dtype)
+    relative-cost guard floor s (tol*(s+|J|) — exactly equivariant).
+    `has_obstacles` feeds the horizon-aware mu-floor resolution
+    (SolverConfig.mu_init_for — the long-horizon damped-early-DDP
+    pair)."""
+    mu_min = jnp.asarray(cfg.mu_init_for(dtype, has_obstacles), dtype)
     mu_max = jnp.asarray(cfg.mu_max, dtype)
     if not cfg.scale_adaptive:
         return mu_min, mu_max, None, jnp.asarray(1.0, dtype)

@@ -626,14 +626,14 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     # models/costs.scaled_solver_knobs; see the ilqr.solve comment. The
     # legacy two-kernel 'pallas' backward predates this and is skipped
     # (its pg is computed in-kernel).
+    import dataclasses
+
     from ..models.costs import scaled_solver_knobs
 
-    import dataclasses as _dc2
-
     knob_cfg = (cfg if not use_pallas
-                else _dc2.replace(cfg, scale_adaptive=False))
+                else dataclasses.replace(cfg, scale_adaptive=False))
     mu_min, mu_max, inv_scl, cost_guard = scaled_solver_knobs(
-        knob_cfg, p, dtype)
+        knob_cfg, p, dtype, has_obstacles=bl is not None)
     mu_factor = jnp.asarray(cfg.mu_factor, dtype)
     alphas = jnp.asarray(0.5, dtype) ** jnp.arange(n_ls, dtype=dtype)
 
@@ -651,7 +651,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # blob ensembles cap the auto gate at 0.75 (basin stability with
         # the exact blob curvature); the policy lives in
         # SolverConfig.gate_for so the three engines cannot drift
-        gate_eff = cfg.gate_for(bl is not None)
+        gate_eff = cfg.gate_for(bl is not None, dtype)
         dmask = ((gnorm < gate_eff).astype(dtype) if use_ddp else None)
         V_s, V_ss = _terminal_bl(ss[-1], p, dtype)
         if omaps is not None:

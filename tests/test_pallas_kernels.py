@@ -803,3 +803,46 @@ def test_schedule_auto_resolves_to_compact_at_long_horizon(monkeypatch):
         sp.solve_pallas_scheduled(zT, cT, pp, lb, -lb, u0, cfg,
                                   interpret=True)
         assert len(calls) == expect, (n_steps, calls)
+
+
+def test_compact_pair_two_policy_rescue_interpret():
+    """Round-5 two-policy compaction (long-horizon pair): pass 1 runs
+    the fast (gate 1.5, mu 1e-2) policy, the straggler pass reverts the
+    gate to 0.75 with a doubled budget, and pass-1 STALLED lanes
+    re-enter the rescue (done cleared, mu reset). Pinned vs the single
+    pass at the same auto config: conv never worse, finite outputs,
+    same solution on mutually-converged same-basin lanes."""
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
+    from mpc_ros_tpu.kernels.solve_pallas import solve_pallas_scheduled
+
+    dtype = jnp.float32
+    B = 2048
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(9), B, dtype)
+    p = MPCParams().astype(dtype)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    pp = pack_params(p, B, dtype)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+
+    def run(schedule):
+        cfg = SolverConfig(n_steps=34, max_sqp_iters=6, tol_grad=1e-3,
+                           schedule=schedule, compact_frac=0.9,
+                           compact_tail=0.5)
+        assert cfg._long_horizon_pair(dtype, False)
+        u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+        return solve_pallas_scheduled(zT, cT, pp, lb, -lb, u0, cfg,
+                                      interpret=True)
+
+    ss1, us1, cost1, conv1, it1, gn1, mu1, done1 = run("single")
+    ss2, us2, cost2, conv2, it2, gn2, mu2, done2 = run("auto")
+    f1, f2 = float(jnp.mean(conv1)), float(jnp.mean(conv2))
+    assert f2 >= f1 - 1e-6, (f1, f2)
+    assert bool(jnp.all(jnp.isfinite(us2)))
+    both = (conv1 > 0.5) & (conv2 > 0.5)
+    rel = jnp.abs(cost1 - cost2) / (1.0 + jnp.abs(cost1))
+    same = both & (rel < 1e-3)
+    assert float(jnp.mean(same.astype(jnp.float32))) > 0.8
+    du = float(jnp.max(jnp.where(same[None, None, :],
+                                 jnp.abs(us1 - us2), 0.0)))
+    assert du < 5e-3, du
