@@ -962,22 +962,24 @@ def solve_pallas_scheduled(zT, cT, params_pack, lb, ub, u0, cfg, *,
     """
     total = cfg.max_sqp_iters
     schedule = cfg.schedule
-    if schedule == "auto" and cfg.n_steps > 32:
-        # measured on v5e round 4 (B=131072, caps 0.45*N): the compact
-        # straggler schedule wins LONG horizons on both axes — N=48:
-        # 3.88M solves/s @ conv 0.9997 vs 2.74M @ 0.9982 single-pass;
-        # N=60: 2.72M @ 0.9997 vs 1.76M @ 0.9982; N=100 (B=16k): 587k @
-        # 0.9996 vs 320k @ 0.9984. Round 5 censused the 33-47 interior
-        # (tools/probe_n40_compact.py, B=131072): compact wins every
-        # probed point — N=36: 5.26M @ 0.9998 vs 4.62M @ 0.9990; N=40:
-        # 4.71M @ 0.9997 vs 3.69M @ 0.9984; N=44: 4.12M @ 0.9997 vs
-        # 3.12M @ 0.9984 — so the >32 threshold is measured from N=36 up,
-        # not interpolated. The long-horizon tail (~1,650 ppm, censused
-        # in tools/census_horizon.py) needs 27-68 iterations — exactly
-        # the genuinely-hard shape compaction serves: pass-1 tiles exit
-        # at their p97 lane (throughput) and the stragglers get a fresh
-        # budget to 2x cap (conv). Short horizons keep the single pass
-        # (DDP collapsed their tail; compact measured ~2.5% slower there,
+    if schedule == "auto" and cfg.n_steps > 36:
+        # measured on v5e (tools/probe_n40_compact.py, B=131072, caps
+        # 0.45*N, the round-5 long-horizon pair active): compact wins
+        # N=40 (5.86M solves/s @ conv 1.0000 vs single 5.45M @ 0.9999),
+        # N=44 (5.22M @ 1.0000 vs 4.30M @ 0.9997), and every longer
+        # horizon (N=48/60/100 with the two-policy rescue: 4.59M/3.24M/
+        # 722k at 8/0/61 ppm unconverged — see BENCH_NOTES); single
+        # wins N=36 (7.21M @ 1.0000 vs compact 6.39M @ 1.0000) because
+        # the pair collapsed the N<=36 tail that compaction existed to
+        # serve — so the auto crossover sits in (36, 40], measured at
+        # both ends. (History: round 4 set the threshold at >32 from
+        # N=48/60/100 wins; the round-5 pair moved it.) The genuinely
+        # slow long-horizon tail (censused in tools/census_horizon.py)
+        # is exactly the shape compaction serves: pass-1 tiles exit at
+        # their p97 lane (throughput) and the stragglers get a fresh
+        # budget — with the pair, a policy-switched one (see
+        # _solve_compact). Short horizons keep the single pass (DDP
+        # collapsed their tail; compact measured ~2.5% slower there,
         # BENCH_NOTES "Tried and rejected" #0).
         schedule = "compact"
     if schedule == "compact":

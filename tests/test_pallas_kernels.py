@@ -771,10 +771,12 @@ def test_batch_solve_lane_refs_fallback_matches_vmap():
 
 
 def test_schedule_auto_resolves_to_compact_at_long_horizon(monkeypatch):
-    """Round-4 policy: "auto" resolves to the compact straggler schedule
-    for n_steps > 32 (measured winner on BOTH axes at N=48/60/100 —
+    """"auto" resolves to the compact straggler schedule for
+    n_steps > 36 (round 5: the long-horizon pair moved the measured
+    crossover from >32 — single wins N=36, compact wins N=40 and up;
     see solve_pallas_scheduled) and stays the single pass at short
-    horizons (where DDP collapsed the tail and compact measured slower)."""
+    horizons (where DDP collapsed the tail and compact measured
+    slower)."""
     from mpc_ros_tpu.engine import make_random_scenarios
     from mpc_ros_tpu.kernels import solve_pallas as sp
     from mpc_ros_tpu.kernels.backward_fused_pallas import pack_params
@@ -795,7 +797,7 @@ def test_schedule_auto_resolves_to_compact_at_long_horizon(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(sp, "_solve_compact", spy)
-    for n_steps, expect in ((34, 1), (12, 0)):
+    for n_steps, expect in ((38, 1), (34, 0), (12, 0)):
         calls.clear()
         cfg = SolverConfig(n_steps=n_steps, max_sqp_iters=2, ls_iters=2,
                            tol_grad=1e-3, schedule="auto")
