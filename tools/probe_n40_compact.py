@@ -1,8 +1,11 @@
 """Census the compact-schedule crossover inside the 33-47 horizon band
-(ADVICE r4 #4): schedule='auto' flips to compact for all n_steps > 32 on
-the strength of N=48/60/100 wins and an N=30 loss — N=40 pins a point in
-the asserted-but-unmeasured interior. Real-TPU steady-state timing, the
-bench's pipelined recipe (sync once per n_pipe batches).
+(ADVICE r4 #4). Run twice in round 5: first at the round-4 policy
+(compact won every probed point, confirming the >32 flip), then with
+the long-horizon pair active — which collapsed the N<=36 tail and moved
+the measured crossover into (36, 40] (single wins N=36 at 7.21M @
+1.0000; compact wins N=40 at 5.86M @ 1.0000) — `auto` now flips at
+n_steps > 36. Real-TPU steady-state timing, the bench's pipelined
+recipe (sync once per n_pipe batches).
 
 Run ALONE (single-tenant tunnel): python tools/probe_n40_compact.py
 """
