@@ -325,9 +325,9 @@ def main() -> None:
         # kernel path): plain diff_drive, parametric blobs (gated exact
         # Hessian), bicycle (state-dependent heading rows) — plus the
         # long-horizon compact straggler schedule (schedule='auto'
-        # resolves to compact for every N > 32 since round 4; its
-        # gather/resume/scatter pass is kernel machinery the N=30 check
-        # never exercises)
+        # resolves to compact for N > 36 — round 5 moved the crossover;
+        # its gather/rescue/scatter pass is kernel machinery the N=30
+        # check never exercises)
         import dataclasses as _dc
 
         t0 = time.time()
@@ -893,8 +893,9 @@ def main() -> None:
         import dataclasses as _dc
 
         out["kernel_verify"] = kernel_verify(p, cfg, dtype)
-        # the auto->compact long-horizon schedule (every N > 32) is
-        # parity-checked on hardware each official run too (r4 item 7)
+        # the auto->compact long-horizon schedule (N > 36 since the
+        # round-5 crossover move) is parity-checked on hardware each
+        # official run too (r4 item 7)
         out["kernel_verify_compact_n48"] = kernel_verify(
             p, _dc.replace(cfg, n_steps=48, max_sqp_iters=22), dtype)
     print(json.dumps(out))

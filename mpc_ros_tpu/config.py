@@ -138,7 +138,8 @@ class SolverConfig:
     mu_factor: float = 10.0    # regularization update factor
     mu_max: float = 1e8        # regularization ceiling
 
-    def _long_horizon_pair(self, dtype, has_obstacles: bool) -> bool:
+    def _long_horizon_pair(self, dtype, has_obstacles: bool,
+                           has_omaps: bool = False) -> bool:
         """True when the long-horizon (gate 1.5, mu floor 1e-2) coupled
         auto policy applies: DDP active in this dtype, N > 32, both knobs
         on auto, no parametric blob terms (`has_obstacles` carries the
@@ -158,16 +159,27 @@ class SolverConfig:
         (0 ppm) vs 2.62M @ 0.9997; N=100 722k @ 0.9999 (61 ppm) vs
         552k @ 0.9996 — +24-31% throughput at strictly better
         convergence."""
-        return (self.n_steps > 32 and not has_obstacles
+        # `has_omaps` (grid costmaps) also excludes the pair: the census
+        # rejected damped early engagement for obstacle fields (asymmetric
+        # basin loss), and grids are the worse-conditioned kink class —
+        # while the GATE's basin-stability cap stays keyed on blobs only
+        # (the grid gate numbers were measured at the horizon-aware auto).
+        # horizon_parallel / the legacy 'pallas' backward cannot run DDP
+        # at all (even under an explicit ddp=True, which ddp_for honors
+        # verbatim) — the raised mu floor was never measured on pure GN,
+        # so those modes keep the conservative floor too.
+        return (self.n_steps > 32 and not has_obstacles and not has_omaps
+                and not self.horizon_parallel and self.backward != "pallas"
                 and self.ddp_gate is None and self.mu_init == "auto"
                 and dtype is not None and self.ddp_for(dtype))
 
-    def mu_init_for(self, dtype=None, has_obstacles: bool = False) -> float:
+    def mu_init_for(self, dtype=None, has_obstacles: bool = False,
+                    has_omaps: bool = False) -> float:
         """Effective initial/floor regularization (see mu_init)."""
         if self.mu_init != "auto":
             return float(self.mu_init)
-        return 1e-2 if self._long_horizon_pair(dtype, has_obstacles) \
-            else 1e-6
+        return 1e-2 if self._long_horizon_pair(dtype, has_obstacles,
+                                               has_omaps) else 1e-6
     # batched-solve early exit: stop iterating once this fraction of lanes
     # has converged (stragglers keep their current iterate and report
     # converged=False). 1.0 = run until every lane is done — the whole
@@ -241,7 +253,8 @@ class SolverConfig:
             return False   # backward modes without second-order terms
         return bool(jnp.finfo(dtype).eps > 1e-10)   # f32 prod / f64 oracle
 
-    def gate_for(self, has_obstacles: bool = False, dtype=None) -> float:
+    def gate_for(self, has_obstacles: bool = False, dtype=None,
+                 has_omaps: bool = False) -> float:
         """Effective DDP gate — the ONE place the gate policy lives (the
         lane, vmap, and megakernel paths all call this, so the obstacle
         cap cannot drift between engines).
@@ -262,13 +275,17 @@ class SolverConfig:
         if self.n_steps <= 32:
             gate = 2.5
         else:
-            gate = 1.5 if self._long_horizon_pair(dtype, has_obstacles) \
-                else 0.75
+            gate = 1.5 if self._long_horizon_pair(dtype, has_obstacles,
+                                                  has_omaps) else 0.75
         return min(gate, 0.75) if has_obstacles else gate
 
     @property
     def ddp_gate_eff(self) -> float:
-        """Obstacle-free effective gate (alias of `gate_for(False)`)."""
+        """Obstacle-free, dtype-agnostic gate resolution — the
+        CONSERVATIVE reading (without a compute dtype the long-horizon
+        pair cannot be confirmed, so N > 32 reports 0.75 even though an
+        f32 auto solve runs 1.5). For the gate a solve actually uses,
+        call `gate_for(has_obstacles, dtype)`."""
         return self.gate_for(False)
     # one-sided weight-scale equivariance (round 5, VERDICT r4 item 5).
     # The solver's absolute knobs — mu floor/ceiling, projected-gradient

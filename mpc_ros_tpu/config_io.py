@@ -194,6 +194,16 @@ def config_from_dict(data: Mapping[str, Any]) -> ConfigTriple:
     if "max_throttle" in mpc_kw:
         # reference clamp (/root/reference/mpc_ros/src/driving_state.cpp:76-79)
         mpc_kw["max_throttle"] = max(0.1, float(mpc_kw["max_throttle"]))
+    # mu_init's default is now the string "auto", so _coerce's
+    # default-type-driven float coercion no longer covers it — coerce
+    # numeric strings (YAML 1.1 parses unsigned-exponent scalars like
+    # `1e-6` as strings) explicitly, keeping "auto" verbatim
+    if (isinstance(solver_kw.get("mu_init"), str)
+            and solver_kw["mu_init"] != "auto"):
+        try:
+            solver_kw["mu_init"] = float(solver_kw["mu_init"])
+        except ValueError:
+            pass   # left as-is; _validate reports it loudly
 
     def _coerce(cls, kw):
         """Cast values to the field's default type: YAML 1.1 parses an

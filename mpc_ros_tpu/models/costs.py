@@ -99,17 +99,20 @@ def weight_scale(p: MPCParams, dtype):
 
 
 def scaled_solver_knobs(cfg, p: MPCParams, dtype,
-                        has_obstacles: bool = False):
+                        has_obstacles: bool = False,
+                        has_omaps: bool = False):
     """The ONE resolution of the weight-scale-equivariant solver knobs
     shared by the ilqr, lane, and sharded engines (the megakernel
     computes the same quantities in-kernel from its params tile):
     (mu_min, mu_max, inv_scale_or_None, cost_guard) with mu bounds scaled
     by s = weight_scale(p), the pg-normalization reciprocal 1/s, and the
     relative-cost guard floor s (tol*(s+|J|) — exactly equivariant).
-    `has_obstacles` feeds the horizon-aware mu-floor resolution
-    (SolverConfig.mu_init_for — the long-horizon damped-early-DDP
-    pair)."""
-    mu_min = jnp.asarray(cfg.mu_init_for(dtype, has_obstacles), dtype)
+    `has_obstacles` (parametric blobs) and `has_omaps` (grid costmaps)
+    feed the horizon-aware mu-floor resolution (SolverConfig.mu_init_for
+    — the long-horizon damped-early-DDP pair excludes both obstacle
+    representations)."""
+    mu_min = jnp.asarray(
+        cfg.mu_init_for(dtype, has_obstacles, has_omaps), dtype)
     mu_max = jnp.asarray(cfg.mu_max, dtype)
     if not cfg.scale_adaptive:
         return mu_min, mu_max, None, jnp.asarray(1.0, dtype)

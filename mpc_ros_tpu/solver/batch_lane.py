@@ -633,7 +633,8 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     knob_cfg = (cfg if not use_pallas
                 else dataclasses.replace(cfg, scale_adaptive=False))
     mu_min, mu_max, inv_scl, cost_guard = scaled_solver_knobs(
-        knob_cfg, p, dtype, has_obstacles=bl is not None)
+        knob_cfg, p, dtype, has_obstacles=bl is not None,
+        has_omaps=omaps is not None)
     mu_factor = jnp.asarray(cfg.mu_factor, dtype)
     alphas = jnp.asarray(0.5, dtype) ** jnp.arange(n_ls, dtype=dtype)
 
@@ -651,7 +652,8 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         # blob ensembles cap the auto gate at 0.75 (basin stability with
         # the exact blob curvature); the policy lives in
         # SolverConfig.gate_for so the three engines cannot drift
-        gate_eff = cfg.gate_for(bl is not None, dtype)
+        gate_eff = cfg.gate_for(bl is not None, dtype,
+                                has_omaps=omaps is not None)
         dmask = ((gnorm < gate_eff).astype(dtype) if use_ddp else None)
         V_s, V_ss = _terminal_bl(ss[-1], p, dtype)
         if omaps is not None:

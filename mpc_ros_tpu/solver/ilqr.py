@@ -356,7 +356,8 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     from ..models.costs import scaled_solver_knobs
 
     mu_min, mu_max, inv_scl, cost_guard = scaled_solver_knobs(
-        cfg, p, dtype, has_obstacles=blobs is not None)
+        cfg, p, dtype, has_obstacles=blobs is not None,
+        has_omaps=omap is not None)
     mu_factor = jnp.asarray(cfg.mu_factor, dtype)
 
     def cond(state):
@@ -383,7 +384,8 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
             # obstacle ensembles cap the auto gate at 0.75 and restore the
             # blob Hessian's concave part — same rules as the lane/mega
             # paths (the policy lives in SolverConfig.gate_for)
-            gate_val = cfg.gate_for(blobs is not None, dtype)
+            gate_val = cfg.gate_for(blobs is not None, dtype,
+                                    has_omaps=omap is not None)
             g = (gnorm < jnp.asarray(gate_val, dtype)).astype(dtype)
             if blobs is not None:
                 from ..models.obstacles import blob_concave_bl

@@ -454,6 +454,18 @@ def test_long_horizon_pair_policy():
         jnp.float32) == 1e-6                           # explicit gate
     assert SolverConfig(n_steps=30).gate_for(False, jnp.float32) == 2.5
     assert SolverConfig(n_steps=30).mu_init_for(jnp.float32) == 1e-6
+    # grid costmaps exclude the pair too (census: damped early
+    # engagement rejected for obstacle fields), without engaging the
+    # blobs-only gate cap
+    assert c.mu_init_for(jnp.float32, False, True) == 1e-6
+    assert c.gate_for(False, jnp.float32, has_omaps=True) == 0.75
+    # backward modes that cannot run DDP keep the conservative floor
+    # even under an explicit ddp=True (which ddp_for honors verbatim)
+    assert SolverConfig(n_steps=48, ddp=True,
+                        horizon_parallel=True).mu_init_for(
+        jnp.float32) == 1e-6
+    assert SolverConfig(n_steps=48, ddp=True,
+                        backward="pallas").mu_init_for(jnp.float32) == 1e-6
 
 
 def test_long_horizon_pair_beats_conservative():

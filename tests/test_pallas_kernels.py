@@ -828,7 +828,10 @@ def test_compact_pair_two_policy_rescue_interpret():
     lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
 
     def run(schedule):
-        cfg = SolverConfig(n_steps=34, max_sqp_iters=6, tol_grad=1e-3,
+        # n_steps=38 > 36 so schedule="auto" genuinely resolves to the
+        # compact path (review finding: at 34 the round-5 crossover move
+        # made auto==single and this test compared single vs single)
+        cfg = SolverConfig(n_steps=38, max_sqp_iters=6, tol_grad=1e-3,
                            schedule=schedule, compact_frac=0.9,
                            compact_tail=0.5)
         assert cfg._long_horizon_pair(dtype, False)
@@ -836,8 +839,23 @@ def test_compact_pair_two_policy_rescue_interpret():
         return solve_pallas_scheduled(zT, cT, pp, lb, -lb, u0, cfg,
                                       interpret=True)
 
-    ss1, us1, cost1, conv1, it1, gn1, mu1, done1 = run("single")
-    ss2, us2, cost2, conv2, it2, gn2, mu2, done2 = run("auto")
+    from mpc_ros_tpu.kernels import solve_pallas as _sp
+
+    calls = []
+    orig_compact = _sp._solve_compact
+
+    def _spy(*a, **k):
+        calls.append(1)
+        return orig_compact(*a, **k)
+
+    _sp._solve_compact = _spy
+    try:
+        ss1, us1, cost1, conv1, it1, gn1, mu1, done1 = run("single")
+        assert not calls
+        ss2, us2, cost2, conv2, it2, gn2, mu2, done2 = run("auto")
+        assert calls, "auto did not route through the compact rescue"
+    finally:
+        _sp._solve_compact = orig_compact
     f1, f2 = float(jnp.mean(conv1)), float(jnp.mean(conv2))
     assert f2 >= f1 - 1e-6, (f1, f2)
     assert bool(jnp.all(jnp.isfinite(us2)))
