@@ -1,4 +1,5 @@
-from .batch import batch_solve, batch_solve_swept, make_random_scenarios, Scenario
+from .batch import (analytic_u_init, batch_solve, batch_solve_swept,
+                    make_random_scenarios, Scenario)
 from ..solver.batch_lane import batch_solve_lane
 from .sweep import tuning_sweep, sample_weight_candidates, SweepResult
 from .receding import receding_horizon_rollout, RecedingTrace
@@ -7,6 +8,7 @@ from .presort import (PresortedResult, difficulty_features,
                       solve_presorted)
 
 __all__ = [
+    "analytic_u_init",
     "batch_solve",
     "batch_solve_swept",
     "batch_solve_lane",

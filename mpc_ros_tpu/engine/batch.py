@@ -82,3 +82,38 @@ def make_random_scenarios(key, batch: int, dtype=jnp.float32,
     zeros = jnp.zeros((B,), dtype)
     z0s = jnp.stack([zeros, zeros, zeros, v0, cte, etheta], axis=-1)
     return z0s, coeffs
+
+
+def analytic_u_init(z0s, coeffs, p, cfg):
+    """Cheap analytic cold-start initialization (opt-in, round 5): a
+    decaying proportional steer toward the path plus an accelerate-to-
+    setpoint column,
+
+        omega_k = clip(-1.2 etheta0 - 0.6 cte0, bounds) * exp(-0.15 k)
+        accel_k = clip(ref_vel - v0, bounds)
+
+    ~10 FLOPs/lane against the solver's ~40k. The zero init (the
+    reference's cold start, /root/reference/mpc_ros/src/
+    mpc_planner.cpp:288-300) stays the DEFAULT for reference/oracle
+    parity; this helper is for throughput workloads: measured on the
+    bench ensemble (B=8192, N=30, ddp) mean iterations 3.57 -> 3.28 and
+    mean tile-max 5.50 -> 5.12 (-7% of the megakernel's executed work)
+    with the SAME optimum on every lane (gain grid: 1.2/0.6 beat
+    1.5/1.0, curvature feedforward, and slower decays). Use as
+    `batch_solve_lane(..., u_init=analytic_u_init(z0s, coeffs, p, cfg))`
+    or `bench.py --smart-init`."""
+    dtype = z0s.dtype
+    T = cfg.n_controls
+    from ..models.base import get_model
+
+    lb, ub = get_model(cfg.model).control_bounds(p, dtype)
+    lb2 = lb if lb.ndim == 1 else lb.T          # (2,) or (B, 2)
+    ub2 = ub if ub.ndim == 1 else ub.T
+    w0 = -1.2 * z0s[:, 5] - 0.6 * z0s[:, 4]
+    a0 = jnp.asarray(p.ref_vel, dtype) - z0s[:, 3]
+    decay = jnp.exp(jnp.asarray(-0.15, dtype) * jnp.arange(T, dtype=dtype))
+    u = jnp.stack([w0[:, None] * decay[None, :],
+                   jnp.broadcast_to(a0[:, None], (z0s.shape[0], T))],
+                  axis=-1)
+    return jnp.clip(u, jnp.broadcast_to(lb2, u.shape),
+                    jnp.broadcast_to(ub2, u.shape))

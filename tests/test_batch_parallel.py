@@ -334,3 +334,29 @@ def test_tuning_sweep_presort_ranking_invariant():
     np.testing.assert_allclose(np.asarray(sw_s.mean_iters),
                                np.asarray(sw_u.mean_iters),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_analytic_u_init_same_optima_fewer_iterations():
+    """Round-5 opt-in cold-start init (engine.analytic_u_init): the
+    proportional-steer guess reaches the SAME optimum on every lane of
+    the bench ensemble with measurably fewer iterations than the zero
+    cold start (the zero init stays the default for reference parity)."""
+    from mpc_ros_tpu.engine import analytic_u_init
+    from mpc_ros_tpu.solver.batch_lane import batch_solve_lane
+
+    B = 1024
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), B)
+    p = MPCParams().astype(jnp.float32)
+    cfg = SolverConfig(n_steps=30, max_sqp_iters=12, tol_grad=1e-4,
+                       backward="xla")
+    r0 = batch_solve_lane(z0s, coeffs, p, cfg)
+    u = analytic_u_init(z0s, coeffs, p, cfg)
+    assert u.shape == (B, cfg.n_controls, 2)
+    r1 = batch_solve_lane(z0s, coeffs, p, cfg, u_init=u)
+    rel = np.abs(np.asarray(r1.cost) - np.asarray(r0.cost)) \
+        / (1.0 + np.abs(np.asarray(r0.cost)))
+    assert float((rel < 1e-3).mean()) == 1.0
+    assert float(np.mean(np.asarray(r1.converged))) >= \
+        float(np.mean(np.asarray(r0.converged)))
+    assert (float(np.mean(np.asarray(r1.n_iters)))
+            <= float(np.mean(np.asarray(r0.n_iters))) - 0.15)
