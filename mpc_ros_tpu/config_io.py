@@ -105,7 +105,9 @@ def _validate(params: MPCParams, solver: SolverConfig,
         errs.append(f"max_sqp_iters={solver.max_sqp_iters} < 1")
     if solver.ls_iters is not None and solver.ls_iters < 1:
         errs.append(f"ls_iters={solver.ls_iters} < 1")
-    if solver.ddp not in (True, False, "auto"):
+    # `in (True, False)` would admit 0/1 via int==bool equality, and a
+    # truthy non-bool slips past the engines' explicit-True guard rails
+    if not (solver.ddp == "auto" or isinstance(solver.ddp, bool)):
         errs.append(f"ddp={solver.ddp!r} not in (True, False, 'auto')")
     if solver.mu_init != "auto" and not (
             isinstance(solver.mu_init, (int, float))

@@ -107,8 +107,10 @@ def analytic_u_init(z0s, coeffs, p, cfg):
     from ..models.base import get_model
 
     lb, ub = get_model(cfg.model).control_bounds(p, dtype)
-    lb2 = lb if lb.ndim == 1 else lb.T          # (2,) or (B, 2)
-    ub2 = ub if ub.ndim == 1 else ub.T
+    # (2,) broadcasts over (B, T, 2) directly; per-lane (2, B) bounds need
+    # the T axis inserted: (B, 1, 2)
+    lb2 = lb if lb.ndim == 1 else lb.T[:, None, :]
+    ub2 = ub if ub.ndim == 1 else ub.T[:, None, :]
     w0 = -1.2 * z0s[:, 5] - 0.6 * z0s[:, 4]
     a0 = jnp.asarray(p.ref_vel, dtype) - z0s[:, 3]
     decay = jnp.exp(jnp.asarray(-0.15, dtype) * jnp.arange(T, dtype=dtype))

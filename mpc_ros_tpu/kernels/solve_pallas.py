@@ -1099,6 +1099,18 @@ def _solve_compact(zT, cT, params_pack, lb, ub, u0, cfg, *, dtype,
         stalled1 = jnp.logical_and(d1s > 0.5, c1s < 0.5)
         floor2 = jnp.asarray(cfg2.mu_init_for(dtype, blobs is not None),
                              d1s.dtype)
+        if cfg.scale_adaptive:
+            # the in-kernel mu floor is weight-scaled per lane
+            # (scale_adaptive: s = max(1, sum(w)/470)); the rescue reset
+            # must carry the same scale or an up-scaled lane resumes
+            # under-damped by s, breaking the c=1 iterate equivariance
+            # on the rescue path
+            pt = tk(params_pack)
+            floor2 = floor2 * jnp.maximum(
+                (pt[P_WCTE] + pt[P_WETH] + pt[P_WVEL] + pt[P_WANG]
+                 + pt[P_WACC] + pt[P_WDANG] + pt[P_WDACC])
+                * jnp.asarray(1.0 / 470.0, d1s.dtype),
+                jnp.asarray(1.0, d1s.dtype)).astype(d1s.dtype)
         d1s = jnp.where(stalled1, 0.0, d1s)
         m1s = jnp.where(stalled1, floor2, m1s)
         g1s = jnp.where(stalled1, jnp.inf, g1s)

@@ -277,6 +277,9 @@ def spline_coeff_planes(grid: jnp.ndarray) -> jnp.ndarray:
     Border rows/cols (cell index 0 and n-1) are edge-padded copies — the
     center knot clamps to [1, n-2], so they are never addressed."""
     g = grid
+    assert g.shape[-2] >= 3 and g.shape[-1] >= 3, \
+        ("spline coefficient planes need >=3x3 grids (the center knot "
+         f"clamps to [1, n-2]), got {g.shape[-2]}x{g.shape[-1]}")
     pad = [(0, 0)] * (g.ndim - 2) + [(1, 1), (1, 1)]
     gp = jnp.pad(g, pad, mode="edge")
     H, W = g.shape[-2], g.shape[-1]
@@ -376,14 +379,15 @@ def _spline_terms_bl(omaps: "ObstacleMap", x: jnp.ndarray, y: jnp.ndarray):
     precomputed coefficient planes (`with_spline_coeffs`), evaluation
     routes to the packed-gather twin; sampling='spline_coeff' without
     attached planes derives them inline (fresh per call)."""
+    assert omaps.grid.shape[-2] >= 3 and omaps.grid.shape[-1] >= 3, \
+        ("sampling='spline' needs >=3x3 grids, got "
+         f"{omaps.grid.shape[-2]}x{omaps.grid.shape[-1]}")
     if omaps.coeff is None and omaps.sampling == "spline_coeff":
         omaps = omaps.replace(coeff=spline_coeff_planes(omaps.grid))
     if omaps.coeff is not None:
         return _spline_coeff_terms_bl(omaps, x, y)
     grids = omaps.grid
     B, H, W = grids.shape
-    assert H >= 3 and W >= 3, \
-        f"sampling='spline' needs >=3x3 grids, got {H}x{W}"
     flat = grids.reshape(B * H * W)
     res = omaps.resolution
     fx = (x - omaps.origin[:, 0]) / res

@@ -329,9 +329,15 @@ def _horizon_solve_jit(mesh, cfg: SolverConfig):
             converged_now = jnp.logical_or(
                 jnp.logical_or(pg < tol_grad, n_small2 >= 2),
                 jnp.logical_and(tiny_model, mu_open))
+            # the tiny-model stall verdict requires the step to ALSO be
+            # rejected (the round-4 certificate fix, ilqr.py: an ACCEPTED
+            # tiny-model step under inflated mu keeps iterating toward an
+            # honest certificate instead of stopping converged=False)
             stalled = jnp.logical_or(
                 jnp.logical_and(jnp.logical_not(accepted), mu2 >= mu_max),
-                jnp.logical_and(tiny_model, jnp.logical_not(mu_open)))
+                jnp.logical_and(
+                    jnp.logical_and(tiny_model, jnp.logical_not(mu_open)),
+                    jnp.logical_not(accepted)))
             done2 = jnp.where(act, jnp.logical_or(converged_now, stalled),
                               done)
             conv2 = jnp.where(act, converged_now, conv)

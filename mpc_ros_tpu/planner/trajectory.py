@@ -372,7 +372,12 @@ def _traj_cycle_jit(solver_cfg: SolverConfig, M: int, max_speed: float,
         B = t.shape[0]
         b = jnp.arange(B)
         px, py, pth, v_fb = (world[:, i] for i in range(4))
-        dt = jnp.max(jnp.asarray(p.dt, t.dtype))
+        # the horizon timeline step is the GLOBAL max over per-robot dt,
+        # computed host-side and carried in the replicated tnow vector —
+        # a jnp.max(p.dt) here would be a per-SHARD max under shard_map
+        # (p's per-lane leaves are sharded), silently breaking the
+        # sharded==unsharded command parity for heterogeneous dt fleets
+        dt = tnow[1].astype(t.dtype)
         times = tnow[0] + dt * jnp.arange(N, dtype=t.dtype)        # (N,)
 
         t0 = t[:, 0]
@@ -782,7 +787,9 @@ class FleetTrajectoryTracker:
         world[:, :3] = poses
         world[:, 3] = feedback_v
         world = self._shard(jnp.asarray(world))
-        tnow = jnp.asarray(np.float32([t_now]))
+        # [t_now, global max dt] — see the dt note in _traj_cycle_jit
+        tnow = jnp.asarray(np.float32([t_now,
+                                       float(np.max(self.params.dt))]))
         if self._warm_us is None:
             self._warm_us = self._shard(
                 jnp.zeros((B, cfg.n_controls, 2), self.dtype))

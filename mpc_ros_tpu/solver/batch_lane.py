@@ -544,7 +544,7 @@ def batch_solve_lane(z0s: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
     # both kernel families
     use_pallas = (not use_mega) and kernels_ok and bl is None \
         and cfg.backward == "pallas" and model == "diff_drive"
-    if cfg.ddp is True and use_pallas:
+    if cfg.ddp != "auto" and bool(cfg.ddp) and use_pallas:
         # ddp="auto" resolves to GN on this backward instead of raising
         raise ValueError(
             "SolverConfig.ddp is implemented on the megakernel and XLA "

@@ -320,7 +320,7 @@ def solve(z0: jnp.ndarray, coeffs: jnp.ndarray, p: MPCParams,
         us0 = jnp.zeros((T, _M), dtype)
     else:
         us0 = jnp.clip(jnp.asarray(u_init, dtype), lb, ub)
-    if cfg.ddp is True and cfg.horizon_parallel:
+    if cfg.ddp != "auto" and bool(cfg.ddp) and cfg.horizon_parallel:
         # consistent with batch_solve_lane's backward='pallas' raise: the
         # associative-scan elements need SPD stage quadratics up front, so
         # the gated DDP contraction is sequential-path only — silently

@@ -360,3 +360,23 @@ def test_analytic_u_init_same_optima_fewer_iterations():
         float(np.mean(np.asarray(r0.converged)))
     assert (float(np.mean(np.asarray(r1.n_iters)))
             <= float(np.mean(np.asarray(r0.n_iters))) - 0.15)
+
+
+def test_analytic_u_init_per_lane_bounds():
+    """Per-robot (B,)-shaped control-bound leaves must broadcast into the
+    (B, T, 2) guess ((2, B) bounds need the horizon axis inserted, not a
+    flat broadcast_to) and clip each lane by ITS OWN bounds."""
+    from mpc_ros_tpu.engine import analytic_u_init
+
+    B = 256
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(3), B)
+    wmax = np.full(B, 1.5, np.float32)
+    wmax[::2] = 0.05                      # tight-steer half of the fleet
+    p = MPCParams(max_angvel=jnp.asarray(wmax)).astype(jnp.float32)
+    cfg = SolverConfig(n_steps=30)
+    u = analytic_u_init(z0s, coeffs, p, cfg)
+    assert u.shape == (B, cfg.n_controls, 2)
+    w = np.asarray(u[:, :, 0])
+    assert float(np.abs(w[::2]).max()) <= 0.05 + 1e-6
+    # the loose half must not have been clipped by the tight bound
+    assert float(np.abs(w[1::2]).max()) > 0.05

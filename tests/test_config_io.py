@@ -143,3 +143,14 @@ def test_nested_sections_coerce_yaml_string_numerics(tmp_path):
     assert isinstance(planner.max_speed, float) and planner.max_speed == 1.0
     assert planner.delay_mode is True
     assert planner.limits.xy_goal_tolerance == 0.1
+
+
+def test_validation_rejects_int_ddp():
+    """`ddp: 1` in YAML parses as int and slips through an `in (True,
+    False, 'auto')` check via int==bool equality, then bypasses the
+    engines' explicit-True guard rails — the schema rejects non-bools."""
+    with pytest.raises(ValueError, match="ddp"):
+        config_from_dict({"solver": {"ddp": 1}})
+    # the genuine spellings still pass
+    for v in (True, False, "auto"):
+        config_from_dict({"solver": {"ddp": v}})

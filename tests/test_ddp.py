@@ -486,3 +486,29 @@ def test_long_horizon_pair_beats_conservative():
     rel = np.abs(np.asarray(r_pair.cost) - np.asarray(r_cons.cost)) \
         / (1.0 + np.abs(np.asarray(r_cons.cost)))
     assert float(np.percentile(rel[both], 99.5)) < 1e-3
+
+
+def test_truthy_nonbool_ddp_still_raises_on_unsupported_backwards():
+    """A programmatic SolverConfig(ddp=1) must hit the same unsupported-
+    backward raises as ddp=True (an `is True` guard lets 1 slip through
+    and silently run GN — the exact silent fallback the raise documents
+    against). ddp='auto' keeps resolving to GN without raising."""
+    # B=128: the pallas backward only engages on 128-multiple f32 batches
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(0), 128)
+    p = MPCParams().astype(jnp.float32)
+    import pytest
+
+    with pytest.raises(ValueError, match="backward"):
+        batch_solve_lane(z0s, coeffs, p,
+                         SolverConfig(n_steps=10, ddp=1,
+                                      backward="pallas"))
+    from mpc_ros_tpu.solver import ilqr
+
+    with pytest.raises(ValueError, match="horizon_parallel"):
+        ilqr.solve(z0s[0], coeffs[0], p,
+                   SolverConfig(n_steps=10, ddp=1, horizon_parallel=True))
+    # auto still quietly resolves to GN on both (no raise at config time;
+    # running the real two-kernel backward needs hardware, so resolution
+    # is checked on the config, not by executing)
+    assert SolverConfig(n_steps=10, backward="pallas").ddp_for(
+        jnp.float32) is False

@@ -471,3 +471,22 @@ def test_spline_coeff_solver_path():
     rel = np.abs(np.asarray(r_c.cost) - np.asarray(r_s.cost)) \
         / (1.0 + np.abs(np.asarray(r_s.cost)))
     assert float(rel.max()) < 1e-3, rel.max()
+
+
+def test_spline_coeff_tiny_grid_guard():
+    """The >=3x3 spline grid guard must fire on the coefficient-plane
+    route too (the early return to the packed-gather twin used to skip
+    it, leaving clip(idx, 1, W-2) with an inverted range on 2x2 grids)."""
+    import pytest
+
+    from mpc_ros_tpu.models.obstacles import (ObstacleMap,
+                                              spline_coeff_planes)
+
+    tiny = jnp.zeros((2, 2), jnp.float32)
+    with pytest.raises(AssertionError):
+        spline_coeff_planes(tiny)
+    om = ObstacleMap(grid=tiny, origin=jnp.zeros(2),
+                     resolution=jnp.asarray(0.1),
+                     weight=jnp.asarray(1.0), sampling="spline_coeff")
+    with pytest.raises(AssertionError):
+        om.with_spline_coeffs()

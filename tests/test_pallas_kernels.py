@@ -866,3 +866,83 @@ def test_compact_pair_two_policy_rescue_interpret():
     du = float(jnp.max(jnp.where(same[None, None, :],
                                  jnp.abs(us1 - us2), 0.0)))
     assert du < 5e-3, du
+
+
+def test_compact_pair_rescue_weight_scale_equivariant():
+    """Weight-scale equivariance THROUGH the compact pair path,
+    stalled-lane rescue included: with weights uniformly scaled by a
+    power of two (exact in f32, scale_adaptive on), the scheduled solve
+    produces the SAME iterates — pinned lane-for-lane on the stalled
+    lanes the rescue resets. The rescue's mu reset carries the per-lane
+    weight scale (an unscaled reset resumes up-scaled lanes under-damped
+    by s; on this ensemble the ceiling-stalled lanes re-reject either
+    way, so the reset scaling is belt-and-braces consistency with the
+    in-kernel scaled floor — this test pins the end-to-end equivariance
+    property that any such divergence would break)."""
+    import dataclasses as _dc
+
+    from mpc_ros_tpu.engine import make_random_scenarios
+    from mpc_ros_tpu.kernels.solve_pallas import (solve_pallas,
+                                                  solve_pallas_scheduled)
+
+    dtype = jnp.float32
+    B = 1024
+    # harder draw than the bench ensemble: at cap 6 / tol 1e-4 it leaves
+    # a couple of genuinely STALLED pass-1 lanes (done, unconverged) —
+    # the class whose mu the rescue resets (probed; asserted below)
+    z0s, coeffs = make_random_scenarios(jax.random.PRNGKey(9), B, dtype,
+                                        pose_scale=0.8, curve_scale=0.6)
+    zT = jnp.swapaxes(z0s, 0, 1)
+    cT = jnp.swapaxes(coeffs, 0, 1)
+    lb = jnp.broadcast_to(jnp.asarray([-1.0, -1.0], dtype)[:, None], (2, B))
+    wnames = {"w_cte", "w_etheta", "w_vel", "w_angvel", "w_accel",
+              "w_angvel_d", "w_accel_d"}
+    p1 = MPCParams().astype(dtype)
+    # c=32: a large power-of-two scale makes the un-scaled rescue
+    # reset's damping gap (1e-2 vs 0.32) big enough to flip f32 iterates
+    c = 32.0
+    p2 = MPCParams(**{
+        f.name: (getattr(p1, f.name) * c if f.name in wnames
+                 else getattr(p1, f.name))
+        for f in _dc.fields(MPCParams)})
+    # auto resolves to the compact pair at N=38; the tight cap +
+    # fractions route lanes through pass 2
+    # mu_max=1.0: a low ceiling makes the rejected hard lanes hit the
+    # stall verdict inside the cap (the default 1e8 ceiling is never
+    # reached in 6 iterations) — with scale_adaptive the ceiling scales
+    # with s, so the stall pattern itself is equivariant
+    cfg = SolverConfig(n_steps=38, max_sqp_iters=6, tol_grad=1e-4,
+                       schedule="auto", compact_frac=0.9, compact_tail=0.5,
+                       mu_max=1.0)
+    assert cfg._long_horizon_pair(dtype, False)
+    u0 = jnp.zeros((cfg.n_controls, 2, B), dtype)
+
+    def run(p):
+        pp = pack_params(p, B, dtype)
+        return solve_pallas_scheduled(zT, cT, pp, lb, -lb, u0, cfg,
+                                      interpret=True)
+
+    # pass-1-only replica: identify the stalled lanes the rescue resets
+    cfg1 = _dc.replace(cfg, schedule="single", done_frac=cfg.compact_frac)
+    pp1 = pack_params(p1, B, dtype)
+    _, _, _, cv_p1, _, _, _, dn_p1 = solve_pallas(
+        zT, cT, pp1, lb, -lb, u0, cfg1, dtype=dtype, interpret=True)
+    stalled = np.asarray((dn_p1 > 0.5) & (cv_p1 < 0.5))
+    assert stalled.sum() >= 1, "ensemble no longer stalls — re-probe"
+
+    ss1, us1, cost1, conv1, it1, gn1, mu1, done1 = run(p1)
+    ss2, us2, cost2, conv2, it2, gn2, mu2, done2 = run(p2)
+    i1, i2 = np.asarray(it1), np.asarray(it2)
+    same = i1 == i2
+    assert same.mean() >= 0.98, same.mean()
+    np.testing.assert_array_equal(np.asarray(us1)[..., same],
+                                  np.asarray(us2)[..., same])
+    np.testing.assert_allclose(np.asarray(cost2), c * np.asarray(cost1),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(conv1)[same],
+                                  np.asarray(conv2)[same])
+    # the rescued (stalled) lanes themselves must be equivariant — the
+    # unscaled mu reset diverged exactly these
+    np.testing.assert_array_equal(i1[stalled], i2[stalled])
+    np.testing.assert_array_equal(np.asarray(us1)[..., stalled],
+                                  np.asarray(us2)[..., stalled])

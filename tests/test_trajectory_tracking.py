@@ -445,3 +445,45 @@ def test_fleet_trajectory_obs_tile_device_matches_host():
                                        rtol=1e-3)
         else:
             assert host.last_obs is None and dev.last_obs is None
+
+
+def test_fleet_trajectory_sharded_heterogeneous_dt():
+    """The horizon-timeline step is max(dt) over the WHOLE fleet. With a
+    per-robot (B,)-shaped dt leaf (sharded under the mesh), a naive
+    jnp.max(p.dt) inside the shard-mapped cycle is a per-SHARD max — dt
+    now rides the replicated tnow vector so sharded == unsharded holds
+    for heterogeneous-dt fleets too."""
+    from mpc_ros_tpu.parallel import make_mesh
+    from mpc_ros_tpu.planner.trajectory import FleetTrajectoryTracker
+
+    B = 16
+    base = get_shape("infinity")[:240]
+    trajs = []
+    for i in range(B):
+        pl = base.copy()
+        pl[:, :2] += 3.0 * i
+        trajs.append(TimedTrajectory.from_path(pl, 0.35))
+    # ascending dt: under a 4-way data mesh the first shards' local max
+    # (0.0875) differs from the global max (0.12) — the failure shape
+    dts = np.linspace(0.08, 0.12, B).astype(np.float32)
+    p = MPCParams(dt=dts, max_angvel=1.5, w_cte=300.0,
+                  w_angvel_d=10.0, w_accel_d=10.0)
+    kw = dict(planner_cfg=PlannerConfig(local_plan_length=2.5),
+              pipeline="device")
+    plain = FleetTrajectoryTracker(p, SolverConfig(n_steps=20), **kw)
+    shard = FleetTrajectoryTracker(p, SolverConfig(n_steps=20),
+                                   mesh=make_mesh(n_data=4), **kw)
+    plain.set_trajectories(trajs)
+    shard.set_trajectories(trajs)
+    poses = np.stack([t.xy[0] for t in trajs])
+    poses = np.concatenate([poses, np.array([[t.yaw[0]] for t in trajs])], 1)
+    vs = np.zeros(B)
+    for cycle in range(3):
+        cmd_p, _ = plain.compute(cycle * 0.1, poses, vs)
+        cmd_s, _ = shard.compute(cycle * 0.1, poses, vs)
+        assert np.max(np.abs(cmd_p - cmd_s)) < 1e-5, cycle
+        v, w = cmd_p[:, 0], cmd_p[:, 1]
+        poses[:, 0] += 0.1 * v * np.cos(poses[:, 2])
+        poses[:, 1] += 0.1 * v * np.sin(poses[:, 2])
+        poses[:, 2] += 0.1 * w
+        vs = v
